@@ -1,0 +1,210 @@
+"""Set-based re-expressions of the reference pipelines (SURVEY.md §8, P1–P5).
+
+The reference computes these imperatively with per-row RPCs
+(``updatescript.py:57-218``); here each is one declarative DataFrame plan:
+scan → filter (pushed down) → broadcast join → window → projection. The
+fixture mapping follows FIXTURES.md §C: ``events`` plays the transactions
+role (``user_id``→stashId, ``value``→stake, ``props.$.k``→alreadyBonded,
+``event_type != 'error'``→successful, ``event_id`` parity→chain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Fixed batch watermark (reference: the `lastUpdated` doc read at
+# updatescript.py:223; strict `$gt` at :59). Mid-span of the events fixture.
+WATERMARK = "2024-01-15 00:00:00"
+
+
+def tx_view(events: DataFrame) -> DataFrame:
+    """events → transaction-shaped view (FIXTURES.md §C mapping)."""
+    return events.select(
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        (F.col("event_type") != "error").alias("successful"),
+        F.col("value").alias("stake"),
+        F.get_json_object("props", "$.k").cast("double").alias("alreadyBonded"),
+        F.when(F.col("event_id") % 2 == 0, "polkadot").otherwise("kusama").alias("chain"),
+    )
+
+
+def daily_price_dim(events: DataFrame) -> DataFrame:
+    """P1 analog: the per-day price dimension `{date, price}`
+    (reference `dotPriceInUSD`, updatescript.py:43). Hash-agg over the day
+    bucket; rounded so both engines agree bit-for-bit downstream."""
+    return events.groupBy(F.to_date("ts").alias("date")).agg(
+        F.round(F.avg("value"), 6).alias("price")
+    )
+
+
+def incremental_scan(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """R2: strict-greater watermark scan (updatescript.py:59). The comparison
+    is a plain predicate → Catalyst pushes it to the parquet reader."""
+    return events.filter(F.col("ts") > F.lit(watermark).cast("timestamp"))
+
+
+def tx_enrich(events: DataFrame) -> DataFrame:
+    """P2: enrich each post-watermark tx with its day's price and the
+    conditional dollar value (R11/R13, updatescript.py:64-82).
+
+    Reference shape: per-row `find_one` price lookup (N+1). Spark shape:
+    broadcast hash join against the tiny price dim — zero per-row RPCs,
+    one stage. Inner join = reference's error-on-missing-price semantics
+    (invariant I3): a tx on a priceless day is dropped loudly by count
+    assertion in the pipeline wrapper, not silently NULLed.
+    """
+    tx = tx_view(incremental_scan(events))
+    price = daily_price_dim(events)
+    joined = tx.join(
+        F.broadcast(price), F.to_date(tx["ts"]) == price["date"], "inner"
+    )
+    dollar = (
+        F.when(~F.col("successful"), F.lit(0.0))
+        .when(F.col("stake") == F.col("alreadyBonded"), F.col("stake") * F.col("price"))
+        .otherwise(F.abs(F.col("stake") - F.col("alreadyBonded")) * F.col("price"))
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "successful",
+        "stake",
+        "alreadyBonded",
+        "date",
+        "price",
+        dollar.alias("txDollarValue"),
+    )
+
+
+def anti_dedup(events: DataFrame, existing_ids: DataFrame) -> DataFrame:
+    """R14: idempotent-insert dedup. The reference probes the target once per
+    row (`find_one({"_id"})`, updatescript.py:62); set-based form is a single
+    left_anti join — broadcast when the id set is small, shuffle-hash at scale."""
+    return events.join(existing_ids, "event_id", "left_anti")
+
+
+def first_touch(events: DataFrame) -> DataFrame:
+    """R15 core: first event per user, canonical order (ts, event_id)
+    (updatescript.py:175-186 loop-carried `seen` set → window row_number)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def aum_routing(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """P5: the nominations/AUM routing matrix (updatescript.py:154-218),
+    loop-carried state rewritten as window functions (SURVEY.md §8.P5).
+
+    Batch = successful txs with ts > watermark. Pre-batch AUM key set is
+    simulated as the user_ids of successful pre-watermark events. A batch row
+    is a *first touch* iff its user is absent from the pre-batch set AND it is
+    the first batch row for that user in (ts, event_id) order.
+
+    Routing (Δ = stake − alreadyBonded; chain asymmetry preserved exactly —
+    kusama has no amountstaked sink, its Δ>0 rows go to nominations,
+    updatescript.py:201-204):
+
+      Δ = 0 → nominations(stake); AUM(stake) iff first-touch
+      Δ > 0 → polkadot: amountstaked(Δ); kusama: nominations(Δ);
+              AUM(stake if first-touch else Δ)
+      Δ < 0 → AUM(stake if first-touch else Δ)
+
+    Output: one row per (event, sink) with the routed volume.
+    """
+    tx = tx_view(events)
+    wm = F.lit(watermark).cast("timestamp")
+    batch = tx.filter((F.col("ts") > wm) & F.col("successful"))
+    seen_pre = (
+        tx.filter((F.col("ts") <= wm) & F.col("successful"))
+        .select("user_id")
+        .distinct()
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        batch.join(F.broadcast(seen_pre.withColumn("seen_pre", F.lit(True))), "user_id", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "first_touch",
+            F.col("seen_pre").isNull() & (F.col("rn") == 1),
+        )
+        .withColumn("delta", F.col("stake") - F.col("alreadyBonded"))
+    )
+
+    base = ["event_id", "chain"]
+    nominations = flagged.filter(
+        (F.col("delta") == 0) | ((F.col("delta") > 0) & (F.col("chain") == "kusama"))
+    ).select(
+        *base,
+        F.lit("nominations").alias("sink"),
+        F.when(F.col("delta") == 0, F.col("stake")).otherwise(F.col("delta")).alias("volume"),
+    )
+    amountstaked = flagged.filter(
+        (F.col("delta") > 0) & (F.col("chain") == "polkadot")
+    ).select(*base, F.lit("amountstaked").alias("sink"), F.col("delta").alias("volume"))
+    aum = flagged.filter((F.col("delta") != 0) | F.col("first_touch")).select(
+        *base,
+        F.lit("aum").alias("sink"),
+        F.when(F.col("first_touch"), F.col("stake")).otherwise(F.col("delta")).alias("volume"),
+    )
+    return nominations.unionByName(amountstaked).unionByName(aum)
+
+
+def stats_ratio(events: DataFrame) -> DataFrame:
+    """P3 analog: percentMarketCaptured = 100·managed/staked
+    (updatescript.py:123) — managed = purchase value, staked = all value."""
+    return events.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))
+            / F.sum("value"),
+            6,
+        ).alias("percentMarketCaptured")
+    )
+
+
+def union_chains(events: DataFrame) -> DataFrame:
+    """R24: the dual-chain duplicated pipeline becomes one parameterized
+    plan unioned with a `chain` discriminator column."""
+    dot = events.filter(F.col("event_id") % 2 == 0).withColumn("chain", F.lit("polkadot"))
+    ksm = events.filter(F.col("event_id") % 2 != 0).withColumn("chain", F.lit("kusama"))
+    return dot.unionByName(ksm)
+
+
+def upsert_snapshot(events: DataFrame) -> DataFrame:
+    """R9/R25 on plain parquet: keep-latest row per key — the set-based form
+    of `update_one({"_id"}, {"$set": ...})` (updatescript.py:131). Latest =
+    max (ts, event_id) per user_id."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def calendar_fill(events: DataFrame) -> DataFrame:
+    """R17/R26: day spine from the first event day through 7 days past the
+    last (the reference generates days from the watermark through *today*,
+    updatescript.py:31-33 — "today" here is last-event-day + 7), anti-joined
+    against days that already have purchase events — the daily-gate 'which
+    days still need a row' probe (updatescript.py:36-37)."""
+    spine = events.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.date_add(F.max(F.to_date("ts")), 7).alias("hi"),
+    ).select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    have = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    return spine.join(have, "day", "left_anti")

@@ -1,0 +1,168 @@
+"""Reference-semantics queries (`r_*`, SURVEY.md §2.C) — the cron script's
+five pipelines re-expressed as declarative Spark plans, each with a DuckDB
+oracle encoding the identical §8 formula."""
+
+from __future__ import annotations
+
+from metrics_database_cron_script_spark.operators import reference_ops as R
+from metrics_database_cron_script_spark.plans.registry import query
+from metrics_database_cron_script_spark.sources import load_table
+
+WM = R.WATERMARK
+
+_TX_CTE = """
+tx AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         event_type <> 'error' AS successful,
+         value AS stake,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS alreadyBonded,
+         CASE WHEN event_id % 2 = 0 THEN 'polkadot' ELSE 'kusama' END AS chain
+  FROM events
+)"""
+
+_PRICE_CTE = """
+price AS (
+  SELECT CAST(ts AS DATE) AS date, ROUND(AVG(value), 6) AS price
+  FROM events GROUP BY 1
+)"""
+
+
+@query(
+    "r_daily_price_dim",
+    oracle=f"WITH {_PRICE_CTE.strip()} SELECT date, price FROM price",
+)
+def r_daily_price_dim(spark, sf_dir):
+    return R.daily_price_dim(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_calendar_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) + 7 AS hi FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT day FROM spine
+WHERE day NOT IN (
+  SELECT DISTINCT CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'
+)""",
+)
+def r_calendar_fill(spark, sf_dir):
+    return R.calendar_fill(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_incremental_scan",
+    oracle=f"SELECT * FROM events WHERE ts > TIMESTAMP '{WM}'",
+)
+def r_incremental_scan(spark, sf_dir):
+    return R.incremental_scan(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_tx_enrich",
+    oracle=f"""
+WITH {_TX_CTE.strip()}, {_PRICE_CTE.strip()}
+SELECT t.event_id, t.ts, t.user_id, t.event_type, t.successful, t.stake,
+       t.alreadyBonded, p.date, p.price,
+       CASE WHEN NOT t.successful THEN 0.0
+            WHEN t.stake = t.alreadyBonded THEN t.stake * p.price
+            ELSE abs(t.stake - t.alreadyBonded) * p.price
+       END AS txDollarValue
+FROM tx t JOIN price p ON CAST(t.ts AS DATE) = p.date
+WHERE t.ts > TIMESTAMP '{WM}'""",
+)
+def r_tx_enrich(spark, sf_dir):
+    return R.tx_enrich(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_anti_dedup",
+    oracle="""
+SELECT e.* FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events x WHERE x.event_id % 2 = 0 AND x.event_id = e.event_id
+)""",
+)
+def r_anti_dedup(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    existing = events.filter((events["event_id"] % 2) == 0).select("event_id")
+    return R.anti_dedup(events, existing)
+
+
+@query(
+    "r_first_touch",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1""",
+)
+def r_first_touch(spark, sf_dir):
+    return R.first_touch(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_aum_routing",
+    oracle=f"""
+WITH {_TX_CTE.strip()},
+batch AS (
+  SELECT * FROM tx WHERE ts > TIMESTAMP '{WM}' AND successful
+),
+seen_pre AS (
+  SELECT DISTINCT user_id FROM tx WHERE ts <= TIMESTAMP '{WM}' AND successful
+),
+flagged AS (
+  SELECT b.*, b.stake - b.alreadyBonded AS delta,
+         (s.user_id IS NULL)
+           AND (row_number() OVER (PARTITION BY b.user_id ORDER BY b.ts, b.event_id) = 1)
+           AS first_touch
+  FROM batch b LEFT JOIN seen_pre s USING (user_id)
+)
+SELECT event_id, chain, 'nominations' AS sink,
+       CASE WHEN delta = 0 THEN stake ELSE delta END AS volume
+FROM flagged WHERE delta = 0 OR (delta > 0 AND chain = 'kusama')
+UNION ALL
+SELECT event_id, chain, 'amountstaked' AS sink, delta AS volume
+FROM flagged WHERE delta > 0 AND chain = 'polkadot'
+UNION ALL
+SELECT event_id, chain, 'aum' AS sink,
+       CASE WHEN first_touch THEN stake ELSE delta END AS volume
+FROM flagged WHERE delta <> 0 OR first_touch""",
+)
+def r_aum_routing(spark, sf_dir):
+    return R.aum_routing(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_stats_ratio",
+    oracle="""
+SELECT ROUND(
+  100.0 * SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)
+        / SUM(value), 6) AS percentMarketCaptured
+FROM events""",
+)
+def r_stats_ratio(spark, sf_dir):
+    return R.stats_ratio(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_union_chains",
+    oracle="""
+SELECT *, 'polkadot' AS chain FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT *, 'kusama' AS chain FROM events WHERE event_id % 2 <> 0""",
+)
+def r_union_chains(spark, sf_dir):
+    return R.union_chains(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_upsert_snapshot",
+    oracle="""
+SELECT * FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+)
+def r_upsert_snapshot(spark, sf_dir):
+    return R.upsert_snapshot(load_table(spark, sf_dir, "events"))
