@@ -1,0 +1,31 @@
+"""Pandas UDF surface (SURVEY.md §2.B "UDF / pandas UDF").
+
+The engine's stance is that UDFs are the slow path — every production
+operator is built-in/codegen'd. This module exists to prove the Arrow-batched
+UDF surface works and matches the JVM-side computation bit-for-bit: the
+flagship dollar-value formula (reference R11, updatescript.py:69-77) as a
+vectorized numpy computation. ``c_udf_pandas`` must hash-match ``r_tx_enrich``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+@F.pandas_udf("double")
+def tx_dollar_value(
+    successful: pd.Series, stake: pd.Series, bonded: pd.Series, price: pd.Series
+) -> pd.Series:
+    # Same IEEE double ops as the built-in CASE expression → bitwise equal.
+    out = np.where(
+        ~successful.to_numpy(dtype=bool),
+        0.0,
+        np.where(
+            stake.to_numpy() == bonded.to_numpy(),
+            stake.to_numpy() * price.to_numpy(),
+            np.abs(stake.to_numpy() - bonded.to_numpy()) * price.to_numpy(),
+        ),
+    )
+    return pd.Series(out)

@@ -1,0 +1,37 @@
+"""As-of join (point-in-time lookup) — an operator Spark lacks natively.
+
+Natural extension of the reference's R13 price lookup ("price as of tx
+time", updatescript.py:64-67) to sparse dimensions. Strategy here is the
+interval-broadcast form: turn the sorted dimension into half-open validity
+intervals ``[date, next_date)`` with a single ``lead`` pass, broadcast it, and
+range-join probes so each probe row lands in exactly one interval — no
+post-join dedup window needed.
+
+Scale notes: the global ``lead`` window over the dim is fine while the dim is
+broadcast-sized (a daily price dim at 100 TB of *facts* is still only
+thousands of rows). For large dims, partition both sides by the equi-key and
+use ``applyInPandas`` + ``pd.merge_asof`` per key group, or bucketize the
+range key and equi-join on the bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_broadcast_dim(
+    probe: DataFrame,
+    dim: DataFrame,
+    probe_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Join each probe row to the dim row with the greatest ``dim_key`` ≤
+    ``probe_key``. ``dim`` must be broadcast-sized and have unique keys."""
+    nxt = F.lead(dim_key).over(Window.orderBy(dim_key))
+    intervals = dim.withColumn("__asof_end", nxt)
+    cond = (probe[probe_key] >= intervals[dim_key]) & (
+        intervals["__asof_end"].isNull() | (probe[probe_key] < intervals["__asof_end"])
+    )
+    return probe.join(F.broadcast(intervals), cond, how).drop("__asof_end")

@@ -1,1 +1,699 @@
-"""Placeholder — populated in a later milestone."""
+"""Core relational suite (`c_*`, SURVEY.md §2.C): the full standard
+relational operator surface in idiomatic Spark, each query paired with a
+DuckDB oracle.
+
+Cross-engine determinism rules (registry docstring): identical aliases both
+sides; integer-valued computed columns cast to BIGINT on both sides; float
+aggregates rounded identically (sum of 2-decimal money → round 2 = exact;
+ratios/avg/ln/pow → round 6); every window ordering carries a unique
+tie-break."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from metrics_database_cron_script_spark.operators.asof import asof_join_broadcast_dim
+from metrics_database_cron_script_spark.plans.registry import query
+from metrics_database_cron_script_spark.sources import load_table
+
+
+# ---------------------------------------------------------------- scan/filter
+
+@query(
+    "c_scan_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged_price
+FROM lineitem""",
+)
+def c_scan_project(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charged_price"),
+    )
+
+
+@query(
+    "c_filter",
+    oracle="""
+SELECT * FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 1000 AND 150000
+  AND o_orderpriority IS NOT NULL
+  AND (o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' OR o_totalprice > 90000)""",
+)
+def c_filter(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 150000)
+        & F.col("o_orderpriority").isNotNull()
+        & (
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            | (F.col("o_totalprice") > 90000)
+        )
+    )
+
+
+@query(
+    "c_case",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity < 10 THEN 'small'
+            WHEN l_quantity < 30 THEN 'medium'
+            WHEN l_quantity < 45 THEN 'large'
+            ELSE 'jumbo' END AS qty_class,
+       CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+            ELSE l_extendedprice END AS signed_price
+FROM lineitem""",
+)
+def c_case(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .when(F.col("l_quantity") < 45, "large")
+        .otherwise("jumbo")
+        .alias("qty_class"),
+        F.when(F.col("l_returnflag") == "R", -F.col("l_extendedprice"))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("signed_price"),
+    )
+
+
+# --------------------------------------------------------------------- joins
+
+@query(
+    "c_inner_join",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def c_inner_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "c_left_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       COALESCE(o.o_totalprice, 0.0) AS totalprice_filled,
+       o.o_orderkey IS NULL AS no_order
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey""",
+)
+def c_left_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, o["o_custkey"] == c["c_custkey"], "left").select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("totalprice_filled"),
+        F.col("o_orderkey").isNull().alias("no_order"),
+    )
+
+
+@query(
+    "c_semi_join",
+    oracle="""
+SELECT c.* FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def c_semi_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, o["o_custkey"] == c["c_custkey"], "left_semi")
+
+
+@query(
+    "c_anti_join",
+    oracle="""
+SELECT c.* FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def c_anti_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, o["o_custkey"] == c["c_custkey"], "left_anti")
+
+
+@query(
+    "c_broadcast_join",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+)
+def c_broadcast_join(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "c_range_join",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate, o.o_totalprice
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY""",
+)
+def c_range_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    # Equi-key + range predicate: Catalyst plans the equi part as the join key
+    # (SMJ/SHJ after AQE) and evaluates the interval as a post-join filter —
+    # no cross product.
+    cond = (
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] >= o["o_orderdate"])
+        & (li["l_shipdate"] < o["o_orderdate"] + F.expr("INTERVAL 90 DAYS"))
+    )
+    return li.join(o, cond).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate", "o_totalprice"
+    )
+
+
+@query(
+    "c_asof_join",
+    oracle="""
+WITH dim AS (
+  SELECT CAST(ts AS DATE) AS date, ROUND(AVG(value), 6) AS price
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT e.event_id, CAST(e.ts AS DATE) AS e_day, d.date AS price_date, d.price
+FROM events e ASOF LEFT JOIN dim d ON CAST(e.ts AS DATE) >= d.date""",
+)
+def c_asof_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.round(F.avg("value"), 6).alias("price"))
+    )
+    probe = ev.select("event_id", F.to_date("ts").alias("e_day"))
+    joined = asof_join_broadcast_dim(probe, dim, probe_key="e_day", dim_key="date")
+    return joined.select(
+        "event_id", "e_day", F.col("date").alias("price_date"), "price"
+    )
+
+
+# -------------------------------------------------------------- aggregations
+
+@query(
+    "c_hash_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def c_hash_agg(spark, sf_dir):
+    """TPC-H Q1 shape: partial (map-side) + final hash agg, filter pushed to
+    the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "c_count_distinct",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type""",
+)
+def c_count_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("c_approx_count_distinct", oracle=None)  # sketch → rows-only (SURVEY §2.C)
+def c_approx_count_distinct(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_count_distinct(event_id)").alias("approx_events"),
+    )
+
+
+@query(
+    "c_grouping_sets",
+    oracle="""
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""",
+)
+def c_grouping_sets(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("__c_grouping_sets_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 2) AS bal
+        FROM __c_grouping_sets_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "c_rollup",
+    oracle="""
+SELECT CAST(year(ts) AS BIGINT) AS yr, CAST(month(ts) AS BIGINT) AS mo,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY ROLLUP (yr, mo)""",
+)
+def c_rollup(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").cast("long").alias("yr"),
+            F.month("ts").cast("long").alias("mo"),
+            "value",
+        )
+        .rollup("yr", "mo")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@query(
+    "c_cube",
+    oracle="""
+SELECT event_type, user_id % 3 AS user_bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY CUBE (event_type, user_bucket)""",
+)
+def c_cube(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", (F.col("user_id") % 3).alias("user_bucket"), "value")
+        .cube("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+# ------------------------------------------------------------------- windows
+
+@query(
+    "c_window_rank",
+    oracle="""
+SELECT event_id, event_type, value,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)""",
+)
+def c_window_rank(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "c_window_analytic",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       first_value(value) OVER w AS first_value_seen
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def c_window_analytic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value_seen"),
+    )
+
+
+@query(
+    "c_window_frame",
+    oracle="""
+SELECT event_id, user_id, ts,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_last3
+FROM events""",
+)
+def c_window_frame(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.count(F.lit(1)).over(w.rowsBetween(-2, 0)).cast("long").alias("n_last3"),
+    )
+
+
+# -------------------------------------------------------------- sort / top-k
+
+@query(
+    "c_sort_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+)
+def c_sort_limit(spark, sf_dir):
+    # orderBy+limit plans as TakeOrderedAndProject: per-partition top-25 then
+    # a single tiny merge — no global sort even at 100 TB.
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@query(
+    "c_topk_per_group",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_suppkey
+                           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3""",
+)
+def c_topk_per_group(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------------------- set ops
+
+@query(
+    "c_union_all",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'""",
+)
+def c_union_all(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey", "c_mktsegment")
+    return a.unionByName(b)
+
+
+@query(
+    "c_union_distinct",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+)
+def c_union_distinct(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "c_intersect",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def c_intersect(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "c_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def c_except(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)  # EXCEPT (set) semantics, not exceptAll's bag diff
+
+
+# ----------------------------------------------------------- scalar functions
+
+@query(
+    "c_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       substring(p_type, 1, 4) AS type_prefix,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       p_name LIKE '%widget%' AS is_widget,
+       trim('  ' || p_name || ' ') AS trimmed,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+FROM part""",
+)
+def c_string_funcs(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%widget%").alias("is_widget"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+    )
+
+
+@query(
+    "c_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_date,
+       CAST(o_orderdate AS DATE) + 30 AS plus_30,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       concat_ws('-', day(o_orderdate), month(o_orderdate), year(o_orderdate)) AS dmy_unpadded
+FROM orders""",
+)
+def c_date_funcs(spark, sf_dir):
+    # dmy_unpadded is reference R21: the CoinGecko URL's d-m-Y format with NO
+    # zero padding (updatescript.py:39) — deliberately not date_format().
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("o_date"),
+        F.date_add(d, 30).alias("plus_30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias("days_to_2002"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.concat_ws(
+            "-", F.dayofmonth("o_orderdate"), F.month("o_orderdate"), F.year("o_orderdate")
+        ).alias("dmy_unpadded"),
+    )
+
+
+@query(
+    "c_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS disc_dev,
+       l_quantity * l_quantity AS qty_sq,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       ROUND(ln(l_extendedprice), 6) AS ln_price,
+       ROUND(sqrt(l_quantity), 6) AS sqrt_qty,
+       ROUND(pow(l_quantity, 2), 6) AS qty_pow2
+FROM lineitem""",
+)
+def c_math_funcs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_pow2"),
+    )
+
+
+# -------------------------------------------------- semi-structured: json/map
+
+@query(
+    "c_json",
+    oracle="""
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS k_avg,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS DOUBLE) AS k_max,
+       COUNT(*) AS n
+FROM events GROUP BY event_type""",
+)
+def c_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("k_avg"),
+        F.max(k).alias("k_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("c_map_funcs", oracle=None)  # MapType output → rows-only (SURVEY §2.C)
+def c_map_funcs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    m = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")), F.array("lang", "source")
+    )
+    return d.select(
+        "doc_id",
+        m.alias("meta"),
+        F.map_keys(m).alias("meta_keys"),
+        F.element_at(m, "lang").alias("lang_from_map"),
+    )
+
+
+@query(
+    "c_array_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       embedding[1] AS first_val,
+       embedding[64] AS last_val,
+       ROUND(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm
+FROM embeddings""",
+)
+def c_array_funcs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.element_at("embedding", 64).alias("last_val"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+            ),
+            4,
+        ).alias("l1_norm"),
+    )
+
+
+# ----------------------------------------------------------------- UDF proof
+
+@query(
+    "c_udf_pandas",
+    oracle="""
+WITH tx AS (
+  SELECT event_id, ts,
+         event_type <> 'error' AS successful,
+         value AS stake,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS alreadyBonded
+  FROM events
+), price AS (
+  SELECT CAST(ts AS DATE) AS date, ROUND(AVG(value), 6) AS price
+  FROM events GROUP BY 1
+)
+SELECT t.event_id,
+       CASE WHEN NOT t.successful THEN 0.0
+            WHEN t.stake = t.alreadyBonded THEN t.stake * p.price
+            ELSE abs(t.stake - t.alreadyBonded) * p.price
+       END AS txDollarValue
+FROM tx t JOIN price p ON CAST(t.ts AS DATE) = p.date""",
+)
+def c_udf_pandas(spark, sf_dir):
+    """Arrow-batched pandas UDF computing R11's formula — must hash-match the
+    built-in CASE version (r_tx_enrich). Proves the UDF surface without
+    putting Python in any production hot path."""
+    from metrics_database_cron_script_spark.functions.udfs import tx_dollar_value
+    from metrics_database_cron_script_spark.operators import reference_ops as R
+
+    ev = load_table(spark, sf_dir, "events")
+    tx = R.tx_view(ev)
+    price = R.daily_price_dim(ev)
+    joined = tx.join(F.broadcast(price), F.to_date(tx["ts"]) == price["date"], "inner")
+    return joined.select(
+        "event_id",
+        tx_dollar_value("successful", "stake", "alreadyBonded", "price").alias(
+            "txDollarValue"
+        ),
+    )
