@@ -1,1 +1,106 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming-shaped queries (`s_*`, SURVEY.md §2.C), batch-executed so the
+DuckDB oracle can check them; `streaming/structured.py` runs the same logic
+under readStream (exercised by tests, not the oracle gate)."""
+
+from __future__ import annotations
+
+from metrics_database_cron_script_spark.plans.registry import query
+from metrics_database_cron_script_spark.sources import load_table
+from metrics_database_cron_script_spark.streaming import windows as SW
+
+
+@query(
+    "s_tumbling",
+    oracle="""
+SELECT date_trunc('day', ts) AS win_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 1, 2""",
+)
+def s_tumbling(spark, sf_dir):
+    return SW.tumbling(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "s_sliding",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) - INTERVAL 1 HOUR AS lo, max(ts) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS win_start FROM bounds
+)
+SELECT s.win_start, s.win_start + INTERVAL 1 HOUR AS win_end,
+       COUNT(*) AS n, ROUND(SUM(e.value), 2) AS total
+FROM spine s
+JOIN events e ON e.ts >= s.win_start AND e.ts < s.win_start + INTERVAL 1 HOUR
+GROUP BY 1, 2""",
+)
+def s_sliding(spark, sf_dir):
+    # Spark emits only non-empty windows aligned to epoch multiples of the
+    # slide; the oracle generates the same 15-min-aligned spine and inner-joins
+    # so empty windows vanish identically.
+    return SW.sliding(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "s_session",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM sess GROUP BY user_id, sess_id""",
+)
+def s_session(spark, sf_dir):
+    return SW.session(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "s_session_islands",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM sess GROUP BY user_id, sess_id""",
+)
+def s_session_islands(spark, sf_dir):
+    """First-principles sessionization (lag + gap cumsum) — must agree with
+    s_session's native session_window on every boundary tie."""
+    return SW.session_gaps_islands(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "s_late_data",
+    oracle="""
+SELECT event_id, ts, user_id,
+       ts < (SELECT max(ts) FROM events) - INTERVAL 1 DAY AS is_late
+FROM events""",
+)
+def s_late_data(spark, sf_dir):
+    return SW.late_data_flags(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,89 @@
+"""Structured Streaming execution of the engine's window operators.
+
+The reference is a cron micro-batch with a manual watermark (R2/R25,
+updatescript.py:59,:149-152). The streaming upgrade path is: the same logical
+window operators from `windows.py`, driven by readStream over the parquet
+fixtures with `withWatermark` for state eviction and an AvailableNow-style
+full drain into a memory sink. On a cluster this is the same code with a
+Kafka/file source and a Delta/parquet sink via foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture. The ns-timestamp column is read as
+    long (same legacy conf as the batch reader) and converted in-plan."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(table_path(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_streaming_tumbling(
+    spark: SparkSession,
+    sf_dir: str,
+    size: str = "1 day",
+    watermark: str = "1 day",
+    query_name: str = "stream_tumbling",
+) -> DataFrame:
+    """Drain the events stream through a watermarked tumbling-window agg into
+    a memory sink; returns the materialized result as a batch DataFrame."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+            "total",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 day",
+    query_name: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming exactly-once idempotency: dropDuplicates on the event id
+    within the watermark horizon — the streaming analog of the reference's
+    per-row `find_one({"_id"})` insert guard (R14, updatescript.py:62)."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        counted.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
