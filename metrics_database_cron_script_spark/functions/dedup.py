@@ -1,0 +1,239 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's only dedup is the `_id` anti-join (R14); a training-data
+pipeline needs content dedup at corpus scale. Every operator here is a
+composition of built-in DataFrame ops — hashing via `xxhash64` (JVM,
+codegen'd), candidate generation via equi-joins on LSH buckets so the
+expensive pairwise verification only touches candidate pairs, never the
+full O(n²) cross product. That bucket-join shape is what survives 100 TB:
+shuffle keys are (band, signature) / (chunk, value), both well-distributed
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from metrics_database_cron_script_spark.functions.text import tokens_col
+
+
+def normalized_text() -> F.Column:
+    """Canonical text form for exact dedup: lower, trim, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact content dedup: keep the lowest doc_id per normalized text.
+    Deterministic (unlike dropDuplicates, whose survivor is arbitrary)."""
+    w = Window.partitionBy(normalized_text()).orderBy("doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc."""
+    toks = tokens_col()
+    shingled = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+    return shingled.filter(F.col("shingle") != "").distinct()
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """doc_id × seed → min over shingles of xxhash64(shingle, seed).
+    The seed fan-out is a broadcast-joined `spark.range`, so the plan is one
+    shuffle (the groupBy) regardless of num_hashes."""
+    seeds = shingles.sparkSession.range(num_hashes).withColumnRenamed("id", "seed")
+    return (
+        shingles.join(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.xxhash64("shingle", "seed")).alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = 4
+) -> DataFrame:
+    """Band the signature (LSH): docs sharing all minhashes of any band are
+    candidates. Band signature = hash of the band's ordered minhashes; the
+    self-join key (band, band_sig) is the scale-out pivot."""
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / band_size).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("band_sig").alias("sig_a")
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("band_sig").alias("sig_b")
+    )
+    return (
+        a.join(b, (a["band"] == b["band"]) & (a["sig_a"] == b["sig_b"]))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verified_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: |A∩B| via a shingle equi-join
+    restricted to candidates, |A∪B| from per-doc counts."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(docs: DataFrame, num_hashes: int = 16, band_size: int = 4) -> DataFrame:
+    """Full MinHash near-dup pipeline: shingle → sign → band → candidate
+    pairs → exact-Jaccard verification (verification cost ∝ candidates)."""
+    shingles = word_shingles(docs)
+    sigs = minhash_signatures(shingles, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, band_size)
+    return verified_jaccard(shingles, pairs)
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, each bit votes ±count,
+    sign of the vote sets the bit. One explode + one groupBy with 64
+    compiled conditional aggregates — single shuffle, no UDF."""
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.xxhash64("token"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = tok_counts.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(64)
+    ]
+    out = voted.select("doc_id", sum(bits[1:], bits[0]).alias("simhash"))
+    return out
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 16) -> DataFrame:
+    """Hamming-LSH over SimHash: split the 64-bit hash into 4 16-bit chunks;
+    any pair within hamming ≤ 16 of each other that shares a chunk is found
+    (pigeonhole guarantees recall for hamming ≤ 3 with 4 chunks; wider
+    distances are best-effort). Verification = bit_count(xor)."""
+    sh = simhash(docs)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_id"),
+                        F.shiftright("simhash", j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk"
+    )
+    pairs = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def char_ngram_jaccard(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2) -> DataFrame:
+    """Char n-gram Jaccard for pairs within the same `source` (blocking key —
+    the pattern for bounding pairwise work when no LSH is warranted)."""
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("text") - n),
+                lambda i: F.col("text").substr(i + 1, F.lit(n)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "source", "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "source", "gram")
+    inter = (
+        ga.join(gb, ["source", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers, as a 100 TB engine needs both:
+- `brute_force_topk`: exact cosine top-k — broadcast the (small) query set,
+  scan the corpus once, per-query top-k via window. Cost O(|corpus|·|queries|)
+  but embarrassingly parallel and shuffle-light (only the final top-k).
+- `lsh_topk`: random-hyperplane LSH — deterministic pseudo-random hyperplanes
+  (hash-derived, no RNG so runs are replayable), sign-bit signature, candidate
+  generation by bucket equi-join, exact re-rank within buckets. The bucket
+  join is the scale path: each corpus row is scanned once per probe table.
+
+Dot products use the higher-order `zip_with`+`aggregate` combination — JVM
+expression codegen, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector. `queries` must be
+    broadcast-sized: (q_id, q_vec)."""
+    joined = corpus.join(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplane(bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component per (bit, dim index):
+    sha256-derived uniform in [-0.5, 0.5). Replayable across runs/cluster."""
+    out = []
+    for d in range(dim):
+        h = hashlib.sha256(f"hyperplane:{bit}:{d}".encode()).digest()
+        out.append(int.from_bytes(h[:4], "big") / 2**32 - 0.5)
+    return out
+
+
+def signature_col(vec: Column, num_bits: int, dim: int) -> Column:
+    """Random-hyperplane signature: bit i = sign(dot(vec, h_i)). Returned as
+    a long bucket id."""
+    bits = []
+    for i in range(num_bits):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(i, dim)])
+        bits.append(
+            F.when(dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sum(bits[1:], bits[0])
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows in the query's hyperplane
+    bucket, exact cosine re-rank within. Recall trades off with num_bits."""
+    sig_c = corpus.withColumn("bucket", signature_col(F.col("embedding"), num_bits, dim))
+    sig_q = queries.withColumn("bucket", signature_col(F.col("q_vec"), num_bits, dim))
+    joined = sig_c.join(F.broadcast(sig_q), "bucket").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold, LSH-bucketed: only
+    same-bucket pairs are scored (plus the all-pairs fallback is deliberately
+    NOT offered — at scale the bucket join is the only viable shape)."""
+    sig = corpus.withColumn("bucket", signature_col(F.col("embedding"), 6, 64))
+    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,163 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot paths are built-in `pyspark.sql.functions` (JVM-side, codegen'd):
+tokenization is `split`+`explode`, ratios are higher-order array functions,
+fingerprinting is `xxhash64` + window min. No Python UDFs anywhere here —
+at 100 TB these run entirely inside whole-stage codegen, shuffling only for
+the final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+# Tiny per-language stopword sets for the heuristic language scorer.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "y", "es"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "zh": ["de", "shi", "le", "bu"],
+}
+
+
+def tokens_col(text_col: str = "text"):
+    """Lower-cased alnum tokens as an array column, empties removed."""
+    return F.filter(F.split(F.lower(F.col(text_col)), TOKEN_RE), lambda t: t != "")
+
+
+def tokenize(docs: DataFrame) -> DataFrame:
+    """doc_id × token exploded rows — the base relation for counts/tf-idf."""
+    return docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    return tokenize(docs).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / word-shape / stopword-ratio quality signals, one codegen'd
+    projection per doc — the classic cheap pre-filter before expensive dedup."""
+    toks = tokens_col()
+    n_words = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"])))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.when(
+            n_words > 0,
+            F.round(
+                F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+                / n_words,
+                6,
+            ),
+        ).alias("avg_word_len"),
+        F.when(
+            F.length("text") > 0,
+            F.round(n_alpha.cast("double") / F.length("text"), 6),
+        ).alias("alpha_ratio"),
+        F.when(n_words > 0, F.round(stop.cast("double") / n_words, 6)).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def token_count_modes(docs: DataFrame) -> DataFrame:
+    """Token counting two ways: plain whitespace split, and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the cheap proxy for
+    tokenizer-cost estimation over a corpus."""
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    bpe = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: score each language by its stopword hit-ratio,
+    pick the argmax (ties → lexicographic, deterministic). Structured as one
+    wide projection + `greatest` — no shuffle, no UDF."""
+    toks = tokens_col()
+    n = F.size(toks)
+
+    def in_set(ws: list[str]):
+        # NB: a 2-arg lambda would make Spark pass the array index as arg 2.
+        return lambda t: t.isin(*ws)
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        n.alias("__n"),
+        *[
+            F.when(
+                n > 0,
+                F.size(F.filter(toks, in_set(ws))).cast("double") / n,
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"score_{lang}")
+            for lang, ws in sorted(LANG_STOPWORDS.items())
+        ],
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        F.round(best, 6).alias("confidence"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash all
+    char k-grams, keep the min hash of every `window` consecutive k-grams,
+    reduce to the distinct fingerprint set per doc. Output is a compact
+    signature: fingerprint count + xor-fold (order-insensitive checksum)."""
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("text") - k),
+                lambda i: F.col("text").substr(i + 1, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    fps = hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.expr("bit_xor(fp)").alias("fp_xor"),
+    )
+
+
+def tf_idf(docs: DataFrame) -> DataFrame:
+    """tf·idf per (doc, term): tf = in-doc count, idf = ln(N/df). N is a
+    one-row agg broadcast into the final projection; everything else is two
+    hash aggregations on the exploded token relation."""
+    toks = tokenize(docs)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("__n"))
+    return (
+        tf.join(df, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )

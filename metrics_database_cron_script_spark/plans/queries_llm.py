@@ -1,1 +1,172 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline queries (`x_*`, SURVEY.md §2.C north-star extensions):
+dedup, similarity search, text analysis, multimodal plumbing over the
+`documents` / `embeddings` fixtures. Float-heavy and sketch outputs are
+rows-only per the contract; everything string/count-shaped has a SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metrics_database_cron_script_spark.functions import dedup as D
+from metrics_database_cron_script_spark.functions import multimodal as M
+from metrics_database_cron_script_spark.functions import similarity as S
+from metrics_database_cron_script_spark.functions import text as TX
+from metrics_database_cron_script_spark.plans.registry import query
+from metrics_database_cron_script_spark.sources import load_table
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+# ------------------------------------------------------------------- dedup
+
+@query(
+    "x_exact_dedup",
+    oracle=r"""
+SELECT * FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+  ORDER BY doc_id) = 1""",
+)
+def x_exact_dedup(spark, sf_dir):
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query("x_near_dup_minhash", oracle=None)  # hash-sketch → rows-only
+def x_near_dup_minhash(spark, sf_dir):
+    return D.minhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+@query("x_simhash_neardup", oracle=None)  # hash-sketch → rows-only
+def x_simhash_neardup(spark, sf_dir):
+    return D.simhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+@query("x_ngram_jaccard", oracle=None)  # pairwise float → rows-only
+def x_ngram_jaccard(spark, sf_dir):
+    return D.char_ngram_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------- similarity
+
+def _queries_table(spark, sf_dir, n=10):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+@query("x_embed_cosine_topk", oracle=None)  # float tolerance → rows-only
+def x_embed_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _queries_table(spark, sf_dir), k=5)
+
+
+@query("x_embed_lsh_topk", oracle=None)  # approximate → rows-only
+def x_embed_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, _queries_table(spark, sf_dir), k=5)
+
+
+@query("x_embed_neardup_cosine", oracle=None)  # approximate → rows-only
+def x_embed_neardup_cosine(spark, sf_dir):
+    return S.cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# ----------------------------------------------------------- text analysis
+
+@query(
+    "x_text_tokens",
+    oracle="""
+SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+) WHERE token <> ''
+GROUP BY token""",
+)
+def x_text_tokens(spark, sf_dir):
+    return TX.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_lang_stats",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang""",
+)
+def x_lang_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "x_quality_score",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CASE WHEN len(toks) > 0 THEN
+         ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks), 6)
+       END AS avg_word_len,
+       CASE WHEN len(text) > 0 THEN
+         ROUND(CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / len(text), 6)
+       END AS alpha_ratio,
+       CASE WHEN len(toks) > 0 THEN
+         ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','is'))) AS DOUBLE)
+               / len(toks), 6)
+       END AS stopword_ratio
+FROM t""",
+)
+def x_quality_score(spark, sf_dir):
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+)
+def x_token_count(spark, sf_dir):
+    return TX.token_count_modes(load_table(spark, sf_dir, "documents"))
+
+
+@query("x_lang_id", oracle=None)  # heuristic scorer → rows-only
+def x_lang_id(spark, sf_dir):
+    return TX.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query("x_fingerprint", oracle=None)  # hash-sketch → rows-only
+def x_fingerprint(spark, sf_dir):
+    return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query("x_tfidf", oracle=None)  # float-heavy → rows-only (SURVEY §2.C)
+def x_tfidf(spark, sf_dir):
+    return TX.tf_idf(load_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- multimodal
+
+@query(
+    "x_multimodal_meta",
+    oracle="""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       lang, source, 'text/plain' AS mime
+FROM documents""",
+)
+def x_multimodal_meta(spark, sf_dir):
+    return M.multimodal_meta(load_table(spark, sf_dir, "documents"))
+
+
+@query("x_multimodal_features", oracle=None)  # mapInPandas plumbing → rows-only
+def x_multimodal_features(spark, sf_dir):
+    blobs = M.blob_table(load_table(spark, sf_dir, "documents"))
+    return M.byte_feature_extract(blobs)
