@@ -1,0 +1,162 @@
+"""The five reference pipelines (SURVEY.md §8 P1–P5) as one parameterized,
+idempotent, crash-safe batch run.
+
+Differences from the reference, by design (SURVEY.md §3/§7):
+- ONE shared incremental scan feeds P2 and P5 (the reference re-scans,
+  updatescript.py:59 vs :155);
+- one parameterized pipeline handles both chains via the `chain` column
+  (the reference duplicates ~100 LoC per chain, R24);
+- the watermark commits LAST, after every sink succeeded (the reference
+  commits it before step 5 — a crash there permanently skips data);
+- every sink append is anti-join idempotent, so a crashed run re-runs
+  safely end-to-end.
+
+State layout under `state_dir`: `prices.parquet`, `tx_enriched.parquet`,
+`stats.parquet`, `sink_nominations.parquet`, `sink_amountstaked.parquet`,
+`sink_aum.parquet`, `watermark.parquet`.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metrics_database_cron_script_spark import state as ST
+from metrics_database_cron_script_spark.operators import reference_ops as R
+from metrics_database_cron_script_spark.sources import load_table
+
+
+def _sink(state_dir: str, name: str) -> str:
+    return os.path.join(state_dir, f"{name}.parquet")
+
+
+def update_prices(spark: SparkSession, events: DataFrame, state_dir: str) -> int:
+    """P1: day-spine anti-join against the existing price table, append only
+    missing days (updatescript.py:27-54 — minus the per-day HTTP loop: the
+    'fetch' here is the daily avg from events, standing in for CoinGecko)."""
+    dim = R.daily_price_dim(events)
+    return ST.idempotent_append(dim, _sink(state_dir, "prices"), key="date")
+
+
+def update_tx_enriched(
+    spark: SparkSession, events: DataFrame, state_dir: str, watermark: datetime.datetime
+) -> int:
+    """P2: watermark scan → anti-join dedup → broadcast price join → dollar
+    CASE → append (updatescript.py:57-108). Price rows come from the P1
+    state table, as in the reference (step 2 depends on step 1)."""
+    tx = R.tx_view(events.filter(F.col("ts") > F.lit(watermark)))
+    price = spark.read.parquet(_sink(state_dir, "prices"))
+    joined = tx.join(F.broadcast(price), F.to_date(tx["ts"]) == price["date"], "inner")
+    dollar = (
+        F.when(~F.col("successful"), F.lit(0.0))
+        .when(F.col("stake") == F.col("alreadyBonded"), F.col("stake") * F.col("price"))
+        .otherwise(F.abs(F.col("stake") - F.col("alreadyBonded")) * F.col("price"))
+    )
+    enriched = joined.select(
+        "event_id", "ts", "user_id", "chain", "successful", "stake",
+        "alreadyBonded", "price", dollar.alias("txDollarValue"),
+    )
+    # Invariant I3: the reference crashes on a missing price day; we assert
+    # no row was silently lost by the inner join instead.
+    n_in = tx.count()
+    n_out = enriched.count()
+    if n_in != n_out:
+        raise AssertionError(
+            f"price dim incomplete: {n_in - n_out} tx rows on days without a price"
+        )
+    return ST.idempotent_append(enriched, _sink(state_dir, "tx_enriched"), key="event_id")
+
+
+def update_stats(spark: SparkSession, events: DataFrame, state_dir: str,
+                 run_ts: datetime.datetime) -> None:
+    """P3: one latest-snapshot stats row per chain (updatescript.py:111-147;
+    the reference upserts over the first doc — keep-latest per chain here)."""
+    tx = R.tx_view(events)
+    stats = (
+        tx.groupBy("chain")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))
+            .alias("totalAmountCurrentlyManaged"),
+            F.sum("value").alias("totalAmountStaked"),
+        )
+        .withColumn(
+            "percentMarketCaptured",
+            F.round(100.0 * F.col("totalAmountCurrentlyManaged") / F.col("totalAmountStaked"), 6),
+        )
+        .withColumn("date", F.lit(run_ts))
+    )
+    ST.snapshot_overwrite(stats, _sink(state_dir, "stats"), key="chain", order_cols=["date"])
+
+
+def update_routing(
+    spark: SparkSession, events: DataFrame, state_dir: str, watermark: datetime.datetime
+) -> dict[str, int]:
+    """P5: routing matrix → three idempotent sink appends
+    (updatescript.py:154-218). First-touch is computed against the PERSISTED
+    AUM sink (true reference semantics — not the fixture simulation used by
+    the r_aum_routing oracle query) plus the intra-batch window."""
+    tx = R.tx_view(events)
+    batch = tx.filter((F.col("ts") > F.lit(watermark)) & F.col("successful"))
+    aum_path = _sink(state_dir, "sink_aum")
+    seen_pre = ST.read_or_empty(spark, aum_path, "user_id long").select("user_id").distinct()
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        batch.join(seen_pre.withColumn("__seen", F.lit(True)), "user_id", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("first_touch", F.col("__seen").isNull() & (F.col("__rn") == 1))
+        .withColumn("delta", F.col("stake") - F.col("alreadyBonded"))
+    )
+    cols = ["event_id", "ts", "user_id", "chain"]
+    nominations = flagged.filter(
+        (F.col("delta") == 0) | ((F.col("delta") > 0) & (F.col("chain") == "kusama"))
+    ).select(
+        *cols,
+        F.when(F.col("delta") == 0, F.col("stake")).otherwise(F.col("delta")).alias("volume"),
+    )
+    amountstaked = flagged.filter(
+        (F.col("delta") > 0) & (F.col("chain") == "polkadot")
+    ).select(*cols, F.col("delta").alias("volume"))
+    aum = flagged.filter((F.col("delta") != 0) | F.col("first_touch")).select(
+        *cols,
+        F.when(F.col("first_touch"), F.col("stake")).otherwise(F.col("delta")).alias("volume"),
+    )
+    return {
+        "nominations": ST.idempotent_append(
+            nominations, _sink(state_dir, "sink_nominations"), key="event_id"
+        ),
+        "amountstaked": ST.idempotent_append(
+            amountstaked, _sink(state_dir, "sink_amountstaked"), key="event_id"
+        ),
+        "aum": ST.idempotent_append(aum, aum_path, key="event_id"),
+    }
+
+
+def run_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    run_ts: datetime.datetime | None = None,
+) -> dict[str, object]:
+    """The cron-equivalent driver (updatescript.py:221-241), re-ordered so the
+    watermark commit is the LAST effect. Explicit `run_ts` (reference's
+    datetime.now(), :224) keeps runs replayable."""
+    os.makedirs(state_dir, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    wm_store = ST.Watermark(spark, state_dir)
+    watermark = wm_store.read()
+    if run_ts is None:
+        row = events.agg(F.max("ts").alias("m")).collect()[0]
+        run_ts = row["m"]
+
+    report: dict[str, object] = {"watermark_in": watermark}
+    report["prices_appended"] = update_prices(spark, events, state_dir)
+    report["tx_appended"] = update_tx_enriched(spark, events, state_dir, watermark)
+    update_stats(spark, events, state_dir, run_ts)
+    report["routing_appended"] = update_routing(spark, events, state_dir, watermark)
+    wm_store.commit(run_ts)  # LAST, after every sink (fixes §3 hazard)
+    report["watermark_out"] = run_ts
+    return report

@@ -1,0 +1,117 @@
+"""State management: watermark table, idempotent append, snapshot overwrite.
+
+The reference keeps state in MongoDB: a single-row `lastUpdated` watermark
+(updatescript.py:151-152, read at :223), per-row `find_one` insert guards
+(R14), and `update_one` upserts (R9). On plain Parquet those become:
+
+- `Watermark`: a one-row parquet table, overwritten atomically via
+  write-new-then-swap; committed LAST in the pipeline (the reference commits
+  it before its step 5 — the §3 ordering hazard we deliberately fix).
+- `idempotent_append`: left_anti against the sink's existing keys, then
+  append — batch-level exactly-once on re-run, zero per-row probes.
+- `snapshot_overwrite`: keep-latest-per-key window over old ∪ new, full
+  rewrite — the plain-Parquet form of MERGE…WHEN MATCHED UPDATE. With a
+  Delta/Iceberg runtime the same call sites become MERGE INTO (import-gated,
+  not available in this image).
+
+All writers are directory-swap atomic: write to `<path>.tmp-<pid>`, then
+rename over the old directory — a crash mid-write leaves the previous
+committed state intact.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def _atomic_overwrite(df: DataFrame, path: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if _exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if _exists(old):
+        shutil.rmtree(old)
+
+
+def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a state table, or an empty typed DataFrame if it doesn't exist
+    yet (first run bootstrap)."""
+    if _exists(path):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+class Watermark:
+    """Single-row watermark table (reference `lastUpdated`, R25)."""
+
+    EPOCH = datetime.datetime(1970, 1, 1)
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.path = os.path.join(state_dir, "watermark.parquet")
+
+    def read(self) -> datetime.datetime:
+        if not _exists(self.path):
+            return self.EPOCH
+        row = self.spark.read.parquet(self.path).collect()
+        return row[0]["lastUpdated"] if row else self.EPOCH
+
+    def commit(self, ts: datetime.datetime) -> None:
+        df = self.spark.createDataFrame([(ts,)], "lastUpdated timestamp")
+        _atomic_overwrite(df, self.path)
+
+
+def idempotent_append(
+    new: DataFrame, path: str, key: str, schema: str | None = None
+) -> int:
+    """R14 as a set operation: append only rows whose `key` is absent from
+    the sink. Returns the number of rows appended. The existing-keys side is
+    a single-column scan (column pruning) — broadcastable while small,
+    shuffle-hash at scale."""
+    spark = new.sparkSession
+    if _exists(path):
+        existing = spark.read.parquet(path).select(key)
+        fresh = new.join(existing, key, "left_anti")
+    else:
+        fresh = new
+    # Materialize the count before writing so the append is all-or-nothing
+    # per batch (fresh is recomputed for the write — acceptable double-scan
+    # at micro-batch sizes; cache() it for very large batches).
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n
+
+
+def snapshot_overwrite(
+    new: DataFrame, path: str, key: str, order_cols: list[str]
+) -> None:
+    """R9 keep-latest snapshot: old ∪ new → row_number()==1 per key by
+    `order_cols` desc → atomic rewrite."""
+    spark = new.sparkSession
+    if _exists(path):
+        old = spark.read.parquet(path)
+        merged = old.unionByName(new, allowMissingColumns=True)
+    else:
+        merged = new
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # The window result must be materialized before the source directory is
+    # replaced: localCheckpoint cuts the lineage back to the old files.
+    _atomic_overwrite(latest.localCheckpoint(eager=True), path)

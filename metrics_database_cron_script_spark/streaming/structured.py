@@ -22,10 +22,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # The fixture is a single parquet FILE; the streaming file source needs a
+    # directory, so stream the sf_dir with a glob pinned to the events table.
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
-        .load(table_path(sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -1,0 +1,60 @@
+"""Pipeline semantics: idempotency (run-twice no-op), watermark progression,
+crash-safe ordering — SURVEY.md §5.2."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def state_dir(tmp_path):
+    return str(tmp_path / "state")
+
+
+def test_run_batch_then_rerun_is_noop(spark, state_dir):
+    from metrics_database_cron_script_spark.pipelines import run_batch
+
+    r1 = run_batch(spark, SF_SMOKE, state_dir)
+    assert r1["prices_appended"] > 0
+    assert r1["tx_appended"] > 0
+    routing1 = r1["routing_appended"]
+    assert routing1["nominations"] > 0 and routing1["aum"] > 0
+
+    # Idempotency: identical input, watermark now advanced → nothing new.
+    r2 = run_batch(spark, SF_SMOKE, state_dir)
+    assert r2["prices_appended"] == 0
+    assert r2["tx_appended"] == 0
+    assert all(v == 0 for v in r2["routing_appended"].values())
+
+
+def test_watermark_commits_last_and_advances(spark, state_dir):
+    from metrics_database_cron_script_spark.pipelines import run_batch
+    from metrics_database_cron_script_spark.state import Watermark
+
+    wm = Watermark(spark, state_dir)
+    assert wm.read() == Watermark.EPOCH
+    r = run_batch(spark, SF_SMOKE, state_dir)
+    assert wm.read() == r["watermark_out"] > Watermark.EPOCH
+
+
+def test_partial_batch_then_full(spark, state_dir, tmp_path):
+    """Crash-replay: a run that processed only pre-cutoff data, then a full
+    run — union of appends must equal one clean full run (exactly-once)."""
+    from metrics_database_cron_script_spark.pipelines import run_batch
+
+    cut = datetime.datetime(2024, 1, 15)
+    r1 = run_batch(spark, SF_SMOKE, state_dir, run_ts=cut)
+    r2 = run_batch(spark, SF_SMOKE, state_dir)
+
+    clean_dir = str(tmp_path / "clean")
+    rc = run_batch(spark, SF_SMOKE, clean_dir)
+
+    for sink in ("sink_nominations", "sink_amountstaked", "sink_aum", "tx_enriched"):
+        a = spark.read.parquet(f"{state_dir}/{sink}.parquet")
+        b = spark.read.parquet(f"{clean_dir}/{sink}.parquet")
+        assert a.count() == b.count(), sink
+        assert a.select("event_id").subtract(b.select("event_id")).count() == 0, sink

@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import datetime
+
+
+def test_watermark_roundtrip(spark, tmp_path):
+    from metrics_database_cron_script_spark.state import Watermark
+
+    wm = Watermark(spark, str(tmp_path))
+    assert wm.read() == Watermark.EPOCH
+    ts = datetime.datetime(2024, 2, 3, 4, 5, 6)
+    wm.commit(ts)
+    assert wm.read() == ts
+    ts2 = datetime.datetime(2024, 3, 1)
+    wm.commit(ts2)  # overwrite, not append
+    assert wm.read() == ts2
+
+
+def test_idempotent_append(spark, tmp_path):
+    from metrics_database_cron_script_spark.state import idempotent_append
+
+    path = str(tmp_path / "t.parquet")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert idempotent_append(df1, path, key="k") == 2
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], "k long, v string")
+    assert idempotent_append(df2, path, key="k") == 1  # only k=3 is new
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_snapshot_overwrite_keeps_latest(spark, tmp_path):
+    from metrics_database_cron_script_spark.state import snapshot_overwrite
+
+    path = str(tmp_path / "s.parquet")
+    v1 = spark.createDataFrame([("x", 1, 10.0), ("y", 1, 20.0)], "k string, ver long, val double")
+    snapshot_overwrite(v1, path, key="k", order_cols=["ver"])
+    v2 = spark.createDataFrame([("x", 2, 11.0)], "k string, ver long, val double")
+    snapshot_overwrite(v2, path, key="k", order_cols=["ver"])
+    rows = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {"x": (2, 11.0), "y": (1, 20.0)}
