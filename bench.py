@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: engine queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed by the same registry entry the driver checks for
+correctness; timing covers plan construction + full materialization
+(count-style drain, no driver-side collect of payload rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference semantics (the engine's raison d'être)
+    "r_tx_enrich",
+    "r_aum_routing",
+    "r_upsert_snapshot",
+    # relational core
+    "c_hash_agg",
+    "c_inner_join",
+    "c_range_join",
+    "c_window_rank",
+    "c_topk_per_group",
+    # streaming-shaped
+    "s_session",
+    # llm-pipeline
+    "x_text_tokens",
+    "x_near_dup_minhash",
+    "x_embed_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from metrics_database_cron_script_spark import get_spark
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    # sf0.1 working set is ~50 MB → ~64 MB/partition rule gives single-digit
+    # shuffle partitions (overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS).
+    default_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
+    spark = get_spark("bench", shuffle_partitions=default_parts)
+    # Warm JVM + whole-stage codegen per plan shape at the smallest sf so the
+    # timed run measures the operators, not first-compile of generated code
+    # (the DuckDB baseline carries no equivalent cold-start).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

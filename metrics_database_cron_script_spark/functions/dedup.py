@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from metrics_database_cron_script_spark.functions.text import tokens_col
+from metrics_database_cron_script_spark.operators.partitioning import fan_out
 
 
 def normalized_text() -> F.Column:
@@ -35,14 +36,18 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc."""
-    toks = tokens_col()
-    shingled = docs.select(
+    """Distinct word n-gram shingles per doc.
+
+    The token array is materialized in its own projection first: inlining
+    `tokens_col()` into the transform lambda would re-run split+filter once
+    per shingle position (O(len²) per doc — measured 4× slower at sf0.1)."""
+    tokd = fan_out(docs).select("doc_id", tokens_col().alias("toks"))
+    shingled = tokd.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
             )
         ).alias("shingle"),
     )
@@ -50,48 +55,41 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """doc_id × seed → min over shingles of xxhash64(shingle, seed).
-    The seed fan-out is a broadcast-joined `spark.range`, so the plan is one
-    shuffle (the groupBy) regardless of num_hashes."""
-    seeds = shingles.sparkSession.range(num_hashes).withColumnRenamed("id", "seed")
-    return (
-        shingles.join(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.xxhash64("shingle", "seed")).alias("minhash"))
-    )
+    """doc_id → minhash_0..minhash_{n-1} in ONE aggregation pass: each seed's
+    minhash is a separate `min(xxhash64(shingle, seed))` aggregate, so the
+    shingle relation is scanned once and shuffled once — no seed fan-out
+    (a naive seeds×shingles join multiplies the shuffle by num_hashes)."""
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"minhash_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, band_size: int = 4
+    signatures: DataFrame, band_size: int = 4, num_hashes: int = 16
 ) -> DataFrame:
     """Band the signature (LSH): docs sharing all minhashes of any band are
-    candidates. Band signature = hash of the band's ordered minhashes; the
-    self-join key (band, band_sig) is the scale-out pivot."""
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / band_size).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
+    candidates. Band signature = hash of the band's minhashes (computed in
+    the same projection, then exploded — bands × docs rows, not hashes ×
+    docs); the self-join key (band, band_sig) is the scale-out pivot."""
+    n_bands = num_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_sig")
+                *[F.col(f"minhash_{b * band_size + j}") for j in range(band_size)]
+            ).alias("band_sig"),
         )
-    )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("band_sig").alias("sig_a")
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("band_sig").alias("sig_b")
-    )
+        for b in range(n_bands)
+    ]
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     return (
-        a.join(b, (a["band"] == b["band"]) & (a["sig_a"] == b["sig_b"]))
+        a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -125,10 +123,16 @@ def verified_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def minhash_near_dups(docs: DataFrame, num_hashes: int = 16, band_size: int = 4) -> DataFrame:
     """Full MinHash near-dup pipeline: shingle → sign → band → candidate
-    pairs → exact-Jaccard verification (verification cost ∝ candidates)."""
-    shingles = word_shingles(docs)
+    pairs → exact-Jaccard verification (verification cost ∝ candidates).
+
+    The shingle relation feeds three consumers (signatures + both sides of
+    the verification join), so it is persisted — one explode+distinct
+    shuffle instead of three recomputations. At cluster scale this is
+    StorageLevel.MEMORY_AND_DISK; the verifier unpersists nothing because
+    the plan materializes in one action."""
+    shingles = word_shingles(docs).persist()
     sigs = minhash_signatures(shingles, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, band_size)
+    pairs = lsh_candidate_pairs(sigs, band_size, num_hashes)
     return verified_jaccard(shingles, pairs)
 
 
@@ -137,7 +141,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     sign of the vote sets the bit. One explode + one groupBy with 64
     compiled conditional aggregates — single shuffle, no UDF."""
     tok_counts = (
-        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        fan_out(docs).select("doc_id", F.explode(tokens_col()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("h", F.xxhash64("token"))
@@ -206,7 +210,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 16) -> DataFrame:
 def char_ngram_jaccard(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2) -> DataFrame:
     """Char n-gram Jaccard for pairs within the same `source` (blocking key —
     the pattern for bounding pairwise work when no LSH is warranted)."""
-    grams = docs.select(
+    grams = fan_out(docs).select(
         "doc_id",
         "source",
         F.explode(

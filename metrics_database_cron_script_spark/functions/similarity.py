@@ -20,6 +20,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from metrics_database_cron_script_spark.operators.partitioning import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -45,14 +47,27 @@ def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector. `queries` must be
-    broadcast-sized: (q_id, q_vec)."""
-    joined = corpus.join(F.broadcast(queries)).filter(
+    broadcast-sized: (q_id, q_vec).
+
+    Two deliberate cost moves: (1) norms are computed once per corpus row /
+    once per query row and joined in, not re-derived inside every pair's
+    cosine (3× fewer array traversals); (2) the corpus is fanned out first —
+    higher-order array expressions are interpreted, not codegen'd, so the
+    scoring stage must run at full parallelism, not at (possibly single-file)
+    scan parallelism."""
+    corpus_n = fan_out(corpus.select("vec_id", "embedding")).withColumn(
+        "__cn", l2_norm(F.col("embedding"))
+    )
+    queries_n = queries.withColumn("__qn", l2_norm(F.col("q_vec")))
+    joined = corpus_n.join(F.broadcast(queries_n)).filter(
         F.col("vec_id") != F.col("q_id")
     )
     scored = joined.select(
         "q_id",
         "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("cos"),
+        F.round(
+            dot(F.col("q_vec"), F.col("embedding")) / (F.col("__qn") * F.col("__cn")), 6
+        ).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
     return (
@@ -95,7 +110,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows in the query's hyperplane
     bucket, exact cosine re-rank within. Recall trades off with num_bits."""
-    sig_c = corpus.withColumn("bucket", signature_col(F.col("embedding"), num_bits, dim))
+    sig_c = fan_out(corpus.select("vec_id", "embedding")).withColumn(
+        "bucket", signature_col(F.col("embedding"), num_bits, dim)
+    )
     sig_q = queries.withColumn("bucket", signature_col(F.col("q_vec"), num_bits, dim))
     joined = sig_c.join(F.broadcast(sig_q), "bucket").filter(
         F.col("vec_id") != F.col("q_id")
@@ -117,7 +134,7 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.3) -> DataFram
     """Embedding near-dup pairs above a cosine threshold, LSH-bucketed: only
     same-bucket pairs are scored (plus the all-pairs fallback is deliberately
     NOT offered — at scale the bucket join is the only viable shape)."""
-    sig = corpus.withColumn("bucket", signature_col(F.col("embedding"), 6, 64))
+    sig = fan_out(corpus).withColumn("bucket", signature_col(F.col("embedding"), 6, 64))
     a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
     b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from metrics_database_cron_script_spark.operators.partitioning import fan_out
+
 TOKEN_RE = "[^a-z0-9]+"
 
 # Tiny per-language stopword sets for the heuristic language scorer.
@@ -31,7 +33,7 @@ def tokens_col(text_col: str = "text"):
 
 def tokenize(docs: DataFrame) -> DataFrame:
     """doc_id × token exploded rows — the base relation for counts/tf-idf."""
-    return docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    return fan_out(docs).select("doc_id", F.explode(tokens_col()).alias("token"))
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
@@ -125,7 +127,7 @@ def fingerprint(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
     char k-grams, keep the min hash of every `window` consecutive k-grams,
     reduce to the distinct fingerprint set per doc. Output is a compact
     signature: fingerprint count + xor-fold (order-insensitive checksum)."""
-    grams = docs.select(
+    grams = fan_out(docs).select(
         "doc_id",
         F.posexplode(
             F.transform(

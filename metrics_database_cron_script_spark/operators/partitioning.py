@@ -1,0 +1,22 @@
+"""Partitioning utilities — the knobs that matter at 100 TB.
+
+`fan_out` fixes the small-input/expensive-operator mismatch: a table that
+arrives in fewer partitions than cores (single parquet file locally; a
+coalesced upstream stage on a cluster) serializes CPU-heavy per-row work
+(explode, regex, hashing). One cheap round-robin shuffle of the *narrow*
+input unlocks full parallelism for the expensive stage. It is a no-op when
+the input is already wide enough, so it is safe to leave in scale-out paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Repartition to the session's default parallelism iff the input has
+    fewer than `min_ratio`× that many partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target * min_ratio:
+        return df.repartition(target)
+    return df

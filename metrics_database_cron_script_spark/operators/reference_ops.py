@@ -140,23 +140,26 @@ def aum_routing(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
         .withColumn("delta", F.col("stake") - F.col("alreadyBonded"))
     )
 
-    base = ["event_id", "chain"]
-    nominations = flagged.filter(
-        (F.col("delta") == 0) | ((F.col("delta") > 0) & (F.col("chain") == "kusama"))
-    ).select(
-        *base,
-        F.lit("nominations").alias("sink"),
-        F.when(F.col("delta") == 0, F.col("stake")).otherwise(F.col("delta")).alias("volume"),
+    # Single-pass fan-out: each row emits an array of (sink, volume) entries,
+    # nulls filtered, exploded. One scan + one window — a 3-way union of
+    # filtered branches would recompute the window per branch.
+    delta, stake, chain = F.col("delta"), F.col("stake"), F.col("chain")
+    entry = lambda sink, vol: F.struct(F.lit(sink).alias("sink"), vol.alias("volume"))  # noqa: E731
+    routed = F.array(
+        F.when(delta == 0, entry("nominations", stake)).when(
+            (delta > 0) & (chain == "kusama"), entry("nominations", delta)
+        ),
+        F.when((delta > 0) & (chain == "polkadot"), entry("amountstaked", delta)),
+        F.when(
+            (delta != 0) | F.col("first_touch"),
+            entry("aum", F.when(F.col("first_touch"), stake).otherwise(delta)),
+        ),
     )
-    amountstaked = flagged.filter(
-        (F.col("delta") > 0) & (F.col("chain") == "polkadot")
-    ).select(*base, F.lit("amountstaked").alias("sink"), F.col("delta").alias("volume"))
-    aum = flagged.filter((F.col("delta") != 0) | F.col("first_touch")).select(
-        *base,
-        F.lit("aum").alias("sink"),
-        F.when(F.col("first_touch"), F.col("stake")).otherwise(F.col("delta")).alias("volume"),
-    )
-    return nominations.unionByName(amountstaked).unionByName(aum)
+    return flagged.select(
+        "event_id",
+        "chain",
+        F.explode(F.filter(routed, lambda e: e.isNotNull())).alias("e"),
+    ).select("event_id", "chain", F.col("e.sink").alias("sink"), F.col("e.volume").alias("volume"))
 
 
 def stats_ratio(events: DataFrame) -> DataFrame:

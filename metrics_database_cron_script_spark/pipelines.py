@@ -109,6 +109,7 @@ def update_routing(
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("first_touch", F.col("__seen").isNull() & (F.col("__rn") == 1))
         .withColumn("delta", F.col("stake") - F.col("alreadyBonded"))
+        .persist()  # three sinks × (count + write) read this — compute once
     )
     cols = ["event_id", "ts", "user_id", "chain"]
     nominations = flagged.filter(
