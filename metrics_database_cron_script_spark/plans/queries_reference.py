@@ -59,7 +59,12 @@ def r_calendar_fill(spark, sf_dir):
     oracle=f"SELECT * FROM events WHERE ts > TIMESTAMP '{WM}'",
 )
 def r_incremental_scan(spark, sf_dir):
-    return R.incremental_scan(load_table(spark, sf_dir, "events"))
+    # events_since pushes the watermark predicate into the parquet scan in
+    # raw ns-long space (row-group pruning); plain incremental_scan on the
+    # converted column would filter post-scan.
+    from metrics_database_cron_script_spark.sources import events_since
+
+    return events_since(spark, sf_dir, WM)
 
 
 @query(

@@ -697,3 +697,74 @@ def c_udf_pandas(spark, sf_dir):
             "txDollarValue"
         ),
     )
+
+
+# ---------------------------------------------------------- pivot / unpivot
+
+@query(
+    "c_pivot",
+    oracle="""
+SELECT user_id,
+       ROUND(SUM(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+       ROUND(SUM(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+       ROUND(SUM(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+FROM events GROUP BY user_id""",
+)
+def c_pivot(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+@query(
+    "c_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem""",
+)
+def c_unpivot(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (measure, val)",
+    )
+
+
+# ------------------------------------------------------------- percentiles
+
+@query(
+    "c_percentile",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type""",
+)
+def c_percentile(spark, sf_dir):
+    # exact continuous percentile (linear interpolation) — same definition in
+    # Spark `percentile` and DuckDB `quantile_cont`
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+@query("c_approx_quantile", oracle=None)  # sketch → rows-only
+def c_approx_quantile(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+            "approx_quartiles"
+        )
+    )

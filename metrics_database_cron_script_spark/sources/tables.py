@@ -142,3 +142,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
             )
     return df
+
+
+def events_since(spark: SparkSession, sf_dir: str, watermark: str) -> DataFrame:
+    """Watermark scan of `events` with the predicate pushed to the parquet
+    reader (reference R2, updatescript.py:59).
+
+    The ns→timestamp conversion in `load_table` is a projection, so a filter
+    on the converted column cannot prune row groups. Here the strict-greater
+    comparison is applied in raw ns-long space BEFORE the conversion —
+    Catalyst pushes `ts > <ns literal>` into the scan (`PushedFilters`),
+    enabling min/max row-group pruning, which at 100 TB is the difference
+    between scanning a day and scanning years."""
+    import datetime
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wm = datetime.datetime.fromisoformat(watermark)
+    ns = int(wm.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) * 1000
+    raw = spark.read.parquet(table_path(sf_dir, "events")).filter(F.col("ts") > ns)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

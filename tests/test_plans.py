@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the optimizations the 100 TB story depends on
+must be visible in `explain` output, not just hoped for (SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_watermark_scan_pushes_filter_to_parquet(spark):
+    from metrics_database_cron_script_spark.sources import events_since
+
+    df = events_since(spark, SF_SMOKE, "2024-01-15 00:00:00")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(ts" in plan, plan
+
+
+def test_tx_enrich_uses_broadcast_join(spark):
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["r_tx_enrich"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hash_agg_pushes_shipdate_filter_and_prunes_columns(spark):
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    df = QUERIES["c_hash_agg"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+    # column pruning: the scan schema must not include unused columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema, read_schema
+
+
+def test_scan_project_prunes_columns(spark):
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["c_scan_project"](spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_sort_limit_is_take_ordered(spark):
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["c_sort_limit"](spark, SF_SMOKE))
+    # global sort+limit must plan as TakeOrderedAndProject (per-partition
+    # top-k + tiny merge), not a full global Sort.
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_and_anti_joins_stay_semi_anti(spark):
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    assert "LeftSemi" in _plan(QUERIES["c_semi_join"](spark, SF_SMOKE))
+    assert "LeftAnti" in _plan(QUERIES["c_anti_join"](spark, SF_SMOKE))
+
+
+def test_whole_stage_codegen_covers_scalar_queries(spark):
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    # the `*(n)` prefix marks WholeStageCodegen spans in executedPlan output
+    assert "*(1)" in _plan(QUERIES["c_math_funcs"](spark, SF_SMOKE))
