@@ -768,3 +768,38 @@ def c_approx_quantile(spark, sf_dir):
             "approx_quartiles"
         )
     )
+
+
+# ----------------------------------------------------------- multi-way join
+
+@query(
+    "c_multi_join",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY r.r_name, n.n_name""",
+)
+def c_multi_join(spark, sf_dir):
+    """TPC-H Q5 shape: star-join chain fact→dim→dim→dim + agg. Catalyst
+    broadcasts every dim (all under the threshold) → one fact scan, zero
+    shuffles before the final aggregation."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

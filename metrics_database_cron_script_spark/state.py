@@ -74,12 +74,16 @@ class Watermark:
 
 
 def idempotent_append(
-    new: DataFrame, path: str, key: str, schema: str | None = None
+    new: DataFrame,
+    path: str,
+    key: str,
+    partition_by: list[str] | None = None,
 ) -> int:
     """R14 as a set operation: append only rows whose `key` is absent from
     the sink. Returns the number of rows appended. The existing-keys side is
     a single-column scan (column pruning) — broadcastable while small,
-    shuffle-hash at scale."""
+    shuffle-hash at scale. `partition_by` lays the sink out for partition
+    pruning (the SURVEY §7.0 fact layout: chain + day)."""
     spark = new.sparkSession
     if _exists(path):
         existing = spark.read.parquet(path).select(key)
@@ -91,7 +95,10 @@ def idempotent_append(
     # at micro-batch sizes; cache() it for very large batches).
     n = fresh.count()
     if n:
-        fresh.write.mode("append").parquet(path)
+        writer = fresh.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
     return n
 
 
