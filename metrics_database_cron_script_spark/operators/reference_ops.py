@@ -48,7 +48,10 @@ def incremental_scan(events: DataFrame, watermark: str = WATERMARK) -> DataFrame
     return events.filter(F.col("ts") > F.lit(watermark).cast("timestamp"))
 
 
-def tx_enrich(events: DataFrame) -> DataFrame:
+MONEY_DECIMAL = "decimal(38,18)"
+
+
+def tx_enrich(events: DataFrame, money: str = "double") -> DataFrame:
     """P2: enrich each post-watermark tx with its day's price and the
     conditional dollar value (R11/R13, updatescript.py:64-82).
 
@@ -57,14 +60,25 @@ def tx_enrich(events: DataFrame) -> DataFrame:
     one stage. Inner join = reference's error-on-missing-price semantics
     (invariant I3): a tx on a priceless day is dropped loudly by count
     assertion in the pipeline wrapper, not silently NULLed.
+
+    `money="double"` reproduces the reference's float math
+    (updatescript.py:73, oracle parity); `money="decimal"` runs the same
+    plan in DecimalType(38,18) — the exact-arithmetic production mode
+    (SURVEY.md §4.3).
     """
     tx = tx_view(incremental_scan(events))
     price = daily_price_dim(events)
+    if money == "decimal":
+        tx = tx.withColumn("stake", F.col("stake").cast(MONEY_DECIMAL)).withColumn(
+            "alreadyBonded", F.col("alreadyBonded").cast(MONEY_DECIMAL)
+        )
+        price = price.withColumn("price", F.col("price").cast(MONEY_DECIMAL))
     joined = tx.join(
         F.broadcast(price), F.to_date(tx["ts"]) == price["date"], "inner"
     )
+    zero = F.lit(0).cast(MONEY_DECIMAL) if money == "decimal" else F.lit(0.0)
     dollar = (
-        F.when(~F.col("successful"), F.lit(0.0))
+        F.when(~F.col("successful"), zero)
         .when(F.col("stake") == F.col("alreadyBonded"), F.col("stake") * F.col("price"))
         .otherwise(F.abs(F.col("stake") - F.col("alreadyBonded")) * F.col("price"))
     )

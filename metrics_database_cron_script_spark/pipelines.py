@@ -33,11 +33,19 @@ def _sink(state_dir: str, name: str) -> str:
     return os.path.join(state_dir, f"{name}.parquet")
 
 
-def update_prices(spark: SparkSession, events: DataFrame, state_dir: str) -> int:
+def update_prices(
+    spark: SparkSession,
+    events: DataFrame,
+    state_dir: str,
+    price_source: DataFrame | None = None,
+) -> int:
     """P1: day-spine anti-join against the existing price table, append only
-    missing days (updatescript.py:27-54 — minus the per-day HTTP loop: the
-    'fetch' here is the daily avg from events, standing in for CoinGecko)."""
-    dim = R.daily_price_dim(events)
+    missing days (updatescript.py:27-54). By default the 'fetch' is the daily
+    avg from events (fixture stand-in for CoinGecko); pass `price_source`
+    ({date, price}, e.g. from `sources.rest.rest_point_source` with the
+    injected fetcher) to run the true REST-dimension path — driver-side
+    fetch at day cardinality, broadcast into the plan (R6/R7)."""
+    dim = price_source if price_source is not None else R.daily_price_dim(events)
     return ST.idempotent_append(dim, _sink(state_dir, "prices"), key="date")
 
 

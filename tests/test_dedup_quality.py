@@ -1,0 +1,96 @@
+"""Recall tests: the dedup/similarity operators must actually FIND planted
+duplicates — not merely execute. Plants are deterministic edits of fixture
+rows, so expected pairs are known a priori."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs_with_plants(spark):
+    from metrics_database_cron_script_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    base = docs.filter(F.col("doc_id") == 7).first()
+    words = base["text"].split(" ")
+    near = " ".join(words[:-2] + ["zzqx", words[-1]])  # one word swapped
+    plants = spark.createDataFrame(
+        [
+            (100007, base["text"], base["lang"], base["source"], base["n_chars"]),  # exact
+            (100008, near, base["lang"], base["source"], len(near)),  # near
+        ],
+        docs.schema,
+    )
+    return docs.unionByName(plants)
+
+
+def test_exact_dedup_removes_planted_copy(spark, docs_with_plants):
+    from metrics_database_cron_script_spark.functions.dedup import exact_dedup
+
+    kept = exact_dedup(docs_with_plants)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 7 in ids and 100007 not in ids  # lowest doc_id survives
+    assert 100008 in ids  # near-dup is NOT exact — must survive
+
+
+def test_minhash_finds_planted_near_dup(spark, docs_with_plants):
+    from metrics_database_cron_script_spark.functions.dedup import minhash_near_dups
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dups(docs_with_plants).collect()
+    }
+    assert (7, 100007) in pairs and pairs[(7, 100007)] == 1.0  # exact copy
+    assert (7, 100008) in pairs and pairs[(7, 100008)] > 0.8  # near copy
+
+
+def test_simhash_finds_planted_near_dup(spark, docs_with_plants):
+    from metrics_database_cron_script_spark.functions.dedup import simhash_near_dups
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(docs_with_plants, max_hamming=8).collect()
+    }
+    assert pairs[(7, 100007)] == 0  # identical text → identical simhash
+    assert (7, 100008) in pairs  # one-word edit → few bits differ
+
+
+def test_brute_force_topk_ranks_planted_neighbor_first(spark):
+    from metrics_database_cron_script_spark.functions.similarity import (
+        brute_force_topk,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") == 3).first()
+    tweaked = [v * 1.001 + 0.0005 for v in base["embedding"]]  # ~parallel vector
+    corpus = emb.unionByName(
+        spark.createDataFrame([(100003, tweaked, base["label"])], emb.schema)
+    )
+    queries = spark.createDataFrame(
+        [(3, base["embedding"])], "q_id long, q_vec array<float>"
+    )
+    top = brute_force_topk(corpus, queries, k=3).collect()
+    assert top[0]["vec_id"] == 100003 and top[0]["cos"] > 0.999
+
+
+def test_lsh_topk_finds_planted_neighbor(spark):
+    from metrics_database_cron_script_spark.functions.similarity import lsh_topk
+    from metrics_database_cron_script_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") == 3).first()
+    tweaked = [v * 1.001 + 0.0005 for v in base["embedding"]]
+    corpus = emb.unionByName(
+        spark.createDataFrame([(100003, tweaked, base["label"])], emb.schema)
+    )
+    queries = spark.createDataFrame(
+        [(3, base["embedding"])], "q_id long, q_vec array<float>"
+    )
+    # a near-parallel vector lands in the query's hyperplane bucket
+    got = {r["vec_id"]: r["cos"] for r in lsh_topk(corpus, queries, k=3).collect()}
+    assert 100003 in got and got[100003] > 0.999
