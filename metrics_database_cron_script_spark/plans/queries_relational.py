@@ -803,3 +803,208 @@ def c_multi_join(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ------------------------------------------------- subqueries / SQL surface
+
+def _view(spark, sf_dir, table, name):
+    load_table(spark, sf_dir, table).createOrReplaceTempView(name)
+    return name
+
+
+@query(
+    "c_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""",
+)
+def c_scalar_subquery(spark, sf_dir):
+    v = _view(spark, sf_dir, "orders", "__v_orders_scalar")
+    return spark.sql(
+        f"""SELECT o_orderkey, o_totalprice FROM {v}
+            WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM {v})"""
+    )
+
+
+@query(
+    "c_correlated_subquery",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+WHERE o.o_totalprice > (
+  SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)""",
+)
+def c_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates to an aggregate +
+    join (no per-row re-execution, unlike the reference's N+1 probes)."""
+    v = _view(spark, sf_dir, "orders", "__v_orders_corr")
+    return spark.sql(
+        f"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM {v} o
+            WHERE o.o_totalprice > (
+              SELECT AVG(o2.o_totalprice) FROM {v} o2
+              WHERE o2.o_custkey = o.o_custkey)"""
+    )
+
+
+@query(
+    "c_in_subquery",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+)
+def c_in_subquery(spark, sf_dir):
+    vc = _view(spark, sf_dir, "customer", "__v_cust_in")
+    vo = _view(spark, sf_dir, "orders", "__v_orders_in")
+    return spark.sql(
+        f"""SELECT c_custkey, c_name FROM {vc}
+            WHERE c_custkey IN (SELECT o_custkey FROM {vo} WHERE o_orderstatus = 'F')"""
+    )
+
+
+@query(
+    "c_cte",
+    oracle="""
+WITH seg AS (
+  SELECT c_mktsegment, COUNT(*) AS n_cust, ROUND(AVG(c_acctbal), 6) AS avg_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_cust, avg_bal FROM seg WHERE n_cust > 5""",
+)
+def c_cte(spark, sf_dir):
+    v = _view(spark, sf_dir, "customer", "__v_cust_cte")
+    return spark.sql(
+        f"""WITH seg AS (
+              SELECT c_mktsegment, COUNT(*) AS n_cust,
+                     ROUND(AVG(c_acctbal), 6) AS avg_bal
+              FROM {v} GROUP BY c_mktsegment)
+            SELECT c_mktsegment, n_cust, avg_bal FROM seg WHERE n_cust > 5"""
+    )
+
+
+# --------------------------------------------------------- more join shapes
+
+@query(
+    "c_full_outer_join",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey,
+       c.c_custkey IS NULL AS customer_missing,
+       o.o_orderkey IS NULL AS order_missing
+FROM customer c FULL OUTER JOIN orders o ON o.o_custkey = c.c_custkey""",
+)
+def c_full_outer_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, o["o_custkey"] == c["c_custkey"], "full_outer").select(
+        "c_custkey",
+        "o_orderkey",
+        F.col("c_custkey").isNull().alias("customer_missing"),
+        F.col("o_orderkey").isNull().alias("order_missing"),
+    )
+
+
+@query(
+    "c_cross_join",
+    oracle="SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r",
+)
+def c_cross_join(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.crossJoin(r).select("n_name", "r_name")
+
+
+@query(
+    "c_self_join",
+    oracle="""
+SELECT a.event_id AS first_id, b.event_id AS next_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE""",
+)
+def c_self_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("first_id"), F.col("user_id"), F.col("ts").alias("ts_a")
+    )
+    b = ev.select(
+        F.col("event_id").alias("next_id"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    cond = (
+        (a["user_id"] == b["user_b"])
+        & (b["ts_b"] > a["ts_a"])
+        & (b["ts_b"] <= a["ts_a"] + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return a.join(b, cond).select("first_id", "next_id", "user_id")
+
+
+# ----------------------------------------------------- distinct/having/nulls
+
+@query(
+    "c_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def c_distinct(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "c_having",
+    oracle="""
+SELECT event_type, COUNT(*) AS n FROM events
+GROUP BY event_type HAVING COUNT(*) > 50""",
+)
+def c_having(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 50)
+    )
+
+
+@query(
+    "c_null_handling",
+    oracle="""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       COUNT(*) AS n_rows,
+       ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spend,
+       MAX(o.o_orderdate) IS NULL AS never_ordered
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey""",
+)
+def c_null_handling(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),  # skips nulls
+            F.count(F.lit(1)).alias("n_rows"),  # counts all
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            F.max("o_orderdate").isNull().alias("never_ordered"),
+        )
+    )
+
+
+@query(
+    "c_order_by_expr",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net
+FROM lineitem
+ORDER BY net DESC, l_orderkey, l_linenumber LIMIT 10""",
+)
+def c_order_by_expr(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        )
+        .orderBy(F.col("net").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )

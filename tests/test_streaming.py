@@ -33,3 +33,17 @@ def test_streaming_dedup_runs(spark):
         for r in events.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
     }
     assert got == want
+
+
+def test_streaming_session_matches_batch(spark):
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_session,
+    )
+    from metrics_database_cron_script_spark.streaming.windows import session
+
+    stream_out = run_streaming_session(spark, SF_SMOKE, query_name="t_stream_sess")
+    batch_out = session(load_table(spark, SF_SMOKE, "events"))
+    a = {tuple(r) for r in stream_out.collect()}
+    b = {tuple(r) for r in batch_out.collect()}
+    assert a == b and len(a) > 0
