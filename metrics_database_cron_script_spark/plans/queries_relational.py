@@ -1008,3 +1008,115 @@ def c_order_by_expr(spark, sf_dir):
         .orderBy(F.col("net").desc(), "l_orderkey", "l_linenumber")
         .limit(10)
     )
+
+
+# ----------------------------------------------- aggregate breadth: stats &c
+
+@query(
+    "c_stats_agg",
+    oracle="""
+SELECT event_type,
+       ROUND(stddev_samp(value), 6) AS sd,
+       ROUND(var_samp(value), 6) AS var,
+       ROUND(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+       ROUND(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS covar_vk
+FROM events GROUP BY event_type""",
+)
+def c_stats_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.corr(F.col("value"), k), 6).alias("corr_vk"),
+        F.round(F.covar_samp(F.col("value"), k), 6).alias("covar_vk"),
+    )
+
+
+@query(
+    "c_bool_agg",
+    oracle="""
+SELECT user_id,
+       bool_or(event_type = 'error') AS had_error,
+       bool_and(value > 0) AS all_positive,
+       COUNT(*) FILTER (WHERE value > 100) AS n_big
+FROM events GROUP BY user_id""",
+)
+def c_bool_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.bool_or(F.col("event_type") == "error").alias("had_error"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.count_if(F.col("value") > 100).alias("n_big"),
+    )
+
+
+@query(
+    "c_min_by_max_by",
+    oracle="""
+SELECT event_type,
+       arg_max(event_id, value * 1e9 + event_id) AS biggest_event,
+       arg_min(event_id, value * 1e9 + event_id) AS smallest_event
+FROM events GROUP BY event_type""",
+)
+def c_min_by_max_by(spark, sf_dir):
+    # ordering key folds event_id in as a tie-break (value*1e9 dominates;
+    # both stay exactly representable in a double at fixture scales)
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("value") * 1e9 + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("biggest_event"),
+        F.min_by("event_id", key).alias("smallest_event"),
+    )
+
+
+@query(
+    "c_window_range",
+    oracle="""
+SELECT event_id, user_id, ts,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
+FROM events""",
+)
+def c_window_range(spark, sf_dir):
+    """RANGE frame keyed by event time (trailing 1 hour per user) — frames
+    are value-determined, so no tie-break column is needed."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+    )
+
+
+@query(
+    "c_udaf_pandas",
+    oracle="""
+SELECT user_id, ROUND(mad(value), 6) AS value_mad
+FROM events GROUP BY user_id""",
+)
+def c_udaf_pandas(spark, sf_dir):
+    """A TRUE user-defined aggregate via applyInPandas: median absolute
+    deviation, which Spark has no built-in for (the UDAF surface SURVEY §2.B
+    promises; c_udf_pandas covers the scalar surface)."""
+    import pandas as pd
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["value"]
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "value_mad": [round((s - s.median()).abs().median(), 6)]}
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "value").groupBy("user_id").applyInPandas(
+        mad, schema="user_id long, value_mad double"
+    )
