@@ -134,17 +134,20 @@ def update_routing(
         F.when(F.col("first_touch"), F.col("stake")).otherwise(F.col("delta")).alias("volume"),
     )
     by_chain = ["chain"]  # SURVEY §7.0 fact layout → partition pruning
-    return {
-        "nominations": ST.idempotent_append(
-            nominations, _sink(state_dir, "sink_nominations"), key="event_id",
-            partition_by=by_chain,
-        ),
-        "amountstaked": ST.idempotent_append(
-            amountstaked, _sink(state_dir, "sink_amountstaked"), key="event_id",
-            partition_by=by_chain,
-        ),
-        "aum": ST.idempotent_append(aum, aum_path, key="event_id", partition_by=by_chain),
-    }
+    try:
+        return {
+            "nominations": ST.idempotent_append(
+                nominations, _sink(state_dir, "sink_nominations"), key="event_id",
+                partition_by=by_chain,
+            ),
+            "amountstaked": ST.idempotent_append(
+                amountstaked, _sink(state_dir, "sink_amountstaked"), key="event_id",
+                partition_by=by_chain,
+            ),
+            "aum": ST.idempotent_append(aum, aum_path, key="event_id", partition_by=by_chain),
+        }
+    finally:
+        flagged.unpersist()
 
 
 def run_batch(

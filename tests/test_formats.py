@@ -1,0 +1,68 @@
+"""Source/sink format coverage: the engine reads and writes more than
+parquet — JSON, CSV, ORC round-trips with declared schemas (no inference in
+the read path, mirroring the schema-on-write stance of sources/tables.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _events(spark):
+    from metrics_database_cron_script_spark.sources import load_table
+
+    return load_table(spark, SF_SMOKE, "events").limit(200)
+
+
+def _roundtrip(spark, df, path, fmt):
+    df.write.format(fmt).mode("overwrite").save(path)
+    back = spark.read.schema(SCHEMA).format(fmt).load(path)
+    assert back.count() == df.count()
+    a = df.select("event_id", "event_type", "value").orderBy("event_id").collect()
+    b = back.select("event_id", "event_type", "value").orderBy("event_id").collect()
+    assert a == b
+
+
+def test_json_roundtrip(spark, tmp_path):
+    _roundtrip(spark, _events(spark), str(tmp_path / "j"), "json")
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _events(spark)
+    path = str(tmp_path / "c")
+    df.write.option("header", True).mode("overwrite").csv(path)
+    back = spark.read.schema(SCHEMA).option("header", True).csv(path)
+    assert back.count() == df.count()
+    a = {r["event_id"]: r["value"] for r in df.select("event_id", "value").collect()}
+    b = {r["event_id"]: r["value"] for r in back.select("event_id", "value").collect()}
+    assert a == b
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    _roundtrip(spark, _events(spark), str(tmp_path / "o"), "orc")
+
+
+def test_json_lines_with_nested_payload(spark, tmp_path):
+    """REST-shaped nested JSON (reference R6 payload paths) through the file
+    source: from_json with an explicit schema, struct field access."""
+    payloads = [
+        (1, '{"market_data": {"current_price": {"usd": 7.5}}}'),
+        (2, '{"market_data": {"current_price": {"usd": 8.25}}}'),
+    ]
+    df = spark.createDataFrame(payloads, "id long, payload string")
+    path = str(tmp_path / "nested")
+    df.write.mode("overwrite").json(path)
+    schema = "id long, payload string"
+    back = spark.read.schema(schema).json(path)
+    parsed = back.select(
+        "id",
+        F.from_json(
+            "payload",
+            "market_data struct<current_price: struct<usd: double>>",
+        )["market_data"]["current_price"]["usd"].alias("usd"),
+    )
+    got = {r["id"]: r["usd"] for r in parsed.collect()}
+    assert got == {1: 7.5, 2: 8.25}
