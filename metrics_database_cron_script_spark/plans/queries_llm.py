@@ -148,8 +148,26 @@ def x_fingerprint(spark, sf_dir):
     return TX.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
-@query("x_tfidf", oracle=None)  # float-heavy → rows-only (SURVEY §2.C)
+@query(
+    "x_tfidf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> ''
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf,
+       ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n""",
+)
 def x_tfidf(spark, sf_dir):
+    # upgraded from rows-only: tokenization parity is proven by
+    # x_text_tokens, and round(·,6) absorbs libm ln() last-ulp differences
     return TX.tf_idf(load_table(spark, sf_dir, "documents"))
 
 

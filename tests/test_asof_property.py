@@ -1,0 +1,41 @@
+"""Property test: the broadcast-interval as-of join must agree with
+pandas.merge_asof on arbitrary generated dim/probe key sets, including
+exact-boundary ties and probes before the first dim key."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    dim_keys=st.sets(st.integers(0, 50), min_size=1, max_size=10),
+    probe_keys=st.lists(st.integers(-5, 55), min_size=1, max_size=25),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, dim_keys, probe_keys):
+    from metrics_database_cron_script_spark.operators.asof import (
+        asof_join_broadcast_dim,
+    )
+
+    dim_rows = sorted((k, float(k) * 1.5) for k in dim_keys)
+    dim = spark.createDataFrame(dim_rows, "dk long, dv double")
+    probe = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(probe_keys)], "pid long, pk long"
+    )
+    got = {
+        (r["pid"], r["dk"], r["dv"])
+        for r in asof_join_broadcast_dim(probe, dim, "pk", "dk").collect()
+    }
+
+    pdim = pd.DataFrame(dim_rows, columns=["dk", "dv"])
+    pprobe = pd.DataFrame(
+        {"pid": range(len(probe_keys)), "pk": probe_keys}
+    ).sort_values("pk")
+    merged = pd.merge_asof(pprobe, pdim, left_on="pk", right_on="dk", direction="backward")
+    want = {
+        (int(r.pid), None if pd.isna(r.dk) else int(r.dk), None if pd.isna(r.dv) else r.dv)
+        for r in merged.itertuples()
+    }
+    assert got == want
