@@ -143,3 +143,70 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.3) -> DataFram
         "vec_b",
         F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
     ).filter(F.col("cos") >= threshold)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into cells; each query probes its `n_probe`
+    nearest cells and re-ranks exactly within them.
+
+    The quantizer is Spark MLlib KMeans (fixed seed → replayable). At 100 TB
+    the fit runs on a sample, the cell assignment is one codegen'd pass, and
+    the probe is an equi-join on cell id — the same shuffle shape as the LSH
+    variant but with data-adaptive cells (better recall on clustered data).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.withColumn("__vec", array_to_vector("embedding"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="__cell")
+    model = km.fit(corpus_v.select("__vec"))
+    assigned = model.transform(corpus_v).select("vec_id", "embedding", "__cell")
+
+    # query → its n_probe nearest centroids (tiny: n_cells rows, driver math)
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
+    q_cells = (
+        queries.join(F.broadcast(centers_df))
+        .withColumn(
+            "__dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_vec"), F.col("center"), lambda a, b: (a.cast("double") - b) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("__dist"), F.col("cell"))
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select("q_id", "q_vec", F.col("cell").alias("__cell"))
+    )
+
+    joined = assigned.join(F.broadcast(q_cells), "__cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

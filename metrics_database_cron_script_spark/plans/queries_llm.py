@@ -188,3 +188,9 @@ def x_multimodal_meta(spark, sf_dir):
 def x_multimodal_features(spark, sf_dir):
     blobs = M.blob_table(load_table(spark, sf_dir, "documents"))
     return M.byte_feature_extract(blobs)
+
+
+@query("x_embed_ivf_topk", oracle=None)  # approximate → rows-only
+def x_embed_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _queries_table(spark, sf_dir), k=5)

@@ -94,3 +94,21 @@ def test_lsh_topk_finds_planted_neighbor(spark):
     # a near-parallel vector lands in the query's hyperplane bucket
     got = {r["vec_id"]: r["cos"] for r in lsh_topk(corpus, queries, k=3).collect()}
     assert 100003 in got and got[100003] > 0.999
+
+
+def test_ivf_topk_finds_planted_neighbor(spark):
+    from metrics_database_cron_script_spark.functions.similarity import ivf_topk
+    from metrics_database_cron_script_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.filter(F.col("vec_id") == 3).first()
+    tweaked = [v * 1.001 + 0.0005 for v in base["embedding"]]
+    corpus = emb.unionByName(
+        spark.createDataFrame([(100003, tweaked, base["label"])], emb.schema)
+    )
+    queries = spark.createDataFrame(
+        [(3, base["embedding"])], "q_id long, q_vec array<float>"
+    )
+    # a near-identical vector quantizes to the same k-means cell
+    got = {r["vec_id"]: r["cos"] for r in ivf_topk(corpus, queries, k=3).collect()}
+    assert 100003 in got and got[100003] > 0.999
