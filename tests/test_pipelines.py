@@ -58,3 +58,27 @@ def test_partial_batch_then_full(spark, state_dir, tmp_path):
         b = spark.read.parquet(f"{clean_dir}/{sink}.parquet")
         assert a.count() == b.count(), sink
         assert a.select("event_id").subtract(b.select("event_id")).count() == 0, sink
+
+
+def test_tx_enrich_raises_on_missing_price_day(spark, tmp_path):
+    """Invariant I3 (SURVEY.md §8.P2): the reference crashes on a tx whose
+    day has no price row; our engine must fail loudly, not drop silently."""
+    import datetime
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.pipelines import (
+        update_prices,
+        update_tx_enriched,
+    )
+    from metrics_database_cron_script_spark.operators.reference_ops import daily_price_dim
+    from metrics_database_cron_script_spark.sources import load_table
+
+    state = str(tmp_path / "state")
+    events = load_table(spark, SF_SMOKE, "events")
+    # a price dim missing the final day of data
+    partial_dim = daily_price_dim(events.filter(F.to_date("ts") < "2024-01-30"))
+    update_prices(spark, events, state, price_source=partial_dim)
+    with _pytest.raises(AssertionError, match="price dim incomplete"):
+        update_tx_enriched(spark, events, state, datetime.datetime(2024, 1, 15))
