@@ -60,11 +60,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(2):  # steady-state: min of two runs (GC/compile noise)
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
