@@ -122,3 +122,21 @@ def snapshot_overwrite(
     # The window result must be materialized before the source directory is
     # replaced: localCheckpoint cuts the lineage back to the old files.
     _atomic_overwrite(latest.localCheckpoint(eager=True), path)
+
+
+def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
+    """Small-files compaction: incremental idempotent appends accumulate one
+    file per batch; periodically bin-pack the table back to ~target_mb files
+    (the maintenance job every parquet lake needs — Delta's OPTIMIZE, by
+    hand). Returns the resulting file count. Atomic via directory swap."""
+    import math
+
+    size = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+    )
+    n_files = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    _atomic_overwrite(df.repartition(n_files).localCheckpoint(eager=True), path)
+    return n_files

@@ -83,3 +83,38 @@ def test_partitioned_sink_layout(spark, tmp_path):
     assert pruned.count() < n_total
     # partition filters must prune at planning time, not post-scan
     assert "PartitionFilters: [" in plan and "chain" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session factory enables AQE skew-join splitting; prove the
+    mechanism fires: a join keyed 95% on one hot key, with the skew
+    thresholds scaled down to fixture size, must show isSkew=true in the
+    final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = big.join(dim, "k")
+        # execute THIS DataFrame's plan (count() would finalize a different
+        # AdaptiveSparkPlan and leave joined's at isFinalPlan=false)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -37,3 +37,22 @@ def test_snapshot_overwrite_keeps_latest(spark, tmp_path):
     snapshot_overwrite(v2, path, key="k", order_cols=["ver"])
     rows = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(path).collect()}
     assert rows == {"x": (2, 11.0), "y": (1, 20.0)}
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    import glob
+
+    from metrics_database_cron_script_spark.state import compact, idempotent_append
+
+    path = str(tmp_path / "frag.parquet")
+    # 10 micro-appends → ≥10 part files
+    for i in range(10):
+        df = spark.createDataFrame([(i, float(i))], "k long, v double")
+        idempotent_append(df, path, key="k")
+    before = len(glob.glob(f"{path}/part-*"))
+    assert before >= 10
+    compact(spark, path, target_mb=128)
+    after = len(glob.glob(f"{path}/part-*"))
+    assert after == 1
+    rows = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert rows == set(range(10))
