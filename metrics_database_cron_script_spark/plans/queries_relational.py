@@ -1122,3 +1122,69 @@ def c_udaf_pandas(spark, sf_dir):
     return ev.select("user_id", "value").groupBy("user_id").applyInPandas(
         mad, schema="user_id long, value_mad double"
     )
+
+
+# ------------------------------------------------ decorrelation shapes (TPC-H)
+
+@query(
+    "c_not_in_subquery",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""",
+)
+def c_not_in_subquery(spark, sf_dir):
+    """NOT IN → null-aware anti join (distinct from NOT EXISTS' plain
+    left_anti: one null in the subquery empties the result)."""
+    vc = _view(spark, sf_dir, "customer", "__v_cust_notin")
+    vo = _view(spark, sf_dir, "orders", "__v_orders_notin")
+    return spark.sql(
+        f"""SELECT c_custkey, c_name FROM {vc}
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM {vo} WHERE o_orderstatus = 'P')"""
+    )
+
+
+@query(
+    "c_having_scalar_subquery",
+    oracle="""
+SELECT user_id, ROUND(SUM(value), 2) AS total FROM events
+GROUP BY user_id
+HAVING SUM(value) > (SELECT SUM(value) * 0.05 FROM events)""",
+)
+def c_having_scalar_subquery(spark, sf_dir):
+    """TPC-H Q11 shape: group filter against a global-aggregate scalar
+    subquery (fraction-of-total threshold)."""
+    v = _view(spark, sf_dir, "events", "__v_events_having")
+    return spark.sql(
+        f"""SELECT user_id, ROUND(SUM(value), 2) AS total FROM {v}
+            GROUP BY user_id
+            HAVING SUM(value) > (SELECT SUM(value) * 0.05 FROM {v})"""
+    )
+
+
+@query(
+    "c_exists_with_predicate",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority""",
+)
+def c_exists_with_predicate(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS carrying an extra correlated range predicate →
+    left-semi join with a non-equi condition."""
+    vo = _view(spark, sf_dir, "orders", "__v_orders_q4")
+    vl = _view(spark, sf_dir, "lineitem", "__v_lineitem_q4")
+    return spark.sql(
+        f"""SELECT o.o_orderpriority, COUNT(*) AS n_orders
+            FROM {vo} o
+            WHERE EXISTS (
+              SELECT 1 FROM {vl} l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAYS)
+            GROUP BY o.o_orderpriority"""
+    )
