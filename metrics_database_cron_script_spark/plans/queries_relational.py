@@ -1188,3 +1188,91 @@ def c_exists_with_predicate(spark, sf_dir):
                 AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAYS)
             GROUP BY o.o_orderpriority"""
     )
+
+
+# ------------------------------------------------------- function-breadth II
+
+@query(
+    "c_window_dist",
+    oracle="""
+SELECT event_id, event_type, value,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       nth_value(event_id, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS third_event
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
+)
+def c_window_dist(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("event_id", 3).over(wfull).alias("third_event"),
+    )
+
+
+@query(
+    "c_string_funcs2",
+    oracle="""
+SELECT p_partkey,
+       lpad(p_brand, 12, '*') AS brand_padded,
+       rpad(p_brand, 12, '.') AS brand_rpadded,
+       reverse(p_name) AS name_rev,
+       repeat(p_type, 2) AS type_twice,
+       replace(p_name, ' ', '_') AS name_snake,
+       CAST(strpos(p_name, 'o') AS BIGINT) AS first_o,
+       CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS brand_dist,
+       CAST(ascii(p_name) AS BIGINT) AS first_char_code,
+       left(p_type, 3) AS type_left,
+       right(p_type, 3) AS type_right
+FROM part""",
+)
+def c_string_funcs2(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpadded"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat("p_type", 2).alias("type_twice"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.locate("o", F.col("p_name")).cast("long").alias("first_o"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("brand_dist"),
+        F.ascii("p_name").cast("long").alias("first_char_code"),
+        F.substring("p_type", 1, 3).alias("type_left"),
+        F.col("p_type").substr(F.length("p_type") - 2, F.lit(3)).alias("type_right"),
+    )
+
+
+@query(
+    "c_date_funcs2",
+    oracle="""
+SELECT o_orderkey,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+FROM orders""",
+)
+def c_date_funcs2(spark, sf_dir):
+    # DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday → +1 on the oracle side
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow_sun1"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+    )
