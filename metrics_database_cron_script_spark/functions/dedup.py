@@ -241,3 +241,35 @@ def char_ngram_jaccard(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2) ->
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def dedup_pipeline(
+    docs: DataFrame,
+    min_words: int = 10,
+    min_alpha_ratio: float = 0.5,
+    max_jaccard: float = 0.85,
+) -> DataFrame:
+    """The composed training-data dedup pipeline, as run before tokenization:
+
+      1. quality gate  — drop short / non-text docs (cheap codegen filter);
+      2. exact dedup   — keep lowest doc_id per normalized text;
+      3. near-dup drop — MinHash candidates verified by exact Jaccard; of
+         each surviving pair above `max_jaccard`, the higher doc_id loses.
+
+    Returns the kept documents. Every stage is set-based; the only joins are
+    hash-bucket equi-joins, so the composition inherits the scale posture of
+    its parts.
+    """
+    from metrics_database_cron_script_spark.functions.text import tokens_col
+
+    quality_ok = docs.filter(
+        (F.size(tokens_col()) >= min_words)
+        & (
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+            >= F.length("text") * min_alpha_ratio
+        )
+    )
+    exact = exact_dedup(quality_ok)
+    near_pairs = minhash_near_dups(exact).filter(F.col("jaccard") >= max_jaccard)
+    losers = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact.join(losers, "doc_id", "left_anti")

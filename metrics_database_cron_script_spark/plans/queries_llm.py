@@ -194,3 +194,27 @@ def x_multimodal_features(spark, sf_dir):
 def x_embed_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, _queries_table(spark, sf_dir), k=5)
+
+
+@query("x_dedup_pipeline", oracle=None)  # composition incl. sketches → rows-only
+def x_dedup_pipeline(spark, sf_dir):
+    return D.dedup_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_doc_stats_by_source",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents GROUP BY source""",
+)
+def x_doc_stats_by_source(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("first_doc"),
+    )
