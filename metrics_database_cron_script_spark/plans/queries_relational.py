@@ -1276,3 +1276,78 @@ def c_date_funcs2(spark, sf_dir):
         F.dayofweek("o_orderdate").cast("long").alias("dow_sun1"),
         F.dayofyear("o_orderdate").cast("long").alias("doy"),
     )
+
+
+# ----------------------------------------------- composition shapes (TPC-H II)
+
+@query(
+    "c_in_grouped_having",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)""",
+)
+def c_in_grouped_having(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery (large-basket
+    orders)."""
+    vo = _view(spark, sf_dir, "orders", "__v_orders_q18")
+    vl = _view(spark, sf_dir, "lineitem", "__v_lineitem_q18")
+    return spark.sql(
+        f"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM {vo} o
+            WHERE o.o_orderkey IN (
+              SELECT l_orderkey FROM {vl}
+              GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)"""
+    )
+
+
+@query(
+    "c_argmax_group",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, revenue FROM rev
+WHERE revenue = (SELECT MAX(revenue) FROM rev)""",
+)
+def c_argmax_group(spark, sf_dir):
+    """TPC-H Q15 shape: the group(s) achieving the global max of a grouped
+    aggregate (scalar subquery over a derived relation)."""
+    vl = _view(spark, sf_dir, "lineitem", "__v_lineitem_q15")
+    return spark.sql(
+        f"""WITH rev AS (
+              SELECT l_suppkey,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM {vl} GROUP BY l_suppkey)
+            SELECT l_suppkey, revenue FROM rev
+            WHERE revenue = (SELECT MAX(revenue) FROM rev)"""
+    )
+
+
+@query(
+    "c_avg_subquery_filter",
+    oracle="""
+SELECT substring(c_name, 1, 9) AS name_prefix, COUNT(*) AS n,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY name_prefix""",
+)
+def c_avg_subquery_filter(spark, sf_dir):
+    """TPC-H Q22 shape: filter on a conditional-average scalar subquery plus
+    NOT EXISTS, then aggregate on a derived key."""
+    vc = _view(spark, sf_dir, "customer", "__v_cust_q22")
+    vo = _view(spark, sf_dir, "orders", "__v_orders_q22")
+    return spark.sql(
+        f"""SELECT substring(c_name, 1, 9) AS name_prefix, COUNT(*) AS n,
+                   ROUND(SUM(c_acctbal), 2) AS total_bal
+            FROM {vc}
+            WHERE c_acctbal > (
+                SELECT AVG(c_acctbal) FROM {vc} WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM {vo} WHERE o_custkey = c_custkey)
+            GROUP BY name_prefix"""
+    )
