@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Transparency tool: per-query Spark-vs-DuckDB timing on the headline set
+(DuckDB on the identical parquet is BASELINE.md's ≤2× yardstick). Prints one
+JSON line with both columns and the ratio. Rows-only queries (no oracle SQL)
+report ratio=null.
+
+Context for reading the ratios: DuckDB has ~0 per-query overhead while local
+Spark pays job scheduling + codegen per action; the gap closes as data grows
+and inverts on a cluster. PLANS.md documents that the Spark plans themselves
+are shuffle-minimal."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import HEADLINE  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from metrics_database_cron_script_spark import get_spark
+    from metrics_database_cron_script_spark.oracle import duckdb_connect
+    from metrics_database_cron_script_spark.plans import ORACLES, QUERIES
+
+    spark = get_spark("bench_compare", shuffle_partitions=8)
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()  # warm codegen
+
+    con = duckdb_connect(sf_dir)
+    out = {}
+    for name in HEADLINE:
+        best_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            best_s = min(best_s, time.perf_counter() - t0)
+        if name in ORACLES:
+            best_d = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(ORACLES[name]).fetchall()
+                best_d = min(best_d, time.perf_counter() - t0)
+            out[name] = {
+                "spark_s": round(best_s, 3),
+                "duckdb_s": round(best_d, 3),
+                "ratio": round(best_s / best_d, 1) if best_d > 0 else None,
+            }
+        else:
+            out[name] = {"spark_s": round(best_s, 3), "duckdb_s": None, "ratio": None}
+    print(json.dumps({"metric": "spark_vs_duckdb", "sf": sf_dir, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()

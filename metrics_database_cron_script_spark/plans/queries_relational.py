@@ -1351,3 +1351,41 @@ def c_avg_subquery_filter(spark, sf_dir):
               AND NOT EXISTS (SELECT 1 FROM {vo} WHERE o_custkey = c_custkey)
             GROUP BY name_prefix"""
     )
+
+
+@query(
+    "c_posexplode",
+    oracle="""
+SELECT p_partkey,
+       CAST(generate_subscripts(string_split(p_name, ' '), 1) AS BIGINT) AS pos,
+       unnest(string_split(p_name, ' ')) AS word
+FROM part""",
+)
+def c_posexplode(spark, sf_dir):
+    # Spark posexplode is 0-based; generate_subscripts is 1-based → +1
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos0", "word"),
+    ).select("p_partkey", (F.col("pos0") + 1).cast("long").alias("pos"), "word")
+
+
+@query(
+    "c_collect_agg",
+    oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list(value)), ',') AS values_sorted,
+       CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_types
+FROM events GROUP BY user_id""",
+)
+def c_collect_agg(spark, sf_dir):
+    # array outputs are string-joined so the cross-engine compare stays
+    # representation-neutral (list rendering differs between engines)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("value")), lambda x: x.cast("string")),
+            ",",
+        ).alias("values_sorted"),
+        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+    )

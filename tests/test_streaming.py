@@ -47,3 +47,39 @@ def test_streaming_session_matches_batch(spark):
     a = {tuple(r) for r in stream_out.collect()}
     b = {tuple(r) for r in batch_out.collect()}
     assert a == b and len(a) > 0
+
+
+def test_streaming_sliding_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.structured import (
+        read_events_stream,
+    )
+    from metrics_database_cron_script_spark.streaming.windows import sliding
+
+    events = read_events_stream(spark, SF_SMOKE)
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+            "total",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_stream_slide")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    a = {tuple(r) for r in spark.sql("SELECT * FROM t_stream_slide").collect()}
+    b = {tuple(r) for r in sliding(load_table(spark, SF_SMOKE, "events")).collect()}
+    assert a == b and len(a) > 0
