@@ -163,3 +163,40 @@ def tf_idf(docs: DataFrame) -> DataFrame:
             F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6).alias("tfidf"),
         )
     )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Regex-based PII/URL redaction — the standard pre-training scrub pass.
+    Counts are taken before replacement so the op is observable."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ).alias("scrubbed"),
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    with a benchmark set (the held-out-eval overlap check every training
+    pipeline needs). Shingle hashes equi-join — benchmark side broadcast."""
+    from metrics_database_cron_script_spark.functions.dedup import word_shingles
+
+    corpus_sh = word_shingles(docs, n=n).withColumn("h", F.xxhash64("shingle"))
+    bench_sh = (
+        word_shingles(benchmark, n=n)
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    return hits

@@ -218,3 +218,47 @@ def x_doc_stats_by_source(spark, sf_dir):
         F.countDistinct("lang").alias("n_langs"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "x_pii_scrub",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         'https?://[^\s]+', '<URL>', 'g') AS scrubbed
+FROM documents""",
+)
+def x_pii_scrub(spark, sf_dir):
+    return TX.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_length_histogram",
+    oracle="""
+SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_docs, CAST(MIN(n_chars) AS BIGINT) AS shortest,
+       CAST(MAX(n_chars) AS BIGINT) AS longest
+FROM documents GROUP BY bucket_lo""",
+)
+def x_length_histogram(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        (F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("shortest"),
+        F.max("n_chars").cast("long").alias("longest"),
+    )
+
+
+@query("x_decontaminate", oracle=None)  # hash shingle join → rows-only
+def x_decontaminate(spark, sf_dir):
+    # n=3 for the fixture demo (real decontamination uses 8-13-gram shingles,
+    # but the synthetic word-salad corpus shares no 8-gram with anything)
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    return TX.decontaminate(corpus, benchmark, n=3)
