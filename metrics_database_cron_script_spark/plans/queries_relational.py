@@ -1389,3 +1389,51 @@ def c_collect_agg(spark, sf_dir):
         ).alias("values_sorted"),
         F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
     )
+
+
+# --------------------------------------------------- ANSI-safety & from_json
+
+@query(
+    "c_try_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_tax = 0 THEN NULL ELSE l_extendedprice / l_tax END AS price_per_tax,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip
+FROM lineitem""",
+)
+def c_try_functions(spark, sf_dir):
+    """ANSI-mode-safe scalar surface: Spark 4 runs ANSI by default (divide by
+    zero / bad casts raise); try_divide / try_cast give the SQL-NULL
+    fallbacks, matching the oracle's guarded expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_tax").alias("price_per_tax"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
+    )
+
+
+@query(
+    "c_from_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+FROM events""",
+)
+def c_from_json(spark, sf_dir):
+    """Schema-full JSON parsing (from_json → typed struct), vs c_json's
+    path extraction — the reference's nested payload access done with a
+    declared schema (R6 market_data paths, updatescript.py:40)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k bigint").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_val"),
+        (F.col("p.k") % 10).alias("k_mod"),
+    )
