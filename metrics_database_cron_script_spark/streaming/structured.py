@@ -125,3 +125,77 @@ def run_streaming_session(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_streaming_enrichment(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_enrich",
+) -> DataFrame:
+    """Stream-static join: the P2 enrichment (tx ⋈ broadcast price dim,
+    updatescript.py:64-82) with the tx side as a stream. The static dim is
+    re-resolved per micro-batch — on a cluster this is how a slowly-changing
+    dimension joins a live stream without restarts."""
+    from metrics_database_cron_script_spark.operators.reference_ops import (
+        daily_price_dim,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    stream = read_events_stream(spark, sf_dir)
+    static_dim = daily_price_dim(load_table(spark, sf_dir, "events"))
+    enriched = stream.join(
+        F.broadcast(static_dim), F.to_date(stream["ts"]) == static_dim["date"], "inner"
+    ).select("event_id", "date", "price", "value")
+    agg = enriched.groupBy("date").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_streaming_interval_self_join(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 10,
+    query_name: str = "stream_ss_join",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pairs of events by the same
+    user within `minutes` (the streaming form of c_self_join). Both sides
+    carry watermarks so join state is bounded — the pattern for
+    click→conversion attribution on live streams."""
+    a = read_events_stream(spark, sf_dir).select(
+        F.col("event_id").alias("first_id"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", "1 day")
+    b = read_events_stream(spark, sf_dir).select(
+        F.col("event_id").alias("next_id"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", "1 day")
+    cond = (
+        (a["user_id"] == b["user_b"])
+        & (b["ts_b"] > a["ts_a"])
+        & (b["ts_b"] <= a["ts_a"] + F.expr(f"INTERVAL {minutes} MINUTES"))
+    )
+    joined = a.join(b, cond).select("first_id", "next_id", "user_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -83,3 +83,38 @@ def test_streaming_sliding_matches_batch(spark):
     a = {tuple(r) for r in spark.sql("SELECT * FROM t_stream_slide").collect()}
     b = {tuple(r) for r in sliding(load_table(spark, SF_SMOKE, "events")).collect()}
     assert a == b and len(a) > 0
+
+
+def test_streaming_enrichment_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.reference_ops import (
+        daily_price_dim,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_enrichment,
+    )
+
+    got = {tuple(r) for r in run_streaming_enrichment(spark, SF_SMOKE, "t_enrich").collect()}
+    events = load_table(spark, SF_SMOKE, "events")
+    dim = daily_price_dim(events)
+    want = {
+        tuple(r)
+        for r in events.join(F.broadcast(dim), F.to_date(events["ts"]) == dim["date"])
+        .groupBy("date")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_interval_self_join_matches_batch(spark):
+    from metrics_database_cron_script_spark.plans import QUERIES
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_interval_self_join,
+    )
+
+    got = {tuple(r) for r in run_streaming_interval_self_join(spark, SF_SMOKE, 10, "t_ssj").collect()}
+    want = {tuple(r) for r in QUERIES["c_self_join"](spark, SF_SMOKE).collect()}
+    assert got == want and len(got) > 0
