@@ -262,3 +262,68 @@ def x_decontaminate(spark, sf_dir):
     benchmark = docs.filter(F.col("doc_id") < 5)
     corpus = docs.filter(F.col("doc_id") >= 5)
     return TX.decontaminate(corpus, benchmark, n=3)
+
+
+# ----------------------------------------------- splits & sampling (training)
+
+# Deterministic engine-agnostic hash: Knuth multiplicative on the id, pure
+# BIGINT arithmetic so Spark and DuckDB compute bit-identical buckets (no
+# rand(), no engine hash functions). 100 buckets.
+_BUCKET = "((doc_id * 2654435761) % 4294967296) % 100"
+
+
+@query(
+    "x_deterministic_split",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents""",
+)
+def x_deterministic_split(spark, sf_dir):
+    """Reproducible 80/10/10 split: hash-bucket assignment, stable across
+    runs, engines, and cluster sizes — never rand() (SURVEY §7.3 #5
+    determinism discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+@query(
+    "x_stratified_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {_BUCKET}, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= CAST(ceil(0.2 * n_lang) AS BIGINT)""",
+)
+def x_stratified_sample(spark, sf_dir):
+    """20% per-language stratified sample, deterministic: rank docs within
+    each language by their hash bucket and keep the first ceil(0.2·n) — the
+    balanced-subset op for eval-set construction."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    w = W.partitionBy("lang").orderBy(bucket.asc(), F.col("doc_id").asc())
+    wc = W.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_lang"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.2 * F.col("n_lang")))
+        .select("doc_id", "lang")
+    )
