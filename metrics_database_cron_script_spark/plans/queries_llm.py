@@ -327,3 +327,44 @@ def x_stratified_sample(spark, sf_dir):
         .filter(F.col("rn") <= F.ceil(0.2 * F.col("n_lang")))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "x_token_packing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS tokens_before
+  FROM toks
+)
+SELECT doc_id, n_tokens, CAST(floor(tokens_before / 2048) AS BIGINT) AS pack_id
+FROM runs""",
+)
+def x_token_packing(spark, sf_dir):
+    """Greedy sequence packing: assign docs (in stable doc_id order) to
+    2048-token training bins by running token count — the batch-construction
+    op between dedup and tokenization. The global running sum is the one
+    intentionally serial step; at 100 TB it runs per shard (partition by
+    shard id) rather than globally."""
+    from pyspark.sql import Window as W
+
+    from metrics_database_cron_script_spark.functions.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(tokens_col()).cast("long").alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    runs = toks.withColumn(
+        "tokens_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return runs.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / 2048).cast("long").alias("pack_id"),
+    )
