@@ -273,3 +273,69 @@ def dedup_pipeline(
     near_pairs = minhash_near_dups(exact).filter(F.col("jaccard") >= max_jaccard)
     losers = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return exact.join(losers, "doc_id", "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs → dedup clusters
+    (pairs alone can't drive dedup: transitive groups A~B~C must collapse
+    to one representative). Iterative min-label propagation: every node
+    repeatedly adopts the smallest label among itself and its neighbors
+    until fixpoint. Converges in O(diameter) rounds; each round is one
+    shuffle-light join + agg. localCheckpoint per round truncates lineage
+    (the standard pattern for iterative DataFrame algorithms).
+
+    Input: (doc_a, doc_b) undirected edges. Output: (doc_id, component)
+    where component = min doc_id reachable.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """Cluster-level near-dup dedup: MinHash pairs above `min_jaccard` →
+    connected components → one surviving representative (min doc_id) per
+    cluster. Returns (doc_id, component, is_representative)."""
+    pairs = minhash_near_dups(docs).filter(F.col("jaccard") >= min_jaccard)
+    comps = connected_components(pairs)
+    return comps.withColumn(
+        "is_representative", F.col("doc_id") == F.col("component")
+    )

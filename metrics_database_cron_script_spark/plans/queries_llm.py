@@ -368,3 +368,8 @@ def x_token_packing(spark, sf_dir):
         "n_tokens",
         F.floor(F.col("tokens_before") / 2048).cast("long").alias("pack_id"),
     )
+
+
+@query("x_dedup_clusters", oracle=None)  # iterative fixpoint → rows-only
+def x_dedup_clusters(spark, sf_dir):
+    return D.dedup_clusters(load_table(spark, sf_dir, "documents"), min_jaccard=0.5)

@@ -112,3 +112,29 @@ def test_ivf_topk_finds_planted_neighbor(spark):
     # a near-identical vector quantizes to the same k-means cell
     got = {r["vec_id"]: r["cos"] for r in ivf_topk(corpus, queries, k=3).collect()}
     assert 100003 in got and got[100003] > 0.999
+
+
+def test_connected_components_transitive_chain(spark):
+    from metrics_database_cron_script_spark.functions.dedup import (
+        connected_components,
+    )
+
+    # two chains: 1-2-3-4 (via pairwise edges) and 10-11; singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    comps = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps[1] == comps[2] == comps[3] == comps[4] == 1
+    assert comps[10] == comps[11] == 10
+    assert comps[20] == comps[21] == 20
+
+
+def test_dedup_clusters_collapse_planted_transitive_group(spark, docs_with_plants):
+    from metrics_database_cron_script_spark.functions.dedup import dedup_clusters
+
+    # plants: 100007 exact copy of 7, 100008 near copy → all one cluster
+    out = {r["doc_id"]: (r["component"], r["is_representative"])
+           for r in dedup_clusters(docs_with_plants, min_jaccard=0.5).collect()}
+    assert out[7] == (7, True)
+    assert out[100007][0] == 7 and not out[100007][1]
+    assert out[100008][0] == 7 and not out[100008][1]
