@@ -96,3 +96,58 @@ def multimodal_meta(docs: DataFrame) -> DataFrame:
         F.col("meta.source").alias("source"),
         F.col("meta.mime").alias("mime"),
     )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame binary"
+RESIZE_SCHEMA = "doc_id long, resized binary, orig_bytes long"
+
+
+def _frame_sample(frame_size: int, every_k: int):
+    """Frame sampling over opaque payloads: split each blob into fixed-size
+    frames, keep every k-th — the video-keyframe-extraction batch shape
+    (swap the byte slicing for ffmpeg/pyav on a cluster with codecs)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[i : i + frame_size]
+                    for i in range(0, len(payload), frame_size)
+                ]
+                for idx in range(0, len(frames), every_k):
+                    out.append((doc_id, idx, frames[idx]))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
+
+    return gen
+
+
+def frame_sample(blobs: DataFrame, frame_size: int = 64, every_k: int = 4) -> DataFrame:
+    return blobs.select("doc_id", "payload").mapInPandas(
+        _frame_sample(frame_size, every_k), schema=FRAME_SCHEMA
+    )
+
+
+def _resize(target_bytes: int):
+    """'Resize' over opaque payloads: uniform byte subsampling to a fixed
+    length — the image-thumbnailing batch shape (swap for PIL.resize)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    out.append((doc_id, b"", 0))
+                    continue
+                idx = np.linspace(0, arr.size - 1, num=min(target_bytes, arr.size))
+                out.append((doc_id, arr[idx.astype(int)].tobytes(), int(arr.size)))
+            yield pd.DataFrame(out, columns=["doc_id", "resized", "orig_bytes"])
+
+    return gen
+
+
+def resize_bytes(blobs: DataFrame, target_bytes: int = 32) -> DataFrame:
+    return blobs.select("doc_id", "payload").mapInPandas(
+        _resize(target_bytes), schema=RESIZE_SCHEMA
+    )

@@ -373,3 +373,15 @@ def x_token_packing(spark, sf_dir):
 @query("x_dedup_clusters", oracle=None)  # iterative fixpoint → rows-only
 def x_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(load_table(spark, sf_dir, "documents"), min_jaccard=0.5)
+
+
+@query("x_multimodal_frames", oracle=None)  # mapInPandas plumbing → rows-only
+def x_multimodal_frames(spark, sf_dir):
+    blobs = M.blob_table(load_table(spark, sf_dir, "documents"))
+    return M.frame_sample(blobs, frame_size=64, every_k=4)
+
+
+@query("x_multimodal_resize", oracle=None)  # mapInPandas plumbing → rows-only
+def x_multimodal_resize(spark, sf_dir):
+    blobs = M.blob_table(load_table(spark, sf_dir, "documents"))
+    return M.resize_bytes(blobs, target_bytes=32)

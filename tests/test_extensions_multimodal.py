@@ -1,0 +1,49 @@
+"""Multimodal UDF plumbing: deterministic byte-level stand-ins for
+decode/resize/frame-sample, exercised end-to-end through mapInPandas."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_frame_sample_shapes(spark):
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        blob_table,
+        frame_sample,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    blobs = blob_table(load_table(spark, SF_SMOKE, "documents").limit(20))
+    frames = frame_sample(blobs, frame_size=64, every_k=4).collect()
+    assert len(frames) > 0
+    assert all(r["frame_idx"] % 4 == 0 for r in frames)
+    assert all(len(r["frame"]) <= 64 for r in frames)
+
+
+def test_resize_bytes_fixed_length(spark):
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        blob_table,
+        resize_bytes,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    blobs = blob_table(load_table(spark, SF_SMOKE, "documents").limit(20))
+    rows = resize_bytes(blobs, target_bytes=32).collect()
+    assert len(rows) == 20
+    assert all(len(r["resized"]) == 32 for r in rows)  # fixture docs ≥ 32 bytes
+    assert all(r["orig_bytes"] >= 32 for r in rows)
+
+
+def test_decode_image_is_clearly_stubbed():
+    import pytest as _pytest
+
+    from metrics_database_cron_script_spark.functions.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL present; stub not exercised")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\x89PNG...")
