@@ -215,7 +215,7 @@ def char_ngram_jaccard(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2) ->
         "source",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.length("text") - n),
+                F.sequence(F.lit(0), F.greatest(F.length("text") - n, F.lit(0))),
                 lambda i: F.col("text").substr(i + 1, F.lit(n)),
             )
         ).alias("gram"),

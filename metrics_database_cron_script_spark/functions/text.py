@@ -131,7 +131,9 @@ def fingerprint(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.length("text") - k),
+                # greatest(…, 0): a doc shorter than k chars yields one
+                # truncated gram instead of a negative-length sequence error
+                F.sequence(F.lit(0), F.greatest(F.length("text") - k, F.lit(0))),
                 lambda i: F.col("text").substr(i + 1, F.lit(k)),
             )
         ).alias("pos", "gram"),

@@ -47,3 +47,33 @@ def test_decode_image_is_clearly_stubbed():
         pass
     with _pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\x89PNG...")
+
+
+def test_text_ops_survive_tiny_and_empty_docs(spark):
+    """Short/empty documents must not crash the char-gram operators
+    (negative-length sequence guard)."""
+    from metrics_database_cron_script_spark.functions.dedup import (
+        char_ngram_jaccard,
+        minhash_near_dups,
+        word_shingles,
+    )
+    from metrics_database_cron_script_spark.functions.text import (
+        fingerprint,
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "en", "s0", 1),
+            (2, "", "en", "s0", 0),
+            (3, "ab cd", "en", "s1", 5),
+            (4, "the quick brown fox jumps over the lazy dog again and again", "en", "s1", 60),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert fingerprint(docs).count() >= 1
+    assert word_shingles(docs).count() >= 1
+    assert char_ngram_jaccard(docs).count() >= 0
+    assert minhash_near_dups(docs).count() >= 0
+    q = {r["doc_id"]: r["n_words"] for r in quality_score(docs).collect()}
+    assert q[2] == 0 and q[4] > 5
