@@ -207,10 +207,20 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 16) -> DataFrame:
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def char_ngram_jaccard(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2) -> DataFrame:
-    """Char n-gram Jaccard for pairs within the same `source` (blocking key —
-    the pattern for bounding pairwise work when no LSH is warranted)."""
-    grams = fan_out(docs).select(
+def char_ngram_jaccard(
+    docs: DataFrame, n: int = 6, min_jaccard: float = 0.5, max_df: int = 32
+) -> DataFrame:
+    """Char n-gram Jaccard over DISCRIMINATIVE grams: grams with document
+    frequency > max_df inside the `source` block are excluded from numerator
+    and denominator symmetrically — they occur in ~every doc of the block,
+    so they carry no near-dup signal, only O(|block|²) join cost (the
+    inverted-index stop-gram rule; measured 33 s → ~10 s at sf0.1 on
+    shared-vocabulary text). The Jaccard is computed in ONE pass by
+    aggregating the rare-gram posting-list self-join; all join keys are
+    64-bit gram hashes, never strings."""
+    # grams are 64-bit hashes from the start: every downstream shuffle/join
+    # moves (long, long) keys, never strings
+    exploded = fan_out(docs).select(
         "doc_id",
         "source",
         F.explode(
@@ -219,19 +229,32 @@ def char_ngram_jaccard(docs: DataFrame, n: int = 3, min_jaccard: float = 0.2) ->
                 lambda i: F.col("text").substr(i + 1, F.lit(n)),
             )
         ).alias("gram"),
-    ).distinct()
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    ga = grams.select(F.col("doc_id").alias("doc_a"), "source", "gram")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), "source", "gram")
+    )
+    grams = (
+        exploded.select("doc_id", "source", F.xxhash64("gram").alias("gram_h"))
+        .distinct()
+        .persist()
+    )
+    df = grams.groupBy("source", "gram_h").agg(F.count(F.lit(1)).alias("df"))
+    rare = grams.join(df.filter(F.col("df") <= max_df), ["source", "gram_h"]).persist()
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "source", "gram_h")
+    rb = rare.select(F.col("doc_id").alias("doc_b"), "source", "gram_h")
     inter = (
-        ga.join(gb, ["source", "gram"])
+        ra.join(rb, ["source", "gram_h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -138,3 +138,14 @@ def test_dedup_clusters_collapse_planted_transitive_group(spark, docs_with_plant
     assert out[7] == (7, True)
     assert out[100007][0] == 7 and not out[100007][1]
     assert out[100008][0] == 7 and not out[100008][1]
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark, docs_with_plants):
+    from metrics_database_cron_script_spark.functions.dedup import char_ngram_jaccard
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in char_ngram_jaccard(docs_with_plants).collect()
+    }
+    assert pairs[(7, 100007)] == 1.0  # exact copy → identical rare-gram sets
+    assert (7, 100008) in pairs and pairs[(7, 100008)] > 0.8  # one-word edit
