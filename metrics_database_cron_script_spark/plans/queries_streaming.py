@@ -49,7 +49,7 @@ def s_sliding(spark, sf_dir):
 WITH marked AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -74,7 +74,7 @@ def s_session(spark, sf_dir):
 WITH marked AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -65,12 +65,17 @@ def session_gaps_islands(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """The same sessionization as `session()` built from first principles
     (lag + cumulative sum over gap markers) — the form that generalizes to
     engines without session_window, and the cross-check for boundary-tie
-    semantics (gap strictly-greater-or-equal starts a new session)."""
+    semantics (a new session starts only when the gap is STRICTLY exceeded;
+    an event exactly at last_ts+gap extends the session, matching
+    session_window's end-inclusive merge)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.expr(f"INTERVAL {gap_minutes} MINUTES")
     prev = F.lag("ts").over(w)
+    # STRICT >: an event exactly at prev+gap still extends the session —
+    # session_window's merge is end-inclusive (caught by the boundary-tie
+    # property test; fixtures alone never exercise exact ties)
     marked = events.withColumn(
-        "new_sess", F.when(prev.isNull() | (F.col("ts") >= prev + gap), 1).otherwise(0)
+        "new_sess", F.when(prev.isNull() | (F.col("ts") > prev + gap), 1).otherwise(0)
     )
     sess = marked.withColumn(
         "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
