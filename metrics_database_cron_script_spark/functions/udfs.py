@@ -29,3 +29,10 @@ def tx_dollar_value(
         ),
     )
     return pd.Series(out)
+
+
+@F.pandas_udf("double")
+def pd_mean(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF — the aggregate-UDF surface that also works
+    OVER a window frame (unlike applyInPandas); Arrow-batched per group."""
+    return float(v.mean())

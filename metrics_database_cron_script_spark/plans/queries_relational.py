@@ -1437,3 +1437,29 @@ def c_from_json(spark, sf_dir):
         F.col("p.k").alias("k_val"),
         (F.col("p.k") % 10).alias("k_mod"),
     )
+
+
+@query(
+    "c_udaf_window",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_mean
+FROM events""",
+)
+def c_udaf_window(spark, sf_dir):
+    """A grouped-agg pandas UDF evaluated OVER a window frame (the third UDF
+    surface besides scalar pandas UDF and applyInPandas UDAF) — must match
+    the built-in AVG over the identical frame."""
+    from pyspark.sql import Window as W
+
+    from metrics_database_cron_script_spark.functions.udfs import pd_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(pd_mean("value").over(w), 6).alias("rolling_mean"),
+    )
