@@ -34,6 +34,10 @@ HEADLINE = [
     "x_text_tokens",
     "x_near_dup_minhash",
     "x_embed_cosine_topk",
+    # added end of round 1 (baseline for future rounds)
+    "c_multi_join",
+    "x_tfidf",
+    "x_ngram_jaccard",
 ]
 
 

@@ -138,8 +138,33 @@ def x_token_count(spark, sf_dir):
     return TX.token_count_modes(load_table(spark, sf_dir, "documents"))
 
 
-@query("x_lang_id", oracle=None)  # heuristic scorer → rows-only
+@query(
+    "x_lang_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_de,
+       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and', 'is'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_en,
+       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'y', 'es'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_es,
+       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'est', 'les'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_fr,
+       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('de', 'shi', 'le', 'bu'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_zh
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE
+            WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+            WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+            WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'zh'
+       END AS predicted_lang,
+       ROUND(greatest(score_de, score_en, score_es, score_fr, score_zh), 6) AS confidence
+FROM s""",
+)
 def x_lang_id(spark, sf_dir):
+    # SQL-oracled: scores, argmax (ties broken in sorted-language order on
+    # both sides), and confidence all re-derived in DuckDB
     return TX.lang_id(load_table(spark, sf_dir, "documents"))
 
 
