@@ -63,7 +63,9 @@ TABLES: dict[str, T.StructType] = {
             T.StructField("o_custkey", T.LongType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampType()),
+            # parquet ms-timestamps carry isAdjustedToUTC=false → Spark 4
+            # reads them as TIMESTAMP_NTZ (wall-clock, TZ-independent)
+            T.StructField("o_orderdate", T.TimestampNTZType()),
             T.StructField("o_orderpriority", T.StringType()),
         ]
     ),
@@ -79,7 +81,7 @@ TABLES: dict[str, T.StructType] = {
             T.StructField("l_tax", T.DoubleType()),
             T.StructField("l_returnflag", T.StringType()),
             T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
     "events": T.StructType(
@@ -135,7 +137,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     declared = TABLES[name]
     for field in declared.fields:
-        if isinstance(field.dataType, T.TimestampType) and isinstance(
+        if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)) and isinstance(
             df.schema[field.name].dataType, T.LongType
         ):
             df = df.withColumn(

@@ -66,3 +66,33 @@ def test_json_lines_with_nested_payload(spark, tmp_path):
     )
     got = {r["id"]: r["usd"] for r in parsed.collect()}
     assert got == {1: 7.5, 2: 8.25}
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """Lake-style schema evolution: a later batch adds a column; mergeSchema
+    reads both generations, old rows NULL-filled — the pattern for evolving
+    fact tables without rewrites."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    v1.write.parquet(f"{path}/batch=1")
+    v2 = spark.createDataFrame([(2, 20.0, "eu")], "k long, v double, region string")
+    v2.write.parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    rows = {r["k"]: r["region"] for r in merged.collect()}
+    assert rows == {1: None, 2: "eu"}
+    assert set(merged.columns) >= {"k", "v", "region"}
+
+
+def test_declared_schemas_match_fixtures(spark):
+    """Guard against fixture/schema drift: every declared StructType must
+    agree with the actual parquet files (names in order + compatible types)."""
+    from tests.conftest import SF_SMOKE
+
+    from metrics_database_cron_script_spark.sources import TABLES, load_table
+
+    for name, declared in TABLES.items():
+        df = load_table(spark, SF_SMOKE, name)
+        assert [f.name for f in declared.fields] == df.columns, name
+        for field in declared.fields:
+            actual = df.schema[field.name].dataType
+            assert actual == field.dataType, (name, field.name, actual, field.dataType)
