@@ -1463,3 +1463,52 @@ def c_udaf_window(spark, sf_dir):
         "user_id",
         F.round(pd_mean("value").over(w), 6).alias("rolling_mean"),
     )
+
+
+@query(
+    "c_filter_clause",
+    oracle="""
+SELECT user_id,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_total,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 2) AS click_total,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+FROM events GROUP BY user_id""",
+)
+def c_filter_clause(spark, sf_dir):
+    """SQL FILTER clause on aggregates (the standard form of conditional
+    aggregation, beyond CASE-wrapping)."""
+    v = _view(spark, sf_dir, "events", "__v_events_filter")
+    return spark.sql(
+        f"""SELECT user_id,
+                   ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_total,
+                   ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 2) AS click_total,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+            FROM {v} GROUP BY user_id"""
+    )
+
+
+@query(
+    "c_lateral_join",
+    oracle="""
+SELECT o.o_orderkey, l.top_price, l.n_lines
+FROM orders o,
+LATERAL (
+  SELECT MAX(l_extendedprice) AS top_price, COUNT(*) AS n_lines
+  FROM lineitem WHERE l_orderkey = o.o_orderkey
+) l
+WHERE l.n_lines > 0""",
+)
+def c_lateral_join(spark, sf_dir):
+    """Correlated LATERAL subquery — per-order aggregate computed inline
+    (Catalyst decorrelates to a grouped join, same as DuckDB)."""
+    vo = _view(spark, sf_dir, "orders", "__v_orders_lat")
+    vl = _view(spark, sf_dir, "lineitem", "__v_lineitem_lat")
+    return spark.sql(
+        f"""SELECT o.o_orderkey, l.top_price, l.n_lines
+            FROM {vo} o,
+            LATERAL (
+              SELECT MAX(l_extendedprice) AS top_price, COUNT(*) AS n_lines
+              FROM {vl} WHERE l_orderkey = o.o_orderkey
+            ) l
+            WHERE l.n_lines > 0"""
+    )
