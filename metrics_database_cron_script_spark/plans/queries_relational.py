@@ -1512,3 +1512,52 @@ def c_lateral_join(spark, sf_dir):
             ) l
             WHERE l.n_lines > 0"""
     )
+
+
+@query(
+    "c_grouping_id",
+    oracle="""
+SELECT c_mktsegment, c_nationkey,
+       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+       CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat,
+       COUNT(*) AS n
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""",
+)
+def c_grouping_id(spark, sf_dir):
+    """GROUPING() markers distinguish subtotal NULLs from data NULLs in
+    grouping-set output — required for correct rollup consumers."""
+    v = _view(spark, sf_dir, "customer", "__v_cust_gid")
+    return spark.sql(
+        f"""SELECT c_mktsegment, c_nationkey,
+                   CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+                   CAST(GROUPING(c_nationkey) AS BIGINT) AS g_nat,
+                   COUNT(*) AS n
+            FROM {v}
+            GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())"""
+    )
+
+
+@query(
+    "c_window_partition_only",
+    oracle="""
+SELECT event_id, event_type, value,
+       ROUND(SUM(value) OVER (PARTITION BY event_type), 2) AS type_total,
+       ROUND(value / SUM(value) OVER (PARTITION BY event_type), 6) AS share
+FROM events""",
+)
+def c_window_partition_only(spark, sf_dir):
+    """Whole-partition window (no ORDER BY → unbounded frame): per-row share
+    of group total without collapsing rows — the 'ratio to report' pattern."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    total = F.sum("value").over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(total, 2).alias("type_total"),
+        F.round(F.col("value") / total, 6).alias("share"),
+    )
