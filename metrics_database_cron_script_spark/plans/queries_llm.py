@@ -410,3 +410,26 @@ def x_multimodal_frames(spark, sf_dir):
 def x_multimodal_resize(spark, sf_dir):
     blobs = M.blob_table(load_table(spark, sf_dir, "documents"))
     return M.resize_bytes(blobs, target_bytes=32)
+
+
+@query(
+    "x_interleave_sources",
+    oracle="""
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS round,
+       CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS source_idx
+FROM documents""",
+)
+def x_interleave_sources(spark, sf_dir):
+    """Deterministic source interleaving for training order: position within
+    source (round) × source index — consuming in (round, source_idx) order
+    round-robins the sources, the standard mixture-scheduling primitive."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(W.partitionBy("source").orderBy("doc_id")).alias("round"),
+        F.dense_rank().over(W.orderBy("source")).cast("long").alias("source_idx"),
+    )

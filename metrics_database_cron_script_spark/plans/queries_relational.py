@@ -1561,3 +1561,29 @@ def c_window_partition_only(spark, sf_dir):
         F.round(total, 2).alias("type_total"),
         F.round(F.col("value") / total, 6).alias("share"),
     )
+
+
+@query(
+    "c_values_inline",
+    oracle="""
+SELECT e.event_type, d.label, COUNT(*) AS n
+FROM events e
+JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'conversion'), ('signup', 'conversion'),
+             ('error', 'failure')) AS d(event_type, label)
+  ON e.event_type = d.event_type
+GROUP BY e.event_type, d.label""",
+)
+def c_values_inline(spark, sf_dir):
+    """Inline VALUES dimension (code-defined lookup table joined without any
+    external source — the tiny-static-dim pattern)."""
+    v = _view(spark, sf_dir, "events", "__v_events_values")
+    return spark.sql(
+        f"""SELECT e.event_type, d.label, COUNT(*) AS n
+            FROM {v} e
+            JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+                         ('purchase', 'conversion'), ('signup', 'conversion'),
+                         ('error', 'failure')) AS d(event_type, label)
+              ON e.event_type = d.event_type
+            GROUP BY e.event_type, d.label"""
+    )
