@@ -433,3 +433,50 @@ def x_interleave_sources(spark, sf_dir):
         F.row_number().over(W.partitionBy("source").orderBy("doc_id")).alias("round"),
         F.dense_rank().over(W.orderBy("source")).cast("long").alias("source_idx"),
     )
+
+
+@query(
+    "x_lexical_diversity",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(toks) > 0
+            THEN ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+       END AS ttr
+FROM t""",
+)
+def x_lexical_diversity(spark, sf_dir):
+    """Type-token ratio per doc (lexical diversity — a standard text-quality
+    signal complementing x_quality_score)."""
+    from metrics_database_cron_script_spark.functions.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
+        F.when(n > 0, F.round(nd.cast("double") / n, 6)).alias("ttr"),
+    )
+
+
+@query(
+    "x_char_histogram",
+    oracle="""
+SELECT ch, COUNT(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch FROM documents)
+GROUP BY ch""",
+)
+def x_char_histogram(spark, sf_dir):
+    """Corpus letter-frequency histogram (the cheap signal behind encoding
+    and language sanity checks)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]"), F.lit(0))).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

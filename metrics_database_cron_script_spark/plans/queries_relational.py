@@ -1587,3 +1587,21 @@ def c_values_inline(spark, sf_dir):
               ON e.event_type = d.event_type
             GROUP BY e.event_type, d.label"""
     )
+
+
+@query(
+    "c_regex_groups",
+    oracle=r"""
+SELECT p_partkey,
+       regexp_replace(p_name, '^(\w+) (\w+)$', '\2 \1') AS name_swapped,
+       split_part(p_type, ' ', 1) AS type_head
+FROM part""",
+)
+def c_regex_groups(spark, sf_dir):
+    # replacement-group dialects differ: Spark uses $1, DuckDB \1
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", r"^(\w+) (\w+)$", r"$2 $1").alias("name_swapped"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
