@@ -480,3 +480,30 @@ def x_char_histogram(spark, sf_dir):
         .groupBy("ch")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "x_source_mixture",
+    oracle="""
+WITH weights AS (
+  SELECT * FROM (VALUES ('src0', 90), ('src1', 50), ('src2', 10)) AS w(source, pct)
+)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN weights w ON d.source = w.source
+WHERE ((d.doc_id * 2654435761) % 4294967296) % 100 < w.pct""",
+)
+def x_source_mixture(spark, sf_dir):
+    """Weighted source mixture: per-source keep-fractions applied via the
+    deterministic hash bucket (the dataset-mixing step that tunes the
+    training distribution — upsample src0, downsample src2)."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("src0", 90), ("src1", 50), ("src2", 10)], "source string, pct int"
+    )
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    return (
+        d.join(F.broadcast(weights), "source")
+        .filter(bucket < F.col("pct"))
+        .select("doc_id", "source")
+    )

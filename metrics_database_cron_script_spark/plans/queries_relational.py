@@ -1605,3 +1605,35 @@ def c_regex_groups(spark, sf_dir):
         F.regexp_replace("p_name", r"^(\w+) (\w+)$", r"$2 $1").alias("name_swapped"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
     )
+
+
+@query(
+    "c_intersect_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def c_intersect_all(spark, sf_dir):
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two sides) —
+    the multiset complement to c_intersect's set form."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "c_except_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def c_except_all(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL (per-occurrence removal) — the multiset
+    difference c_except deliberately avoids."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
