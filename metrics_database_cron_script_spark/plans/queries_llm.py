@@ -5,6 +5,7 @@ rows-only per the contract; everything string/count-shaped has a SQL oracle."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from metrics_database_cron_script_spark.functions import dedup as D
@@ -506,4 +507,367 @@ def x_source_mixture(spark, sf_dir):
         d.join(F.broadcast(weights), "source")
         .filter(bucket < F.col("pct"))
         .select("doc_id", "source")
+    )
+
+
+@query(
+    "x_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_filter(list_transform(t,
+             (x, i) -> CASE WHEN i < len(t) THEN x || ' ' || t[i + 1] END),
+             g -> g IS NOT NULL)) AS g
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_filter(list_transform(t,
+             (x, i) -> CASE WHEN i + 2 <= len(t)
+                       THEN x || ' ' || t[i + 1] || ' ' || t[i + 2] END),
+             g -> g IS NOT NULL)) AS g
+  FROM toks
+), per AS (
+  SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g
+), frac AS (
+  SELECT doc_id, n,
+         ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6) AS f
+  FROM per GROUP BY doc_id, n
+)
+SELECT doc_id,
+       MAX(CASE WHEN n = 1 THEN f END) AS dup_word_frac,
+       MAX(CASE WHEN n = 2 THEN f END) AS dup_2gram_frac,
+       MAX(CASE WHEN n = 3 THEN f END) AS dup_3gram_frac
+FROM frac GROUP BY doc_id""",
+)
+def x_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: per document, the fraction of n-gram
+    occurrences (n=1,2,3) that belong to an n-gram appearing more than once
+    in that document. One union of tagged gram streams → a single shuffle
+    chain (group → re-group → conditional pivot), no per-n passes over the
+    corpus. Token array materialized in its own projection (interpreted HOFs
+    re-evaluate inlined exprs per element)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    def gram_stream(n: int):
+        if n == 1:
+            g = F.explode("t")
+        else:
+            g = F.explode(
+                F.expr(
+                    f"CASE WHEN size(t) >= {n} THEN transform(sequence(0, size(t) - {n}),"
+                    f" i -> concat_ws(' ', slice(t, i + 1, {n}))) ELSE array() END"
+                )
+            )
+        return toks.select("doc_id", F.lit(n).alias("n"), g.alias("g"))
+    grams = gram_stream(1).unionByName(gram_stream(2)).unionByName(gram_stream(3))
+    per = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    frac = per.groupBy("doc_id", "n").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 6
+        ).alias("f")
+    )
+    return frac.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("f"))).alias("dup_word_frac"),
+        F.max(F.when(F.col("n") == 2, F.col("f"))).alias("dup_2gram_frac"),
+        F.max(F.when(F.col("n") == 3, F.col("f"))).alias("dup_3gram_frac"),
+    )
+
+
+@query(
+    "x_boilerplate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(t,
+             (x, i) -> CASE WHEN i + 3 <= len(t)
+                       THEN x || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] END),
+             g -> g IS NOT NULL)) AS g
+  FROM toks
+)
+SELECT g AS phrase,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 3""",
+)
+def x_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate detection: exact 4-gram phrases occurring in
+    >= 3 distinct documents (the repeated-template signal used to strip
+    headers/footers/navigation from web-crawl training data)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 4 THEN transform(sequence(0, size(t) - 4),"
+                " i -> concat_ws(' ', slice(t, i + 1, 4))) ELSE array() END"
+            )
+        ).alias("phrase"),
+    )
+    return (
+        grams.groupBy("phrase")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )
+
+
+@query(
+    "x_word_entropy",
+    oracle="""
+WITH cnt AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), per AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM cnt GROUP BY doc_id, w
+), tot AS (
+  SELECT doc_id, SUM(c) AS n FROM per GROUP BY doc_id
+)
+SELECT per.doc_id,
+       ROUND(-SUM((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy,
+       CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM per JOIN tot ON per.doc_id = tot.doc_id
+GROUP BY per.doc_id""",
+)
+def x_word_entropy(spark, sf_dir):
+    """Per-document unigram (Shannon) entropy in nats — the
+    randomness/diversity quality signal (low entropy = degenerate or
+    template text). Window-based total avoids a second shuffle: counts and
+    the per-doc total come from one grouped pass + a partition-local
+    window."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    per = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(win)
+    return (
+        per.withColumn("plogp", p * F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum("plogp"), 6).alias("entropy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        )
+    )
+
+
+@query(
+    "x_zipf",
+    oracle="""
+WITH freq AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+), ranked AS (
+  SELECT w, freq,
+         row_number() OVER (ORDER BY freq DESC, w ASC) AS rank
+  FROM freq
+)
+SELECT w AS term, freq, rank,
+       ROUND(ln(rank), 6) AS ln_rank,
+       ROUND(ln(freq), 6) AS ln_freq
+FROM ranked WHERE rank <= 100""",
+)
+def x_zipf(spark, sf_dir):
+    """Corpus Zipf profile: term frequencies ranked (freq desc, term asc as
+    the deterministic tie-break), log-log coordinates for the power-law fit
+    — the vocabulary health-check on a training corpus. The global rank is
+    a single-partition window over the (tiny) aggregated term table, not
+    over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("w"))
+    freq = w.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    win = Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 100)
+        .select(
+            F.col("w").alias("term"),
+            "freq",
+            "rank",
+            F.round(F.log("rank"), 6).alias("ln_rank"),
+            F.round(F.log("freq"), 6).alias("ln_freq"),
+        )
+    )
+
+
+@query(
+    "x_bigram_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), uni_n AS (SELECT SUM(c) AS n FROM uni),
+bi AS (
+  SELECT g, COUNT(*) AS c
+  FROM (SELECT unnest(list_filter(list_transform(t,
+            (x, i) -> CASE WHEN i < len(t) THEN x || ' ' || t[i + 1] END),
+            g -> g IS NOT NULL)) AS g
+        FROM toks)
+  GROUP BY g
+), bi_n AS (SELECT SUM(c) AS n FROM bi)
+SELECT bi.g AS bigram, bi.c AS n_pair,
+       ROUND(ln((bi.c * 1.0 / bi_n.n)
+                / ((u1.c * 1.0 / uni_n.n) * (u2.c * 1.0 / uni_n.n))), 6) AS pmi
+FROM bi, bi_n, uni_n
+JOIN uni u1 ON u1.w = split_part(bi.g, ' ', 1)
+JOIN uni u2 ON u2.w = split_part(bi.g, ' ', 2)
+WHERE bi.c >= 20""",
+)
+def x_bigram_pmi(spark, sf_dir):
+    """Pointwise mutual information of word bigrams (collocation mining over
+    the corpus): pmi = ln(p(xy) / (p(x)·p(y))), support-filtered. Unigram and
+    bigram totals ride along as broadcast scalar dims; the only large
+    shuffles are the two term-count groupBys."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
+                    " i -> concat_ws(' ', slice(t, i + 1, 2))) ELSE array() END"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 20)
+    )
+    uni_n = uni.agg(F.sum("c").alias("un"))
+    bi_n_all = (
+        toks.select((F.greatest(F.size("t") - 1, F.lit(0))).alias("k"))
+        .agg(F.sum("k").alias("bn"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("g"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(uni_n))
+        .crossJoin(F.broadcast(bi_n_all))
+        .select(
+            F.col("g").alias("bigram"),
+            F.col("c").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("bn"))
+                    / ((F.col("c1") / F.col("un")) * (F.col("c2") / F.col("un")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "x_drift_psi",
+    oracle="""
+WITH ref AS (SELECT event_type, value FROM events WHERE event_id % 2 = 0),
+cur AS (SELECT event_type, value FROM events WHERE event_id % 2 = 1),
+bounds AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+         COUNT(*) AS n_ref
+  FROM ref GROUP BY event_type
+), rb AS (
+  SELECT r.event_type,
+         LEAST(9, GREATEST(0, CAST(floor((r.value - b.lo) * 10.0
+                                         / NULLIF(b.hi - b.lo, 0)) AS BIGINT))) AS bkt,
+         COUNT(*) AS c
+  FROM ref r JOIN bounds b ON r.event_type = b.event_type
+  GROUP BY 1, 2
+), cb AS (
+  SELECT c.event_type,
+         LEAST(9, GREATEST(0, CAST(floor((c.value - b.lo) * 10.0
+                                         / NULLIF(b.hi - b.lo, 0)) AS BIGINT))) AS bkt,
+         COUNT(*) AS c
+  FROM cur c JOIN bounds b ON c.event_type = b.event_type
+  GROUP BY 1, 2
+), spine AS (
+  SELECT DISTINCT b.event_type, s.bkt
+  FROM bounds b, (SELECT unnest(generate_series(0, 9)) AS bkt) s
+), fr AS (
+  SELECT s.event_type, s.bkt,
+         GREATEST(COALESCE(rb.c, 0) * 1.0 / SUM(COALESCE(rb.c, 0)) OVER (PARTITION BY s.event_type), 1e-6) AS p_ref,
+         GREATEST(COALESCE(cb.c, 0) * 1.0 / SUM(COALESCE(cb.c, 0)) OVER (PARTITION BY s.event_type), 1e-6) AS p_cur
+  FROM spine s
+  LEFT JOIN rb ON rb.event_type = s.event_type AND rb.bkt = s.bkt
+  LEFT JOIN cb ON cb.event_type = s.event_type AND cb.bkt = s.bkt
+)
+SELECT event_type, ROUND(SUM((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
+FROM fr GROUP BY event_type""",
+)
+def x_drift_psi(spark, sf_dir):
+    """Population-stability-index drift check between two deterministic
+    halves of the events stream (the train-vs-serve distribution monitor):
+    10 equi-width buckets from the reference half's min/max, PSI =
+    Σ (p_cur − p_ref)·ln(p_cur/p_ref) with 1e-6 flooring on empty buckets."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    bounds = ref.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+
+    def bucketed(side, name):
+        bkt = F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    * 10.0
+                    / F.nullif(F.col("hi") - F.col("lo"), F.lit(0))
+                ).cast("bigint"),
+            ),
+        )
+        return (
+            side.join(F.broadcast(bounds), "event_type")
+            .groupBy("event_type", bkt.alias("bkt"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    rb = bucketed(ref, "cr")
+    cb = bucketed(cur, "cc")
+    spine = bounds.select("event_type").crossJoin(
+        F.broadcast(
+            F.broadcast(bounds.sparkSession.range(10).select(F.col("id").cast("bigint").alias("bkt")))
+        )
+    )
+    w = Window.partitionBy("event_type")
+    fr = (
+        spine.join(rb, ["event_type", "bkt"], "left")
+        .join(cb, ["event_type", "bkt"], "left")
+        .select(
+            "event_type",
+            "bkt",
+            F.greatest(
+                F.coalesce(F.col("cr"), F.lit(0)) / F.sum(F.coalesce(F.col("cr"), F.lit(0))).over(w),
+                F.lit(1e-6),
+            ).alias("p_ref"),
+            F.greatest(
+                F.coalesce(F.col("cc"), F.lit(0)) / F.sum(F.coalesce(F.col("cc"), F.lit(0))).over(w),
+                F.lit(1e-6),
+            ).alias("p_cur"),
+        )
+    )
+    return fr.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))),
+            6,
+        ).alias("psi")
     )

@@ -1624,6 +1624,269 @@ def c_intersect_all(spark, sf_dir):
 
 
 @query(
+    "c_median_mode",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag, l_quantity AS v, COUNT(*) AS c
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+), md AS (
+  SELECT l_returnflag, v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, v ASC) AS rn
+  FROM m
+)
+SELECT li.l_returnflag,
+       ROUND(median(li.l_quantity), 6) AS med_qty,
+       MIN(md.v) AS mode_qty
+FROM lineitem li
+JOIN md ON md.l_returnflag = li.l_returnflag AND md.rn = 1
+GROUP BY li.l_returnflag""",
+)
+def c_median_mode(spark, sf_dir):
+    """Exact median (continuous, both engines interpolate even counts) and
+    deterministic mode (lowest value among the most frequent — Spark's
+    ``mode(col, deterministic=True)``; the oracle spells out the same
+    count-desc/value-asc argmax since DuckDB's ``mode()`` tie-break is
+    unspecified)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        F.mode("l_quantity", True).alias("mode_qty"),
+    )
+
+
+@query(
+    "c_regr_agg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag""",
+)
+def c_regr_agg(spark, sf_dir):
+    """Linear-regression aggregates (slope/intercept/R²/count) — the SQL:2003
+    ordered-set family both engines implement natively."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "c_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & 255 AS key_lo,
+       l_orderkey | 4096 AS key_hi,
+       xor(l_orderkey, l_partkey) AS key_xor,
+       l_orderkey << 3 AS key_shl,
+       l_orderkey >> 2 AS key_shr,
+       CAST(bit_count(l_orderkey) AS BIGINT) AS key_bits
+FROM lineitem""",
+)
+def c_bitwise(spark, sf_dir):
+    """Bitwise scalar surface (AND/OR/XOR/shifts/popcount). Dialect note:
+    DuckDB's ``^`` is exponentiation, so the oracle uses ``xor()``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("key_lo"),
+        k.bitwiseOR(F.lit(4096)).alias("key_hi"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+        F.shiftleft(k, 3).cast("bigint").alias("key_shl"),
+        F.shiftright(k, 2).cast("bigint").alias("key_shr"),
+        F.bit_count(k).cast("bigint").alias("key_bits"),
+    )
+
+
+@query(
+    "c_window_nth",
+    oracle="""
+SELECT o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       last_value(sparse_price IGNORE NULLS) OVER w AS last_seen_sparse
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS sparse_price
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey % 10 ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def c_window_nth(spark, sf_dir):
+    """nth_value / first_value / last_value-IGNORE-NULLS over a running
+    frame — the null-skipping analytic surface (last-observation-carried-
+    forward pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy(F.col("o_custkey") % 10)
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sparse = F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last(sparse, ignorenulls=True).over(w).alias("last_seen_sparse"),
+    )
+
+
+@query(
+    "c_null_safe_join",
+    oracle="""
+WITH a AS (
+  SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey % 50 END AS k,
+         o_totalprice
+  FROM orders
+), b AS (
+  SELECT DISTINCT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 50 END AS k
+  FROM customer
+)
+SELECT b.k, COUNT(a.o_totalprice) AS n, ROUND(SUM(a.o_totalprice), 2) AS total
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY b.k""",
+)
+def c_null_safe_join(spark, sf_dir):
+    """Null-safe equality join: Spark's ``<=>`` vs ANSI ``IS NOT DISTINCT
+    FROM`` — NULL keys match each other instead of vanishing."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.select(
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("ka"),
+        "o_totalprice",
+    )
+    b = c.select(
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey") % 50)
+        .alias("k")
+    ).distinct()
+    return (
+        a.join(b, a["ka"].eqNullSafe(b["k"]), "inner")
+        .groupBy("k")
+        .agg(
+            F.count("o_totalprice").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "c_unix_time",
+    oracle="""
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec,
+       epoch_ms(ts) AS unix_ms,
+       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS unix_day,
+       CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS sec_of_day
+FROM events""",
+)
+def c_unix_time(spark, sf_dir):
+    """Epoch conversions (seconds / millis / day number) — the storage-
+    neutral time representation used for partitioning keys at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        sec.alias("unix_sec"),
+        F.unix_millis("ts").alias("unix_ms"),
+        F.floor(sec / 86400).cast("bigint").alias("unix_day"),
+        (sec % 86400).alias("sec_of_day"),
+    )
+
+
+@query(
+    "c_struct_minmax",
+    oracle="""
+SELECT event_type,
+       (min_s).v AS min_value, (min_s).e AS min_event_id,
+       (max_s).v AS max_value, (max_s).e AS max_event_id
+FROM (
+  SELECT event_type,
+         min({'v': value, 'e': event_id}) AS min_s,
+         max({'v': value, 'e': event_id}) AS max_s
+  FROM events GROUP BY event_type
+)""",
+)
+def c_struct_minmax(spark, sf_dir):
+    """Struct construction + lexicographic struct min/max (the deterministic
+    argmin/argmax idiom: the struct's second field is the tie-break), fields
+    extracted back to scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("value").alias("v"), F.col("event_id").alias("e"))
+    agg = ev.groupBy("event_type").agg(
+        F.min(s).alias("min_s"), F.max(s).alias("max_s")
+    )
+    return agg.select(
+        "event_type",
+        F.col("min_s.v").alias("min_value"),
+        F.col("min_s.e").alias("min_event_id"),
+        F.col("max_s.v").alias("max_value"),
+        F.col("max_s.e").alias("max_event_id"),
+    )
+
+
+@query(
+    "c_array_setops",
+    oracle="""
+SELECT doc_id,
+       COALESCE(array_to_string(list_sort(list_distinct(list_intersect(
+           string_split(text, ' '), ['spark', 'join', 'data', 'quantum']))), ','), '') AS kw_hits,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+       array_to_string(list_sort(list_filter(list_distinct(string_split(text, ' ')),
+           w -> NOT list_contains(['the', 'a'], w))), ',') AS vocab_no_stop
+FROM documents""",
+)
+def c_array_setops(spark, sf_dir):
+    """Array set algebra (intersect/distinct/filter/sort) on token arrays,
+    serialized with array_join so the oracle compares scalar strings (the
+    harness canonicalizes cells with str(); raw array cells would compare
+    list-vs-ndarray representations, not values)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    kw = F.array(F.lit("spark"), F.lit("join"), F.lit("data"), F.lit("quantum"))
+    stop = F.array(F.lit("the"), F.lit("a"))
+    return toks.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(F.array_intersect(F.col("t"), kw))), ",").alias("kw_hits"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_unique"),
+        F.array_join(F.array_sort(F.array_except(F.array_distinct("t"), stop)), ",").alias("vocab_no_stop"),
+    )
+
+
+@query(
+    "c_skew_salted_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+FROM events e
+JOIN customer c ON e.user_id % 100 = c.c_custkey % 1000""",
+)
+def c_skew_salted_join(spark, sf_dir):
+    """The explicit salted skew join (operators/skew.py) run through the
+    correctness gate: salting is a pure physical rewrite, so the result must
+    hash-match the plain equi-join SQL. user_id%100 against c_custkey%1000
+    makes every key hot (fixture-scale stand-in for whale keys)."""
+    from metrics_database_cron_script_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", (F.col("user_id") % 100).alias("jk")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 1000).alias("jk"), "c_mktsegment"
+    )
+    out = salted_join(ev, cust, key="jk", salt_id_col="event_id", salt_factor=8)
+    return out.select("event_id", "user_id", "c_mktsegment", "value")
+
+
+@query(
     "c_except_all",
     oracle="""
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -1637,3 +1900,150 @@ def c_except_all(spark, sf_dir):
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return a.exceptAll(b)
+
+
+@query(
+    "c_explode_outer",
+    oracle="""
+SELECT p_partkey,
+       unnest(CASE WHEN len(zw) = 0 THEN [NULL] ELSE zw END) AS zword
+FROM (SELECT p_partkey,
+             list_filter(string_split(p_name, ' '), w -> w LIKE 's%') AS zw
+      FROM part)""",
+)
+def c_explode_outer(spark, sf_dir):
+    """explode_outer: rows whose array is empty survive with a NULL element
+    (plain explode drops them — the left-join-shaped flatten). DuckDB has no
+    outer unnest, so the oracle pads empty lists with [NULL]."""
+    p = load_table(spark, sf_dir, "part")
+    zw = F.filter(F.split("p_name", " "), lambda w: w.startswith("s"))
+    return p.select("p_partkey", F.explode_outer(zw).alias("zword"))
+
+
+@query(
+    "c_histogram_buckets",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1""",
+)
+def c_histogram_buckets(spark, sf_dir):
+    """Equi-width histogram by floor-bucketing — the partition-friendly
+    aggregation underneath every distribution dashboard (single map-side
+    combinable groupBy, no sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "c_like_ilike",
+    oracle="""
+SELECT p_partkey,
+       p_name LIKE '%ol%' AS has_ol,
+       p_name ILIKE '%OL%' AS has_ol_ci,
+       p_name NOT LIKE 'a%' AS not_a,
+       (p_brand || '%' || p_type) LIKE 'Brand#1\\%%' ESCAPE '\\' AS esc_hit
+FROM part""",
+)
+def c_like_ilike(spark, sf_dir):
+    """LIKE / case-insensitive ILIKE / NOT LIKE / ESCAPE'd literal-percent
+    matching — the pattern-predicate surface (pushdown-eligible)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%ol%").alias("has_ol"),
+        F.col("p_name").ilike("%OL%").alias("has_ol_ci"),
+        (~F.col("p_name").like("a%")).alias("not_a"),
+        F.expr(r"concat(p_brand, '%', p_type) LIKE 'Brand#1\\%%' ESCAPE '\\'").alias(
+            "esc_hit"
+        ),
+    )
+
+
+@query(
+    "c_nulls_ordering",
+    oracle="""
+SELECT o_orderkey, sparse_price, CAST(pos AS BIGINT) AS pos
+FROM (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice END AS sparse_price,
+         row_number() OVER (ORDER BY (CASE WHEN o_orderkey % 4 = 0
+                                      THEN o_totalprice END) ASC NULLS LAST,
+                            o_orderkey) AS pos
+  FROM orders
+)
+WHERE pos <= 50""",
+)
+def c_nulls_ordering(spark, sf_dir):
+    """Explicit NULLS LAST ordering under a top-k: the null-placement
+    contract differs between engines' defaults (Spark ASC = nulls first,
+    DuckDB ASC = nulls last), so it must be spelled out to be portable."""
+    o = load_table(spark, sf_dir, "orders")
+    sparse = F.when(F.col("o_orderkey") % 4 == 0, F.col("o_totalprice"))
+    w = Window.orderBy(sparse.asc_nulls_last(), "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            sparse.alias("sparse_price"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .filter(F.col("pos") <= 50)
+    )
+
+
+@query(
+    "c_hash_funcs",
+    oracle="""
+SELECT p_partkey,
+       md5(p_name) AS name_md5,
+       sha256(p_name) AS name_sha256,
+       md5(p_brand || '|' || p_type) AS composite_md5
+FROM part""",
+)
+def c_hash_funcs(spark, sf_dir):
+    """Cryptographic row hashing (md5 / sha-256, lowercase hex both engines)
+    — content-addressed ids and cross-system row fingerprints."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        F.md5(F.concat_ws("|", "p_brand", "p_type")).alias("composite_md5"),
+    )
+
+
+@query(
+    "c_conditional_scalars",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       greatest(l_quantity, l_discount * 100, 10.0) AS g,
+       least(l_quantity, l_tax * 100) AS l,
+       nullif(l_returnflag, 'N') AS flag_or_null,
+       coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS flag_fallback,
+       CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_tag
+FROM lineitem""",
+)
+def c_conditional_scalars(spark, sf_dir):
+    """greatest/least/nullif/coalesce — the null-aware scalar conditionals
+    (both engines skip NULLs in greatest/least rather than propagating)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100, F.lit(10.0)).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100).alias("l"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.col("l_linestatus")).alias(
+            "flag_fallback"
+        ),
+        F.when(F.col("l_quantity") > 25, "big").otherwise("small").alias("size_tag"),
+    )

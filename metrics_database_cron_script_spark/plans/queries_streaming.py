@@ -104,3 +104,36 @@ FROM events""",
 )
 def s_late_data(spark, sf_dir):
     return SW.late_data_flags(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "s_dedup_watermark",
+    oracle="""
+WITH horizon AS (SELECT max(ts) - INTERVAL 1 DAY AS cutoff FROM events),
+ranked AS (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events, horizon WHERE ts >= cutoff
+)
+SELECT event_id, user_id, event_type, ts FROM ranked WHERE rn = 1""",
+)
+def s_dedup_watermark(spark, sf_dir):
+    """Streaming ``dropDuplicates`` semantics in batch: within the watermark
+    horizon (max(ts) − 1 day), keep the first row per (user_id, event_type)
+    in event-time order with event_id as the deterministic arrival
+    tie-break — the batch oracle for
+    ``withWatermark('ts','1 day').dropDuplicates([...])``
+    (streaming/structured.py runs the same key-dedup under readStream)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("c"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.join(F.broadcast(cutoff), F.col("ts") >= F.col("c"), "inner")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
