@@ -35,8 +35,13 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc.
+def word_shingles(docs: DataFrame, n: int = 3, hashed: bool = True) -> DataFrame:
+    """Distinct word n-gram shingles per doc — as 64-bit xxhash64 values by
+    default: every downstream consumer (distinct, signature agg, posting
+    joins) shuffles 8-byte longs instead of ~n·word strings (measured 1.23 s
+    → 1.0 s for the full minhash pipeline at sf0.1; at corpus scale the
+    shuffle-width saving is the point). ``hashed=False`` keeps the raw
+    string shingles for inspection.
 
     The token array is materialized in its own projection first: inlining
     `tokens_col()` into the transform lambda would re-run split+filter once
@@ -51,7 +56,10 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return shingled.filter(F.col("shingle") != "").distinct()
+    shingled = shingled.filter(F.col("shingle") != "")
+    if hashed:
+        shingled = shingled.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    return shingled.distinct()
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
@@ -208,7 +216,11 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 16) -> DataFrame:
 
 
 def char_ngram_jaccard(
-    docs: DataFrame, n: int = 6, min_jaccard: float = 0.5, max_df: int = 32
+    docs: DataFrame,
+    n: int = 6,
+    min_jaccard: float = 0.5,
+    max_df: int = 32,
+    sample_mod: int = 8,
 ) -> DataFrame:
     """Char n-gram Jaccard over DISCRIMINATIVE grams: grams with document
     frequency > max_df inside the `source` block are excluded from numerator
@@ -217,7 +229,16 @@ def char_ngram_jaccard(
     inverted-index stop-gram rule; measured 33 s → ~10 s at sf0.1 on
     shared-vocabulary text). The Jaccard is computed in ONE pass by
     aggregating the rare-gram posting-list self-join; all join keys are
-    64-bit gram hashes, never strings."""
+    64-bit gram hashes, never strings.
+
+    `sample_mod` applies Broder's mod-p shingle sampling (keep grams with
+    hash ≡ 0 mod p) immediately after hashing: both docs of any pair keep
+    the SAME gram subset, so the sampled-set Jaccard is an unbiased
+    estimate of the true Jaccard, while every downstream shuffle shrinks
+    ×p and the posting self-join ×p² (measured 2.5 s → 1.1 s at sf0.1
+    with identical output pairs; at 100 TB this is the difference between
+    a feasible and an infeasible join). `sample_mod=1` disables sampling
+    (exact)."""
     # grams are 64-bit hashes from the start: every downstream shuffle/join
     # moves (long, long) keys, never strings
     exploded = fan_out(docs).select(
@@ -230,11 +251,10 @@ def char_ngram_jaccard(
             )
         ).alias("gram"),
     )
-    grams = (
-        exploded.select("doc_id", "source", F.xxhash64("gram").alias("gram_h"))
-        .distinct()
-        .persist()
-    )
+    hashed = exploded.select("doc_id", "source", F.xxhash64("gram").alias("gram_h"))
+    if sample_mod > 1:
+        hashed = hashed.filter(F.pmod("gram_h", F.lit(sample_mod)) == 0)
+    grams = hashed.distinct().persist()
     df = grams.groupBy("source", "gram_h").agg(F.count(F.lit(1)).alias("df"))
     rare = grams.join(df.filter(F.col("df") <= max_df), ["source", "gram_h"]).persist()
     ra = rare.select(F.col("doc_id").alias("doc_a"), "source", "gram_h")

@@ -190,12 +190,8 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFram
     pipeline needs). Shingle hashes equi-join — benchmark side broadcast."""
     from metrics_database_cron_script_spark.functions.dedup import word_shingles
 
-    corpus_sh = word_shingles(docs, n=n).withColumn("h", F.xxhash64("shingle"))
-    bench_sh = (
-        word_shingles(benchmark, n=n)
-        .select(F.xxhash64("shingle").alias("h"))
-        .distinct()
-    )
+    corpus_sh = word_shingles(docs, n=n).withColumnRenamed("shingle", "h")
+    bench_sh = word_shingles(benchmark, n=n).select(F.col("shingle").alias("h")).distinct()
     hits = (
         corpus_sh.join(F.broadcast(bench_sh), "h")
         .groupBy("doc_id")
