@@ -137,3 +137,39 @@ def s_dedup_watermark(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@query(
+    "s_windowed_topk",
+    oracle="""
+WITH agg AS (
+  SELECT date_trunc('day', ts) AS win_start, user_id,
+         ROUND(SUM(value), 2) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start, user_id, total, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY win_start
+                                   ORDER BY total DESC, user_id) AS rk
+      FROM agg)
+WHERE rk <= 3""",
+)
+def s_windowed_topk(spark, sf_dir):
+    """Per-window top-k: daily tumbling window aggregation ranked within
+    each window (the 'trending users' shape). In streaming execution this is
+    the windowed-agg → rank-per-window composition run on window close; the
+    batch form uses the same plan, and Spark's WindowGroupLimit pushes the
+    k=3 cut below the final sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "user_id", "total")
+    )
+    wk = Window.partitionBy("win_start").orderBy(F.col("total").desc(), "user_id")
+    return (
+        agg.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )
