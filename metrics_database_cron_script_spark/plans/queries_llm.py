@@ -871,3 +871,12 @@ def x_drift_psi(spark, sf_dir):
             6,
         ).alias("psi")
     )
+
+
+@query("x_embed_sq_topk", oracle=None)  # quantization-approximate → rows-only
+def x_embed_sq_topk(spark, sf_dir):
+    """Int8 scalar-quantized top-k (similarity.sq_topk): the 4×-smaller
+    vectors path; recall vs exact cosine is asserted by
+    tests/test_dedup_quality.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.sq_topk(emb, _queries_table(spark, sf_dir), k=5)

@@ -149,3 +149,43 @@ def test_ngram_jaccard_finds_planted_near_dup(spark, docs_with_plants):
     }
     assert pairs[(7, 100007)] == 1.0  # exact copy → identical rare-gram sets
     assert (7, 100008) in pairs and pairs[(7, 100008)] > 0.8  # one-word edit
+
+
+def test_sq_topk_recall_vs_exact(spark):
+    """Int8 scalar quantization must agree with exact cosine on most of the
+    top-5 (unit-norm-ish synthetic embeddings; quantization error shifts
+    only near-ties)."""
+    from metrics_database_cron_script_spark.functions.similarity import (
+        brute_force_topk,
+        sq_topk,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {(r["q_id"], r["vec_id"]) for r in sq_topk(emb, q, k=5).collect()}
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_ngram_jaccard_sampling_consistent(spark, docs_with_plants):
+    """Broder mod-p sampling: the exact-copy pair stays at 1.0 for every p,
+    and the sampled pair set equals the exact (p=1) pair set on the planted
+    fixtures (the estimator only jitters near the threshold)."""
+    from metrics_database_cron_script_spark.functions.dedup import char_ngram_jaccard
+
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in
+        char_ngram_jaccard(docs_with_plants, sample_mod=1).collect()
+    }
+    sampled = char_ngram_jaccard(docs_with_plants, sample_mod=8).collect()
+    spairs = {(r["doc_a"], r["doc_b"]) for r in sampled}
+    sj = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in sampled}
+    assert sj[(7, 100007)] == 1.0
+    assert (7, 100008) in spairs
+    assert spairs == exact
