@@ -2163,3 +2163,88 @@ def c_tpch_q18_shape(spark, sf_dir):
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@query(
+    "c_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+       (SELECT COUNT(*) FROM s2) AS n_view_click,
+       (SELECT COUNT(*) FROM s3) AS n_view_click_purchase""",
+)
+def c_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing event times): each stage is a grouped min-timestamp joined
+    to the previous stage with a range condition — per-stage shuffles are
+    O(users who reached the stage), and each join's range predicate rides
+    the user_id equi-join, so no stage ever pairs across users."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "c_retention_cohort",
+    oracle="""
+WITH firstw AS (
+  SELECT user_id,
+         CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_w
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS act_w
+  FROM events
+)
+SELECT f.cohort_w, a.act_w - f.cohort_w AS week_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN firstw f ON a.user_id = f.user_id
+GROUP BY f.cohort_w, a.act_w - f.cohort_w""",
+)
+def c_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted per (cohort, week-offset) — the first-touch attribution window
+    (reference R15) generalized to a retention triangle. Two grouped passes
+    + one equi-join on user_id; the matrix itself is tiny (weeks²)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("bigint")
+    firstw = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_w"))
+    activity = ev.select("user_id", week(F.col("ts")).alias("act_w")).distinct()
+    return (
+        activity.join(firstw, "user_id")
+        .groupBy("cohort_w", (F.col("act_w") - F.col("cohort_w")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
