@@ -552,18 +552,25 @@ def x_repetition(spark, sf_dir):
     re-evaluate inlined exprs per element)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    def gram_stream(n: int):
+
+    def gram_arr(n: int) -> str:
         if n == 1:
-            g = F.explode("t")
-        else:
-            g = F.explode(
-                F.expr(
-                    f"CASE WHEN size(t) >= {n} THEN transform(sequence(0, size(t) - {n}),"
-                    f" i -> concat_ws(' ', slice(t, i + 1, {n}))) ELSE array() END"
-                )
-            )
-        return toks.select("doc_id", F.lit(n).alias("n"), g.alias("g"))
-    grams = gram_stream(1).unionByName(gram_stream(2)).unionByName(gram_stream(3))
+            return "transform(t, x -> struct(1 as n, x as g))"
+        return (
+            f"CASE WHEN size(t) >= {n} THEN transform(sequence(0, size(t) - {n}),"
+            f" i -> struct({n} as n, concat_ws(' ', slice(t, i + 1, {n})) as g))"
+            " ELSE array() END"
+        )
+
+    # all three gram streams from ONE scan: concat the tagged arrays in a
+    # single projection and explode once (a 3-way union would re-read the
+    # text column three times — 3× I/O at corpus scale)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"concat({gram_arr(1)}, {gram_arr(2)}, {gram_arr(3)})")
+        ).alias("ng"),
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
     per = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
     frac = per.groupBy("doc_id", "n").agg(
         F.round(
@@ -880,3 +887,34 @@ def x_embed_sq_topk(spark, sf_dir):
     tests/test_dedup_quality.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.sq_topk(emb, _queries_table(spark, sf_dir), k=5)
+
+
+@query(
+    "x_quality_buckets",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(ntile(3) OVER (PARTITION BY lang
+                           ORDER BY n_words DESC, doc_id) AS BIGINT) AS bucket
+FROM scored""",
+)
+def x_quality_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail quality terciles per language: rank docs
+    within each lang partition by a quality signal (word count here; the
+    full scorer is functions/text.quality_score) and ntile(3) — the mixture
+    knob that lets training sample 'head' quality more heavily. One window
+    shuffle on lang; bucket boundaries are data-derived, not fixed."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_words")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_words").desc(), "doc_id")
+    return scored.select(
+        "doc_id", "lang", F.ntile(3).over(w).cast("bigint").alias("bucket")
+    )

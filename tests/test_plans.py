@@ -65,3 +65,36 @@ def test_whole_stage_codegen_covers_scalar_queries(spark):
 
     # the `*(n)` prefix marks WholeStageCodegen spans in executedPlan output
     assert "*(1)" in _plan(QUERIES["c_math_funcs"](spark, SF_SMOKE))
+
+
+def test_topk_windows_use_window_group_limit(spark):
+    """Per-group top-k must ride Spark's WindowGroupLimit (partial top-k
+    below the exchange) — the optimization that bounds shuffle to k rows
+    per group per input partition; a regression to a full window sort would
+    silently 10× the shuffle at scale."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    for name in ("c_topk_per_group", "s_windowed_topk"):
+        plan = (
+            QUERIES[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan, f"{name} lost WindowGroupLimit:\n{plan}"
+
+
+def test_repetition_reads_corpus_once(spark):
+    """x_repetition derives all three n-gram streams from ONE scan (a
+    3-way union would triple corpus I/O)."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        QUERIES["x_repetition"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
