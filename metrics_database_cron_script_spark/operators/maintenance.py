@@ -1,0 +1,65 @@
+"""Table maintenance: small-file compaction for append-heavy sinks.
+
+The idempotent-append sink (state.py) adds files every cron run; after
+months of daily batches a 100 TB table becomes millions of small files and
+scan planning + open() overhead dominates. `compact` rewrites a parquet
+directory to ~`target_mb` files using the same directory-swap the snapshot
+writer uses (readers never see a half-written table; the swap is a rename).
+
+Sizing: output partition count = ceil(input_bytes / target_mb), from the
+actual on-disk footprint. Local paths are sized with os.walk; on a real
+cluster the same arithmetic runs on the FileSystem API (the call site is
+isolated here so the swap-in is one function). `repartition(n)` (round-
+robin) is used rather than `coalesce(n)`: coalesce would skip the shuffle
+but chains upstream partitioning into the write and produces skewed files
+when input files are skewed — for a maintenance rewrite, evenly-sized
+output is the point.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def parquet_file_count(path: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact(
+    spark: SparkSession, path: str, target_mb: int = 64, min_files: int = 2
+) -> int:
+    """Rewrite the parquet directory at `path` into ~target_mb files.
+    Returns the new file count. No-op (returns current count) when the
+    table already has fewer than `min_files` files or is empty."""
+    n_files = parquet_file_count(path)
+    if n_files < min_files:
+        return n_files
+    total = dir_bytes(path)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if n_out >= n_files:
+        return n_files
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return parquet_file_count(path)

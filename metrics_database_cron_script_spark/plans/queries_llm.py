@@ -735,29 +735,27 @@ def x_bigram_pmi(spark, sf_dir):
     shuffles are the two term-count groupBys."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    uni = (
-        toks.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # ONE corpus scan: unigrams and bigrams ride the same tagged explode
+    # (cf. x_repetition); the aggregated (n, gram) term table is vocabulary-
+    # sized, so it is persisted and filtered per n instead of re-scanning.
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat(transform(t, x -> struct(1 as n, x as g)),"
+                " CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
+                " i -> struct(2 as n, concat_ws(' ', slice(t, i + 1, 2)) as g))"
+                " ELSE array() END)"
+            )
+        ).alias("ng"),
+    ).select(F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    counts = grams.groupBy("n", "g").agg(F.count(F.lit(1)).alias("c")).persist()
+    uni = counts.filter(F.col("n") == 1).select(F.col("g").alias("w"), "c")
     bi = (
-        toks.select(
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
-                    " i -> concat_ws(' ', slice(t, i + 1, 2))) ELSE array() END"
-                )
-            ).alias("g")
-        )
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 20)
+        counts.filter((F.col("n") == 2) & (F.col("c") >= 20)).select("g", "c")
     )
     uni_n = uni.agg(F.sum("c").alias("un"))
-    bi_n_all = (
-        toks.select((F.greatest(F.size("t") - 1, F.lit(0))).alias("k"))
-        .agg(F.sum("k").alias("bn"))
-    )
+    bi_n_all = counts.filter(F.col("n") == 2).agg(F.sum("c").alias("bn"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (

@@ -56,3 +56,35 @@ def test_compact_bin_packs_small_files(spark, tmp_path):
     assert after == 1
     rows = {r["k"] for r in spark.read.parquet(path).collect()}
     assert rows == set(range(10))
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Small-file compaction: 40 single-row appends collapse to one
+    target-sized file, content identical, directory swap leaves no temp
+    dirs behind."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact,
+        parquet_file_count,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "events_sink")
+    ev = load_table(spark, SF_SMOKE, "events").limit(40).drop("props")
+    for chunk in range(4):
+        ev.filter(F.col("event_id") % 4 == chunk).repartition(10).write.mode(
+            "append"
+        ).parquet(path)
+    before = parquet_file_count(path)
+    assert before >= 20
+    orig = sorted(r["event_id"] for r in spark.read.parquet(path).collect())
+
+    after = compact(spark, path, target_mb=64)
+    assert after < before
+    assert sorted(r["event_id"] for r in spark.read.parquet(path).collect()) == orig
+    import os
+
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
