@@ -26,12 +26,21 @@ def asof_join_broadcast_dim(
     probe_key: str,
     dim_key: str,
     how: str = "left",
+    tolerance_days: int | None = None,
 ) -> DataFrame:
     """Join each probe row to the dim row with the greatest ``dim_key`` ≤
-    ``probe_key``. ``dim`` must be broadcast-sized and have unique keys."""
+    ``probe_key``. ``dim`` must be broadcast-sized and have unique keys.
+
+    ``tolerance_days`` bounds the staleness (pandas ``merge_asof``
+    tolerance): a probe only matches when the dim row is at most that many
+    days older; staler probes fall through to NULL under ``how='left'``."""
     nxt = F.lead(dim_key).over(Window.orderBy(dim_key))
     intervals = dim.withColumn("__asof_end", nxt)
     cond = (probe[probe_key] >= intervals[dim_key]) & (
         intervals["__asof_end"].isNull() | (probe[probe_key] < intervals["__asof_end"])
     )
+    if tolerance_days is not None:
+        cond = cond & (
+            F.datediff(probe[probe_key], intervals[dim_key]) <= tolerance_days
+        )
     return probe.join(F.broadcast(intervals), cond, how).drop("__asof_end")

@@ -2248,3 +2248,39 @@ def c_retention_cohort(spark, sf_dir):
         .groupBy("cohort_w", (F.col("act_w") - F.col("cohort_w")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "c_asof_tolerance",
+    oracle="""
+WITH dim AS (
+  SELECT CAST(ts AS DATE) AS date, ROUND(AVG(value), 6) AS price
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), m AS (
+  SELECT e.event_id, CAST(e.ts AS DATE) AS e_day, MAX(d.date) AS price_date
+  FROM events e LEFT JOIN dim d
+    ON d.date <= CAST(e.ts AS DATE)
+   AND d.date >= CAST(e.ts AS DATE) - INTERVAL 3 DAY
+  GROUP BY e.event_id, CAST(e.ts AS DATE)
+)
+SELECT m.event_id, m.e_day, m.price_date, d.price
+FROM m LEFT JOIN dim d ON d.date = m.price_date""",
+)
+def c_asof_tolerance(spark, sf_dir):
+    """As-of join with bounded staleness (merge_asof tolerance): match the
+    latest dim row at most 3 days old, NULL beyond — the point-in-time
+    lookup that refuses stale data. The sparser 'signup' dim makes the
+    tolerance bite (some probes have no fresh-enough price)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.round(F.avg("value"), 6).alias("price"))
+    )
+    probe = ev.select("event_id", F.to_date("ts").alias("e_day"))
+    joined = asof_join_broadcast_dim(
+        probe, dim, probe_key="e_day", dim_key="date", tolerance_days=3
+    )
+    return joined.select(
+        "event_id", "e_day", F.col("date").alias("price_date"), "price"
+    )

@@ -39,3 +39,58 @@ def test_asof_join_matches_pandas_merge_asof(spark, dim_keys, probe_keys):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    dim_keys=st.sets(st.integers(0, 50), min_size=1, max_size=10),
+    probe_keys=st.lists(st.integers(-5, 55), min_size=1, max_size=25),
+    tol=st.integers(0, 10),
+)
+def test_asof_tolerance_matches_pandas(spark, dim_keys, probe_keys, tol):
+    """Bounded-staleness as-of (tolerance_days) must agree with
+    pandas.merge_asof(tolerance=Timedelta(days=tol)) on arbitrary date
+    sets, including probes whose nearest dim row is too stale."""
+    import datetime
+
+    from metrics_database_cron_script_spark.operators.asof import (
+        asof_join_broadcast_dim,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    d = lambda k: base + datetime.timedelta(days=k)
+    dim_rows = sorted((d(k), float(k) * 1.5) for k in dim_keys)
+    dim = spark.createDataFrame(dim_rows, "dk date, dv double")
+    probe = spark.createDataFrame(
+        [(i, d(k)) for i, k in enumerate(probe_keys)], "pid long, pk date"
+    )
+    got = {
+        (r["pid"], r["dk"], r["dv"])
+        for r in asof_join_broadcast_dim(
+            probe, dim, "pk", "dk", tolerance_days=tol
+        ).collect()
+    }
+
+    pdim = pd.DataFrame(dim_rows, columns=["dk", "dv"])
+    pdim["dk"] = pd.to_datetime(pdim["dk"])
+    pprobe = pd.DataFrame(
+        {"pid": range(len(probe_keys)), "pk": [d(k) for k in probe_keys]}
+    )
+    pprobe["pk"] = pd.to_datetime(pprobe["pk"])
+    merged = pd.merge_asof(
+        pprobe.sort_values("pk"),
+        pdim,
+        left_on="pk",
+        right_on="dk",
+        direction="backward",
+        tolerance=pd.Timedelta(days=tol),
+    )
+    want = {
+        (
+            int(r.pid),
+            None if pd.isna(r.dk) else r.dk.date(),
+            None if pd.isna(r.dv) else r.dv,
+        )
+        for r in merged.itertuples()
+    }
+    assert got == want
