@@ -27,20 +27,44 @@ def asof_join_broadcast_dim(
     dim_key: str,
     how: str = "left",
     tolerance_days: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Join each probe row to the dim row with the greatest ``dim_key`` ≤
     ``probe_key``. ``dim`` must be broadcast-sized and have unique keys.
 
     ``tolerance_days`` bounds the staleness (pandas ``merge_asof``
     tolerance): a probe only matches when the dim row is at most that many
-    days older; staler probes fall through to NULL under ``how='left'``."""
-    nxt = F.lead(dim_key).over(Window.orderBy(dim_key))
-    intervals = dim.withColumn("__asof_end", nxt)
-    cond = (probe[probe_key] >= intervals[dim_key]) & (
-        intervals["__asof_end"].isNull() | (probe[probe_key] < intervals["__asof_end"])
-    )
-    if tolerance_days is not None:
-        cond = cond & (
-            F.datediff(probe[probe_key], intervals[dim_key]) <= tolerance_days
+    days away; probes beyond tolerance fall through to NULL under
+    ``how='left'``.
+
+    ``direction='backward'`` (default) matches the greatest dim_key ≤
+    probe_key; ``'forward'`` matches the least dim_key ≥ probe_key (the
+    next-scheduled-event lookup). Either way each probe lands in exactly
+    one half-open validity interval — no post-join dedup."""
+    if direction == "backward":
+        nxt = F.lead(dim_key).over(Window.orderBy(dim_key))
+        intervals = dim.withColumn("__asof_end", nxt)
+        cond = (probe[probe_key] >= intervals[dim_key]) & (
+            intervals["__asof_end"].isNull()
+            | (probe[probe_key] < intervals["__asof_end"])
         )
-    return probe.join(F.broadcast(intervals), cond, how).drop("__asof_end")
+        if tolerance_days is not None:
+            cond = cond & (
+                F.datediff(probe[probe_key], intervals[dim_key]) <= tolerance_days
+            )
+    elif direction == "forward":
+        prv = F.lag(dim_key).over(Window.orderBy(dim_key))
+        intervals = dim.withColumn("__asof_start", prv)
+        cond = (probe[probe_key] <= intervals[dim_key]) & (
+            intervals["__asof_start"].isNull()
+            | (probe[probe_key] > intervals["__asof_start"])
+        )
+        if tolerance_days is not None:
+            cond = cond & (
+                F.datediff(intervals[dim_key], probe[probe_key]) <= tolerance_days
+            )
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    return probe.join(F.broadcast(intervals), cond, how).drop(
+        "__asof_end", "__asof_start"
+    )

@@ -41,25 +41,39 @@ def parquet_file_count(path: str) -> int:
     return n
 
 
+def leaf_parquet_dirs(path: str) -> list[str]:
+    """Directories that directly contain parquet files — one per partition
+    for a `partitionBy` layout, just [path] for a flat table."""
+    leaves = []
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            leaves.append(root)
+    return sorted(leaves)
+
+
 def compact(
     spark: SparkSession, path: str, target_mb: int = 64, min_files: int = 2
 ) -> int:
-    """Rewrite the parquet directory at `path` into ~target_mb files.
-    Returns the new file count. No-op (returns current count) when the
-    table already has fewer than `min_files` files or is empty."""
-    n_files = parquet_file_count(path)
-    if n_files < min_files:
-        return n_files
-    total = dir_bytes(path)
-    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    if n_out >= n_files:
-        return n_files
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__compact_old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    """Rewrite the parquet table at `path` into ~target_mb files and return
+    the new file count. Partition-aware: each leaf partition directory is
+    compacted independently (a whole-table read would inline the partition
+    columns and destroy the `partitionBy` layout — and per-leaf rewrites
+    are also the unit a cluster would parallelize/ratelimit). No-op per
+    leaf when it already has fewer than `min_files` files."""
+    for leaf in leaf_parquet_dirs(path):
+        n_files = parquet_file_count(leaf)
+        if n_files < min_files:
+            continue
+        total = dir_bytes(leaf)
+        n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        if n_out >= n_files:
+            continue
+        df = spark.read.parquet(leaf)
+        tmp = leaf.rstrip("/") + "__compact_tmp"
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        old = leaf.rstrip("/") + "__compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
     return parquet_file_count(path)

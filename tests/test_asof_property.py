@@ -94,3 +94,42 @@ def test_asof_tolerance_matches_pandas(spark, dim_keys, probe_keys, tol):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    dim_keys=st.sets(st.integers(0, 50), min_size=1, max_size=10),
+    probe_keys=st.lists(st.integers(-5, 55), min_size=1, max_size=25),
+)
+def test_asof_forward_matches_pandas(spark, dim_keys, probe_keys):
+    """direction='forward' (least dim_key >= probe) must agree with
+    pandas.merge_asof(direction='forward'), including probes after the
+    last dim key (NULL)."""
+    from metrics_database_cron_script_spark.operators.asof import (
+        asof_join_broadcast_dim,
+    )
+
+    dim_rows = sorted((k, float(k) * 1.5) for k in dim_keys)
+    dim = spark.createDataFrame(dim_rows, "dk long, dv double")
+    probe = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(probe_keys)], "pid long, pk long"
+    )
+    got = {
+        (r["pid"], r["dk"], r["dv"])
+        for r in asof_join_broadcast_dim(
+            probe, dim, "pk", "dk", direction="forward"
+        ).collect()
+    }
+
+    pdim = pd.DataFrame(dim_rows, columns=["dk", "dv"])
+    pprobe = pd.DataFrame(
+        {"pid": range(len(probe_keys)), "pk": probe_keys}
+    ).sort_values("pk")
+    merged = pd.merge_asof(
+        pprobe, pdim, left_on="pk", right_on="dk", direction="forward"
+    )
+    want = {
+        (int(r.pid), None if pd.isna(r.dk) else int(r.dk), None if pd.isna(r.dv) else r.dv)
+        for r in merged.itertuples()
+    }
+    assert got == want

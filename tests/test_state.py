@@ -88,3 +88,38 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
 
     assert not os.path.exists(path + "__compact_tmp")
     assert not os.path.exists(path + "__compact_old")
+
+
+def test_compact_preserves_partitioned_layout(spark, tmp_path):
+    """Partition-aware compaction: each chain=... leaf is rewritten in
+    place; the partition directory structure and partition-column values
+    survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.maintenance import compact
+    from metrics_database_cron_script_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "chained")
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .limit(60)
+        .drop("props")
+        .withColumn("chain", F.when(F.col("event_id") % 2 == 0, "dot").otherwise("ksm"))
+    )
+    for _ in range(3):
+        ev.repartition(8).write.mode("append").partitionBy("chain").parquet(path)
+    orig = sorted(
+        (r["event_id"], r["chain"]) for r in spark.read.parquet(path).collect()
+    )
+
+    compact(spark, path, target_mb=64)
+    assert sorted(os.listdir(path)) >= ["chain=dot", "chain=ksm"] or set(
+        os.listdir(path)
+    ) >= {"chain=dot", "chain=ksm"}
+    got = sorted(
+        (r["event_id"], r["chain"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == orig
