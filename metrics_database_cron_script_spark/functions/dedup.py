@@ -382,3 +382,42 @@ def dedup_clusters(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     return comps.withColumn(
         "is_representative", F.col("doc_id") == F.col("component")
     )
+
+
+def fuzzy_pairs_edit1(df: DataFrame, key: str, text: str) -> DataFrame:
+    """Exact edit-distance-1 pair mining via FastSS deletion-neighborhood
+    blocking: every string emits itself plus each single-character-deletion
+    variant; two strings within Levenshtein distance 1 necessarily share a
+    variant, so the variant equi-join finds ALL such pairs (complete, not
+    approximate), and a final `levenshtein` check discards the distance-2
+    candidates the blocking over-generates. O(n·len) variant rows and a
+    hash equi-join — never the O(n²) cross product a naive fuzzy join
+    needs. Variants are 64-bit hashes so the shuffle key is 8 bytes."""
+    src = fan_out(df.select(key, text))
+    variants = src.select(
+        F.col(key),
+        F.col(text),
+        F.explode(
+            F.concat(
+                F.array(F.col(text)),
+                F.expr(
+                    f"transform(sequence(1, length({text})),"
+                    f" i -> concat(substr({text}, 1, i - 1), substr({text}, i + 1)))"
+                ),
+            )
+        ).alias("variant"),
+    ).select(key, text, F.xxhash64("variant").alias("vh")).distinct()
+    a = variants.select(
+        F.col(key).alias("key_a"), F.col(text).alias("text_a"), "vh"
+    )
+    b = variants.select(
+        F.col(key).alias("key_b"), F.col(text).alias("text_b"), "vh"
+    )
+    return (
+        a.join(b, "vh")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "text_a", "text_b")
+        .distinct()
+        .filter(F.levenshtein("text_a", "text_b") <= 1)
+        .select("key_a", "key_b")
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from metrics_database_cron_script_spark.functions import dedup as D
+from metrics_database_cron_script_spark.functions.dedup import fuzzy_pairs_edit1
 from metrics_database_cron_script_spark.functions import multimodal as M
 from metrics_database_cron_script_spark.functions import similarity as S
 from metrics_database_cron_script_spark.functions import text as TX
@@ -849,9 +850,7 @@ def x_drift_psi(spark, sf_dir):
     rb = bucketed(ref, "cr")
     cb = bucketed(cur, "cc")
     spine = bounds.select("event_type").crossJoin(
-        F.broadcast(
-            F.broadcast(bounds.sparkSession.range(10).select(F.col("id").cast("bigint").alias("bkt")))
-        )
+        F.broadcast(spark.range(10).select(F.col("id").cast("bigint").alias("bkt")))
     )
     w = Window.partitionBy("event_type")
     fr = (
@@ -915,4 +914,25 @@ def x_quality_buckets(spark, sf_dir):
     w = Window.partitionBy("lang").orderBy(F.col("n_words").desc(), "doc_id")
     return scored.select(
         "doc_id", "lang", F.ntile(3).over(w).cast("bigint").alias("bucket")
+    )
+
+
+@query(
+    "x_fuzzy_name_pairs",
+    oracle="""
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(len(a.c_name) - len(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) <= 1""",
+)
+def x_fuzzy_name_pairs(spark, sf_dir):
+    """Exact Levenshtein-distance-1 entity pairs via FastSS deletion-
+    neighborhood blocking (functions/dedup.fuzzy_pairs_edit1) — the
+    fuzzy-dedup of entity names that stays O(n·len) where the oracle's
+    cross join is O(n²). Both sides produce the complete distance-1 pair
+    set, so the hash comparison proves the blocking loses nothing."""
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs_edit1(c, key="c_custkey", text="c_name").select(
+        F.col("key_a").cast("bigint"), F.col("key_b").cast("bigint")
     )
