@@ -2284,3 +2284,76 @@ def c_asof_tolerance(spark, sf_dir):
     return joined.select(
         "event_id", "e_day", F.col("date").alias("price_date"), "price"
     )
+
+
+@query(
+    "c_interpolate_daily",
+    oracle="""
+WITH dim AS (
+  SELECT CAST(ts AS DATE) AS date, ROUND(AVG(value), 6) AS price
+  FROM events WHERE event_type = 'purchase' AND user_id % 29 = 0 GROUP BY 1
+), bounds AS (SELECT MIN(date) AS lo, MAX(date) AS hi FROM dim),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS date FROM bounds
+), joined AS (
+  SELECT s.date, d.price,
+         last_value(d.price IGNORE NULLS) OVER wp AS prev_p,
+         last_value(CASE WHEN d.price IS NOT NULL THEN s.date END IGNORE NULLS)
+           OVER wp AS prev_d,
+         first_value(d.price IGNORE NULLS) OVER wn AS next_p,
+         first_value(CASE WHEN d.price IS NOT NULL THEN s.date END IGNORE NULLS)
+           OVER wn AS next_d
+  FROM spine s LEFT JOIN dim d ON s.date = d.date
+  WINDOW wp AS (ORDER BY s.date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (ORDER BY s.date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT date, price IS NOT NULL AS observed,
+       ROUND(CASE WHEN price IS NOT NULL THEN price
+                  WHEN next_d = prev_d THEN prev_p
+                  ELSE prev_p + (next_p - prev_p)
+                       * date_diff('day', prev_d, date) * 1.0
+                       / date_diff('day', prev_d, next_d)
+             END, 6) AS price_filled
+FROM joined""",
+)
+def c_interpolate_daily(spark, sf_dir):
+    """Time-series resample with linear gap interpolation: calendar spine
+    (sequence+explode) left-joined to a sparse daily dim, missing days
+    filled by LOCF forward + first-value backward windows and the linear
+    weight between the bracketing observations. The spine/window relations
+    are day-cardinality — tiny regardless of fact scale."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 29 == 0))
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.round(F.avg("value"), 6).alias("price"))
+    )
+    bounds = dim.agg(F.min("date").alias("lo"), F.max("date").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("date")
+    )
+    j = spine.join(dim, "date", "left")
+    wp = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("date").rowsBetween(0, Window.unboundedFollowing)
+    obs_date = F.when(F.col("price").isNotNull(), F.col("date"))
+    j2 = j.select(
+        "date",
+        "price",
+        F.last("price", ignorenulls=True).over(wp).alias("prev_p"),
+        F.last(obs_date, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("price", ignorenulls=True).over(wn).alias("next_p"),
+        F.first(obs_date, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    frac = F.datediff("date", "prev_d") / F.datediff("next_d", "prev_d")
+    return j2.select(
+        "date",
+        F.col("price").isNotNull().alias("observed"),
+        F.round(
+            F.when(F.col("price").isNotNull(), F.col("price"))
+            .when(F.col("next_d") == F.col("prev_d"), F.col("prev_p"))
+            .otherwise(
+                F.col("prev_p") + (F.col("next_p") - F.col("prev_p")) * frac
+            ),
+            6,
+        ).alias("price_filled"),
+    )

@@ -43,3 +43,65 @@ def test_interval_join_boundaries(spark, items):
     got = {r["l_id"] for r in lines.join(orders, cond).collect()}
     want = {i for i, (k, off) in enumerate(items) if 0 <= off < 90}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    obs=st.dictionaries(
+        st.integers(0, 40), st.floats(0, 100, allow_nan=False, width=32),
+        min_size=2, max_size=12,
+    )
+)
+def test_linear_interpolation_matches_pandas(spark, obs):
+    """The calendar-spine linear gap-fill (c_interpolate_daily's core) must
+    agree with pandas Series.interpolate(method='linear') on arbitrary
+    sparse daily series (observed points keep their exact value; gaps get
+    the linear blend of the bracketing observations)."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = datetime.date(2024, 1, 1)
+    rows = sorted(
+        (base + datetime.timedelta(days=k), round(float(v), 3))
+        for k, v in obs.items()
+    )
+    dim = spark.createDataFrame(rows, "date date, price double")
+    bounds = dim.agg(F.min("date").alias("lo"), F.max("date").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("date")
+    )
+    j = spine.join(dim, "date", "left")
+    wp = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("date").rowsBetween(0, Window.unboundedFollowing)
+    obs_date = F.when(F.col("price").isNotNull(), F.col("date"))
+    j2 = j.select(
+        "date", "price",
+        F.last("price", ignorenulls=True).over(wp).alias("prev_p"),
+        F.last(obs_date, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("price", ignorenulls=True).over(wn).alias("next_p"),
+        F.first(obs_date, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    frac = F.datediff("date", "prev_d") / F.datediff("next_d", "prev_d")
+    got = {
+        r["date"]: round(r["filled"], 6)
+        for r in j2.select(
+            "date",
+            F.round(
+                F.when(F.col("price").isNotNull(), F.col("price"))
+                .when(F.col("next_d") == F.col("prev_d"), F.col("prev_p"))
+                .otherwise(F.col("prev_p") + (F.col("next_p") - F.col("prev_p")) * frac),
+                6,
+            ).alias("filled"),
+        ).collect()
+    }
+
+    s = pd.Series(
+        {pd.Timestamp(d): v for d, v in rows}
+    ).resample("D").mean().interpolate(method="linear")
+    want = {ts.date(): round(float(v), 6) for ts, v in s.items()}
+    assert set(got) == set(want)
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-6, (d, got[d], want[d])
