@@ -936,3 +936,93 @@ def x_fuzzy_name_pairs(spark, sf_dir):
     return fuzzy_pairs_edit1(c, key="c_custkey", text="c_name").select(
         F.col("key_a").cast("bigint"), F.col("key_b").cast("bigint")
     )
+
+
+@query(
+    "x_dataset_card",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+), langs AS (
+  SELECT COUNT(DISTINCT lang) AS n_langs FROM documents
+), dups AS (
+  SELECT COUNT(*) - COUNT(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_exact_dups
+  FROM documents
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+       (SELECT n_langs FROM langs) AS n_langs,
+       (SELECT CAST(SUM(n_toks) AS BIGINT) FROM toks) AS total_tokens,
+       (SELECT ROUND(AVG(n_toks), 6) FROM toks) AS avg_doc_tokens,
+       (SELECT n_exact_dups FROM dups) AS n_exact_dups""",
+)
+def x_dataset_card(spark, sf_dir):
+    """Dataset-card summary row: corpus size, source/language breadth,
+    token volume, exact-duplicate count — the one-glance stats block a
+    training-data release ships. Each stat is a full-corpus aggregate that
+    reduces to a scalar; Spark evaluates them in one pass over a shared
+    scan + crossJoined single-row aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks"), "lang", "source", "text"
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_toks"), 6).alias("avg_doc_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct(norm)).alias("n_exact_dups"),
+    )
+    return base
+
+
+@query(
+    "x_vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+    FROM tok GROUP BY w
+  ) WHERE rk <= 30
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id""",
+)
+def x_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage / OOV rate per document against the corpus
+    top-30 vocabulary — the tokenizer-fit diagnostic (how much of each doc
+    a fixed vocab can express). The vocab is derived once (aggregated,
+    tiny, broadcast); the per-doc pass is one explode + broadcast left
+    join + group."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.col("c").desc(), "w")))
+        .filter(F.col("rk") <= 30)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
