@@ -639,7 +639,7 @@ WITH cnt AS (
   SELECT doc_id, SUM(c) AS n FROM per GROUP BY doc_id
 )
 SELECT per.doc_id,
-       ROUND(-SUM((c * 1.0 / n) * ln(c * 1.0 / n)), 6) AS entropy,
+       ROUND(-SUM((c * 1.0 / n) * ln(c * 1.0 / n)), 6) + 0.0 AS entropy,
        CAST(COUNT(*) AS BIGINT) AS n_unique
 FROM per JOIN tot ON per.doc_id = tot.doc_id
 GROUP BY per.doc_id""",
@@ -659,7 +659,9 @@ def x_word_entropy(spark, sf_dir):
         per.withColumn("plogp", p * F.log(p))
         .groupBy("doc_id")
         .agg(
-            F.round(-F.sum("plogp"), 6).alias("entropy"),
+            # + 0.0 normalizes IEEE -0.0 (all-identical-token docs) to +0.0
+            # on both engines — repr-exact compare would otherwise split
+            (F.round(-F.sum("plogp"), 6) + F.lit(0.0)).alias("entropy"),
             F.count(F.lit(1)).cast("bigint").alias("n_unique"),
         )
     )

@@ -1841,8 +1841,8 @@ SELECT doc_id,
        COALESCE(array_to_string(list_sort(list_distinct(list_intersect(
            string_split(text, ' '), ['spark', 'join', 'data', 'quantum']))), ','), '') AS kw_hits,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
-       array_to_string(list_sort(list_filter(list_distinct(string_split(text, ' ')),
-           w -> NOT list_contains(['the', 'a'], w))), ',') AS vocab_no_stop
+       COALESCE(array_to_string(list_sort(list_filter(list_distinct(string_split(text, ' ')),
+           w -> NOT list_contains(['the', 'a'], w))), ','), '') AS vocab_no_stop
 FROM documents""",
 )
 def c_array_setops(spark, sf_dir):
