@@ -810,8 +810,12 @@ bounds AS (
   FROM bounds b, (SELECT unnest(generate_series(0, 9)) AS bkt) s
 ), fr AS (
   SELECT s.event_type, s.bkt,
-         GREATEST(COALESCE(rb.c, 0) * 1.0 / SUM(COALESCE(rb.c, 0)) OVER (PARTITION BY s.event_type), 1e-6) AS p_ref,
-         GREATEST(COALESCE(cb.c, 0) * 1.0 / SUM(COALESCE(cb.c, 0)) OVER (PARTITION BY s.event_type), 1e-6) AS p_cur
+         GREATEST(COALESCE(rb.c, 0) * 1.0
+                  / NULLIF(SUM(COALESCE(rb.c, 0)) OVER (PARTITION BY s.event_type), 0),
+                  1e-6) AS p_ref,
+         GREATEST(COALESCE(cb.c, 0) * 1.0
+                  / NULLIF(SUM(COALESCE(cb.c, 0)) OVER (PARTITION BY s.event_type), 0),
+                  1e-6) AS p_cur
   FROM spine s
   LEFT JOIN rb ON rb.event_type = s.event_type AND rb.bkt = s.bkt
   LEFT JOIN cb ON cb.event_type = s.event_type AND cb.bkt = s.bkt
@@ -861,12 +865,18 @@ def x_drift_psi(spark, sf_dir):
         .select(
             "event_type",
             "bkt",
+            # NULLIF guards the all-buckets-empty half (an event_type with
+            # no rows in one split): ANSI mode turns the 0-divide into a
+            # crash, and greatest() skipping the NULL lands on the 1e-6
+            # floor — the intended PSI clamp
             F.greatest(
-                F.coalesce(F.col("cr"), F.lit(0)) / F.sum(F.coalesce(F.col("cr"), F.lit(0))).over(w),
+                F.coalesce(F.col("cr"), F.lit(0))
+                / F.nullif(F.sum(F.coalesce(F.col("cr"), F.lit(0))).over(w), F.lit(0)),
                 F.lit(1e-6),
             ).alias("p_ref"),
             F.greatest(
-                F.coalesce(F.col("cc"), F.lit(0)) / F.sum(F.coalesce(F.col("cc"), F.lit(0))).over(w),
+                F.coalesce(F.col("cc"), F.lit(0))
+                / F.nullif(F.sum(F.coalesce(F.col("cc"), F.lit(0))).over(w), F.lit(0)),
                 F.lit(1e-6),
             ).alias("p_cur"),
         )
