@@ -168,3 +168,121 @@ def test_edge_events_match_oracle(spark, edge_events_dir, name):
         con.close()
     res = compare(sdf, opdf)
     assert res["ok"], f"{name} on edge events: {res}"
+
+
+EDGE_LINEITEM = [
+    # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+    #  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+    # supplier 1: exact extendedprice TIES across orders → top-k tie-break
+    (1, 10, 1, 1, 5.0, 100.0, 0.0, 0.0, "A", "F", _T("1996-01-01")),
+    (2, 11, 1, 1, 5.0, 100.0, 0.1, 0.05, "A", "F", _T("1996-01-02")),
+    (3, 12, 1, 2, 5.0, 100.0, 0.2, 0.0, "A", "O", _T("1996-01-03")),
+    (3, 13, 1, 3, 5.0, 99.0, 0.2, 0.08, "A", "O", _T("1996-01-04")),
+    # returnflag A: CONSTANT quantity → regr_slope/r2 undefined (NULL)
+    # returnflag B: bimodal quantity {2.0×2, 7.0×2} → mode tie, lowest wins
+    (4, 14, 2, 1, 2.0, 50.0, 0.0, 0.0, "B", "F", _T("1996-02-01")),
+    (5, 15, 2, 1, 2.0, 60.0, 0.0, 0.0, "B", "F", _T("1996-02-02")),
+    (6, 16, 2, 2, 7.0, 70.0, 0.05, 0.0, "B", "O", _T("1996-02-03")),
+    (7, 17, 2, 3, 7.0, 80.0, 0.05, 0.02, "B", "O", _T("1996-02-04")),
+    # returnflag C: even count → median interpolates between 1.0 and 3.0
+    (8, 18, 3, 1, 1.0, 10.0, 0.0, 0.0, "C", "F", _T("1996-03-01")),
+    (9, 19, 3, 2, 3.0, 20.5, 0.0, 0.04, "C", "F", _T("1996-03-02")),
+]
+
+EDGE_ORDERS = [
+    # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+    (1, 7, "F", 1000.0, _T("1996-01-01"), "1-URGENT"),
+    (2, 7, "O", 1000.0, _T("1996-01-02"), "2-HIGH"),      # totalprice tie
+    (3, 14, "F", 500.0, _T("1996-01-03"), "3-MEDIUM"),
+    # NOTE: money stays 2-decimal — the oracle contract's round(2)-is-exact
+    # rule breaks on 3-decimal inputs (float sum order then changes the
+    # rounded cent, as a 24999.995 row demonstrated)
+    (4, 14, "O", 24999.99, _T("1996-01-04"), "4-LOW"),    # bucket boundary
+    (5, 21, "F", 25000.0, _T("1996-01-05"), "5-LOW"),     # exactly on bucket edge
+]
+
+EDGE_CUSTOMER = [
+    # custkey % 7 == 0 → NULL key in c_null_safe_join on BOTH sides
+    (7, "Customer#7", 1, 100.0, "BUILDING"),
+    (14, "Customer#14", 2, 200.0, "MACHINERY"),
+    (21, "Customer#21", 3, -5.0, "BUILDING"),
+    (22, "Customer#22", 3, 0.0, "AUTOMOBILE"),
+]
+
+LINEITEM_QUERIES = [
+    "c_median_mode",
+    "c_regr_agg",
+    "c_topk_per_group",
+    "c_hash_agg",
+    "c_math_funcs",
+    "c_try_functions",
+    "c_case",
+    "c_scan_project",
+    "c_bitwise",
+    "c_conditional_scalars",
+]
+ORDERS_QUERIES = [
+    "c_histogram_buckets",
+    "c_sort_limit",
+    "c_filter",
+    "c_nulls_ordering",
+    "c_window_nth",
+    "c_null_safe_join",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_rel_dir(spark, tmp_path_factory):
+    import pandas as pd
+
+    path = tmp_path_factory.mktemp("edge_rel")
+    li = pd.DataFrame(
+        EDGE_LINEITEM,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        ],
+    )
+    li["l_linenumber"] = li["l_linenumber"].astype("int32")
+    od = pd.DataFrame(
+        EDGE_ORDERS,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    cu = pd.DataFrame(
+        EDGE_CUSTOMER,
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    cu["c_nationkey"] = cu["c_nationkey"].astype("int32")
+    li.to_parquet(str(path / "lineitem.parquet"), index=False)
+    od.to_parquet(str(path / "orders.parquet"), index=False)
+    cu.to_parquet(str(path / "customer.parquet"), index=False)
+    return str(path)
+
+
+@pytest.mark.parametrize("name", LINEITEM_QUERIES + ORDERS_QUERIES)
+def test_edge_relational_match_oracle(spark, edge_rel_dir, name):
+    """Relational boundary semantics through the oracle differential:
+    top-k price ties, constant-x regression groups (NULL slope/r2),
+    bimodal mode ties, even-count median interpolation, zero tax/discount
+    divisors, histogram bucket-edge values, NULL join keys on both sides."""
+    import duckdb
+
+    from metrics_database_cron_script_spark.oracle import compare
+    from metrics_database_cron_script_spark.plans import ORACLES, QUERIES
+
+    sdf = QUERIES[name](spark, edge_rel_dir)
+    con = duckdb.connect()
+    try:
+        for t in ("lineitem", "orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{edge_rel_dir}/{t}.parquet')"
+            )
+        opdf = con.execute(ORACLES[name]).df()
+    finally:
+        con.close()
+    res = compare(sdf, opdf)
+    assert res["ok"], f"{name} on edge relational fixture: {res}"
