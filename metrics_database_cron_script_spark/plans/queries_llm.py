@@ -1038,3 +1038,29 @@ def x_vocab_coverage(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "x_dup_rate_by_source",
+    oracle=r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS n_unique,
+       ROUND((COUNT(*) - COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+             * 1.0 / COUNT(*), 6) AS dup_rate
+FROM documents GROUP BY source""",
+)
+def x_dup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate rate per source — the data-governance readout that
+    tells you WHICH feed is dirty before spending near-dup compute on it.
+    One grouped pass; the normalized-text distinct count rides the same
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(norm).cast("bigint").alias("n_unique"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct(norm)) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )

@@ -2357,3 +2357,119 @@ def c_interpolate_daily(spark, sf_dir):
             6,
         ).alias("price_filled"),
     )
+
+
+@query(
+    "c_tpch_q7_shape",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)""",
+)
+def c_tpch_q7_shape(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): fact joined through two different
+    dimension paths to the SAME dim table (nation aliased twice) with an
+    inequality between the two arms — the self-referencing star shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            # round(4), not round(2): the product sum is exactly 4-decimal
+            # in decimal arithmetic, so round(4) recovers it exactly on
+            # both engines, while round(2) flips a cent whenever a group's
+            # true sum lands on a half-cent and the two engines' summation
+            # orders disagree at 1e-9 (seen at 758 groups)
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "c_tpch_q12_shape",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_count,
+       CAST(SUM(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderpriority""",
+)
+def c_tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 (shipmode priority): conditional-count aggregation after a
+    year-windowed fact join — the CASE-pivot aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("returned_count"),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept_count"),
+        )
+    )
+
+
+@query(
+    "c_tpch_q14_shape",
+    oracle="""
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p.p_type LIKE 'small%' THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0.0 END)
+         / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""",
+)
+def c_tpch_q14_shape(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): single-scalar conditional revenue
+    share over a month window — the ratio-of-conditional-sums aggregate,
+    with the part dim broadcast."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("small%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share")
+        )
+    )
