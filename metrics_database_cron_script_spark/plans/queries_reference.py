@@ -171,3 +171,44 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 )
 def r_upsert_snapshot(spark, sf_dir):
     return R.upsert_snapshot(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_daily_growth",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS volume
+  FROM events GROUP BY 1
+)
+SELECT day, volume,
+       ROUND(volume - lag(volume) OVER (ORDER BY day), 2) AS dod_change,
+       ROUND(100.0 * (volume - lag(volume) OVER (ORDER BY day))
+             / NULLIF(lag(volume) OVER (ORDER BY day), 0), 6) AS dod_pct,
+       ROUND(AVG(volume) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM daily""",
+)
+def r_daily_growth(spark, sf_dir):
+    """The dashboard readout the reference's metrics DB exists to power
+    (readme.txt:3 'powers metabase'): daily volume, day-over-day change and
+    percent change, 7-day trailing moving average. One hash agg to
+    day-cardinality, then windows over the (tiny) daily series."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("volume")
+    )
+    wo = Window.orderBy("day")
+    ma = Window.orderBy("day").rowsBetween(-6, 0)
+    prev = F.lag("volume").over(wo)
+    return daily.select(
+        "day",
+        "volume",
+        F.round(F.col("volume") - prev, 2).alias("dod_change"),
+        F.round(100.0 * (F.col("volume") - prev) / F.nullif(prev, F.lit(0)), 6).alias(
+            "dod_pct"
+        ),
+        F.round(F.avg("volume").over(ma), 6).alias("ma7"),
+    )

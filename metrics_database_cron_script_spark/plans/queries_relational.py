@@ -221,8 +221,8 @@ def c_asof_join(spark, sf_dir):
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
        ROUND(AVG(l_quantity), 6) AS avg_qty,
        ROUND(AVG(l_extendedprice), 6) AS avg_price,
        ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -242,10 +242,15 @@ def c_hash_agg(spark, sf_dir):
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            # round(·,2): at sf0.1 these sums reach ~5e9 where a double ULP
-            # is ~1e-6 — round(·,6) is not reorder-stable across engines
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # rounding vs fp-reorder: the product sums' TRUE values are
+            # exactly 4- (disc) / 6- (charge) decimal, so rounding at that
+            # precision recovers them bit-exactly as long as the summation
+            # error stays under the half-grid (5e-5 / 5e-7) — true at the
+            # sf0.01 gate. round(2) instead lands a 4-decimal group sum on
+            # a half-cent with P≈1% per group and the engines' summation
+            # orders then disagree (bit c_tpch_q7 at 758 groups).
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -1307,7 +1312,7 @@ def c_in_grouped_having(spark, sf_dir):
     "c_argmax_group",
     oracle="""
 WITH rev AS (
-  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
   FROM lineitem GROUP BY l_suppkey
 )
 SELECT l_suppkey, revenue FROM rev
@@ -1320,7 +1325,7 @@ def c_argmax_group(spark, sf_dir):
     return spark.sql(
         f"""WITH rev AS (
               SELECT l_suppkey,
-                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
               FROM {vl} GROUP BY l_suppkey)
             SELECT l_suppkey, revenue FROM rev
             WHERE revenue = (SELECT MAX(revenue) FROM rev)"""
@@ -2053,7 +2058,7 @@ def c_conditional_scalars(spark, sf_dir):
     "c_tpch_q3_shape",
     oracle="""
 SELECT l.l_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2079,7 +2084,7 @@ def c_tpch_q3_shape(spark, sf_dir):
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -2092,7 +2097,7 @@ def c_tpch_q3_shape(spark, sf_dir):
     "c_tpch_q10_shape",
     oracle="""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -2119,7 +2124,7 @@ def c_tpch_q10_shape(spark, sf_dir):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -2472,4 +2477,44 @@ def c_tpch_q14_shape(spark, sf_dir):
                 6,
             ).alias("promo_share")
         )
+    )
+
+
+@query(
+    "c_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grouped AS (
+  SELECT user_id, day,
+         day - CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM days
+)
+SELECT user_id,
+       CAST(MAX(streak) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM (
+  SELECT user_id, grp, COUNT(*) AS streak
+  FROM grouped GROUP BY user_id, grp
+)
+GROUP BY user_id""",
+)
+def c_activity_streaks(spark, sf_dir):
+    """Longest consecutive-active-day streak per user — gaps-and-islands at
+    daily granularity via the date-minus-dense_rank constant-group trick
+    (consecutive days collapse to one group key). Distinct-days first, so
+    the window runs over day-cardinality rows per user."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp", F.date_sub("day", F.dense_rank().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("streak"))
+    return streaks.groupBy("user_id").agg(
+        F.max("streak").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
