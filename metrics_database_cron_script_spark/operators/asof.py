@@ -68,3 +68,67 @@ def asof_join_broadcast_dim(
     return probe.join(F.broadcast(intervals), cond, how).drop(
         "__asof_end", "__asof_start"
     )
+
+
+def asof_join_grouped(
+    probe: DataFrame,
+    dim: DataFrame,
+    by: str,
+    probe_key: str,
+    dim_key: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join for NON-broadcast-sized dims: both sides are co-grouped on
+    the equi-key `by` (one shuffle each) and each key group runs
+    ``pd.merge_asof`` in an Arrow batch — the per-key sorted-merge that a
+    native as-of operator would do, parallel across keys. Use when the dim
+    is too big to broadcast (e.g. per-entity price histories); the
+    broadcast-interval form stays the right choice for small dims.
+
+    Backward direction, left semantics: every probe row survives, dim
+    value columns are NULL before the first dim key. `value_cols` defaults
+    to all dim columns except `by`/`dim_key`.
+    """
+    import pandas as pd
+
+    if value_cols is None:
+        value_cols = [c for c in dim.columns if c not in (by, dim_key)]
+    probe_schema = probe.schema
+    out_fields = list(probe_schema.fields) + [dim.schema[c] for c in value_cols]
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(out_fields)
+    probe_cols = list(probe.columns)
+
+    def _sortable(s: pd.Series) -> pd.Series:
+        # merge_asof needs numeric/datetime64 keys; date columns arrive as
+        # object dtype through Arrow → normalize
+        if s.dtype == object:
+            return pd.to_datetime(s)
+        return s
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=probe_cols + value_cols)
+        if right.empty:
+            out = left.copy()
+            for c in value_cols:
+                out[c] = None
+            return out[probe_cols + value_cols]
+        lk = left.assign(__asof_k=_sortable(left[probe_key]))
+        rk = right[[dim_key] + value_cols].assign(
+            __asof_k=_sortable(right[dim_key])
+        )[["__asof_k"] + value_cols]
+        merged = pd.merge_asof(
+            lk.sort_values("__asof_k", kind="mergesort"),
+            rk.sort_values("__asof_k", kind="mergesort"),
+            on="__asof_k",
+            direction="backward",
+        )
+        return merged[probe_cols + value_cols]
+
+    return (
+        probe.groupBy(by)
+        .cogroup(dim.groupBy(by))
+        .applyInPandas(merge, schema=out_schema)
+    )

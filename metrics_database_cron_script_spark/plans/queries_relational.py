@@ -2518,3 +2518,33 @@ def c_activity_streaks(spark, sf_dir):
         F.max("streak").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+@query(
+    "c_asof_grouped",
+    oracle="""
+WITH dim AS (
+  SELECT event_type, CAST(ts AS DATE) AS date, ROUND(AVG(value), 6) AS price
+  FROM events WHERE user_id % 3 = 0 GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, CAST(e.ts AS DATE) AS e_day, d.price
+FROM events e ASOF LEFT JOIN dim d
+  ON e.event_type = d.event_type AND CAST(e.ts AS DATE) >= d.date""",
+)
+def c_asof_grouped(spark, sf_dir):
+    """Keyed as-of join on the NON-broadcast path (operators/asof.py
+    asof_join_grouped): per-event_type price history matched per key via
+    cogrouped Arrow merge_asof — the shape for dims too big to broadcast.
+    DuckDB's ASOF JOIN with an extra equality is the oracle."""
+    from metrics_database_cron_script_spark.operators.asof import asof_join_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("user_id") % 3 == 0)
+        .groupBy("event_type", F.to_date("ts").alias("date"))
+        .agg(F.round(F.avg("value"), 6).alias("price"))
+    )
+    probe = ev.select("event_id", "event_type", F.to_date("ts").alias("e_day"))
+    return asof_join_grouped(
+        probe, dim, by="event_type", probe_key="e_day", dim_key="date"
+    )

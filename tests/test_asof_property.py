@@ -133,3 +133,56 @@ def test_asof_forward_matches_pandas(spark, dim_keys, probe_keys):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    dim=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    probe=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-5, 55)), min_size=1, max_size=25
+    ),
+)
+def test_asof_grouped_matches_pandas_by_key(spark, dim, probe):
+    """The cogrouped (non-broadcast) as-of join must agree with
+    pandas.merge_asof(by=key) — including keys with an empty dim side
+    (probe rows survive with NULLs) and keys only present in the dim."""
+    import pandas as pd
+
+    from metrics_database_cron_script_spark.operators.asof import asof_join_grouped
+
+    dim_rows = [(k, v, float(v) * 2.0) for k, v in sorted(set(dim))]
+    probe_rows = [(i, k, v) for i, (k, v) in enumerate(probe)]
+    dim_df = spark.createDataFrame(
+        dim_rows or [(99, 0, 0.0)], "by long, dk long, dv double"
+    )
+    if not dim_rows:
+        dim_df = dim_df.filter("by < 0")  # truly empty dim
+    probe_df = spark.createDataFrame(probe_rows, "pid long, by long, pk long")
+
+    got = {
+        (r["pid"], r["dv"])
+        for r in asof_join_grouped(
+            probe_df, dim_df, by="by", probe_key="pk", dim_key="dk"
+        ).collect()
+    }
+
+    pdim = pd.DataFrame(dim_rows, columns=["by", "dk", "dv"])
+    pprobe = pd.DataFrame(probe_rows, columns=["pid", "by", "pk"]).sort_values("pk")
+    if pdim.empty:
+        want = {(int(r.pid), None) for r in pprobe.itertuples()}
+    else:
+        merged = pd.merge_asof(
+            pprobe,
+            pdim.sort_values("dk"),
+            left_on="pk",
+            right_on="dk",
+            by="by",
+            direction="backward",
+        )
+        want = {
+            (int(r.pid), None if pd.isna(r.dv) else r.dv) for r in merged.itertuples()
+        }
+    assert got == want
