@@ -36,3 +36,26 @@ def pd_mean(v: pd.Series) -> float:
     """GROUPED_AGG pandas UDF — the aggregate-UDF surface that also works
     OVER a window frame (unlike applyInPandas); Arrow-batched per group."""
     return float(v.mean())
+
+
+def compression_ratio_udf():
+    """Arrow-batched zlib compression ratio (compressed/raw bytes) — the
+    classic repetitiveness/quality heuristic that genuinely is not
+    SQL-expressible (needs a real compressor). Pandas UDF, never per-row
+    Python: one zlib call per document inside a vectorized batch."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return ratio

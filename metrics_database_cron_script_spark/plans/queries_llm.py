@@ -1064,3 +1064,17 @@ def x_dup_rate_by_source(spark, sf_dir):
             (F.count(F.lit(1)) - F.countDistinct(norm)) / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+@query("x_compression_ratio", oracle=None)  # needs a real compressor → rows-only
+def x_compression_ratio(spark, sf_dir):
+    """Per-doc zlib compression ratio (functions/udfs.compression_ratio_udf)
+    — low ratio ⇒ repetitive/templated text, the cheap quality signal that
+    complements x_repetition's exact n-gram fractions. Quality ordering is
+    asserted in tests/test_dedup_quality.py."""
+    from metrics_database_cron_script_spark.functions.udfs import compression_ratio_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", compression_ratio_udf()(F.col("text")).alias("zlib_ratio")
+    )

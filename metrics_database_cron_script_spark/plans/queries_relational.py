@@ -2548,3 +2548,41 @@ def c_asof_grouped(spark, sf_dir):
     return asof_join_grouped(
         probe, dim, by="event_type", probe_key="e_day", dim_key="date"
     )
+
+
+@query(
+    "c_cumulative_distinct",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), per_day AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+), days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+)
+SELECT d.day,
+       CAST(COALESCE(p.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(p.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cumulative_users
+FROM days d LEFT JOIN per_day p ON p.day = d.day""",
+)
+def c_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users per day (the audience-growth curve).
+    COUNT(DISTINCT) over a running window is unsupported everywhere; the
+    scalable rewrite marks each user's first day (one grouped min), counts
+    firsts per day, and running-sums the day-cardinality series — the
+    window never sees raw rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    w = Window.orderBy("day")
+    return (
+        days.join(per_day, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn("cumulative_users", F.sum("new_users").over(w).cast("bigint"))
+        .withColumn("new_users", F.col("new_users").cast("bigint"))
+    )

@@ -189,3 +189,27 @@ def test_ngram_jaccard_sampling_consistent(spark, docs_with_plants):
     assert sj[(7, 100007)] == 1.0
     assert (7, 100008) in spairs
     assert spairs == exact
+
+
+def test_compression_ratio_orders_repetitive_below_diverse(spark):
+    """zlib ratio must rank a degenerate repeated-token doc well below a
+    diverse-vocabulary doc, and empty text maps to NULL."""
+    from metrics_database_cron_script_spark.functions.udfs import compression_ratio_udf
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, " ".join(f"w{i}x{i * 7 % 93}" for i in range(200))),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["zr"]
+        for r in docs.select(
+            "doc_id", compression_ratio_udf()(F.col("text")).alias("zr")
+        ).collect()
+    }
+    assert rows[3] is None
+    assert rows[1] < rows[2] * 0.5
