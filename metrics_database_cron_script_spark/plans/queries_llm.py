@@ -1078,3 +1078,57 @@ def x_compression_ratio(spark, sf_dir):
     return d.select(
         "doc_id", compression_ratio_udf()(F.col("text")).alias("zlib_ratio")
     )
+
+
+@query(
+    "x_cooccurrence_lift",
+    oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+single AS (
+  SELECT event_type, COUNT(*) AS c FROM ut GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS c_ab
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.c_ab,
+       ROUND(p.c_ab * 1.0 * n.n_users / (sa.c * sb.c), 6) AS lift
+FROM pairs p
+JOIN single sa ON sa.event_type = p.type_a
+JOIN single sb ON sb.event_type = p.type_b
+CROSS JOIN n""",
+)
+def x_cooccurrence_lift(spark, sf_dir):
+    """Association mining over user behavior: event-type pair co-occurrence
+    with lift = P(ab)/(P(a)P(b)). The self-join runs on the DISTINCT
+    (user, type) relation — bounded by users × type-cardinality, never raw
+    events — and the singles/total ride in as broadcast dims."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_users"))
+    single = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    sa = single.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    sb = single.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            F.round(F.col("c_ab") * F.col("n_users") / (F.col("ca") * F.col("cb")), 6).alias(
+                "lift"
+            ),
+        )
+    )

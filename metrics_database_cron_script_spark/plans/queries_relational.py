@@ -2586,3 +2586,27 @@ def c_cumulative_distinct(spark, sf_dir):
         .withColumn("cumulative_users", F.sum("new_users").over(w).cast("bigint"))
         .withColumn("new_users", F.col("new_users").cast("bigint"))
     )
+
+
+@query(
+    "c_rolling_median",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+FROM events""",
+)
+def c_rolling_median(spark, sf_dir):
+    """Trailing 5-row median per user — the robust rolling statistic
+    (median resists the outliers a rolling mean absorbs). Spark's
+    ``median()`` refuses window frames but ``percentile(v, 0.5)`` is
+    frame-capable with identical continuous interpolation; DuckDB's
+    windowed ``median`` is the oracle."""
+    v = _view(spark, sf_dir, "events", "__v_events_rollmed")
+    return spark.sql(
+        f"""SELECT event_id, user_id,
+                   ROUND(percentile(value, 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+            FROM {v}"""
+    )
