@@ -1132,3 +1132,42 @@ def x_cooccurrence_lift(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "x_winsorize",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS value_winsorized,
+       e.value < b.lo OR e.value > b.hi AS was_clipped
+FROM events e JOIN bounds b ON e.event_type = b.event_type""",
+)
+def x_winsorize(spark, sf_dir):
+    """Winsorization: clip each value to its group's [p5, p95] band — the
+    outlier treatment applied to numeric features before training. Exact
+    per-group quantiles are one aggregate over the fact table; the bound
+    table is group-cardinality and broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 6).alias(
+                "value_winsorized"
+            ),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+                "was_clipped"
+            ),
+        )
+    )

@@ -2610,3 +2610,52 @@ def c_rolling_median(spark, sf_dir):
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
             FROM {v}"""
     )
+
+
+@query(
+    "c_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS volume
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT day, volume,
+         AVG(volume) OVER w AS mu,
+         stddev_samp(volume) OVER w AS sigma
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, volume,
+       ROUND((volume - mu) / NULLIF(sigma, 0), 6) AS zscore,
+       CASE WHEN abs((volume - mu) / NULLIF(sigma, 0)) > 2 THEN TRUE
+            ELSE FALSE END AS is_anomaly
+FROM scored WHERE mu IS NOT NULL AND sigma IS NOT NULL""",
+)
+def c_anomaly_zscore(spark, sf_dir):
+    """Daily-volume anomaly flagging: z-score of each day against the
+    TRAILING week's mean/std (frame ends at 1 PRECEDING so the scored day
+    never contaminates its own baseline) — the alerting readout layered on
+    the metrics series. Day-cardinality window, corpus-size agnostic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("volume")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    z = (F.col("volume") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
+    return (
+        daily.select(
+            "day",
+            "volume",
+            F.avg("volume").over(w).alias("mu"),
+            F.stddev_samp("volume").over(w).alias("sigma"),
+        )
+        .filter(F.col("mu").isNotNull() & F.col("sigma").isNotNull())
+        .select(
+            "day",
+            "volume",
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+    )
