@@ -1171,3 +1171,46 @@ def x_winsorize(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "x_standardize",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         AVG(value) AS mu, stddev_samp(value) AS sigma,
+         MIN(value) AS vmin, MAX(value) AS vmax
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 6) AS value_z,
+       ROUND((e.value - s.vmin) / NULLIF(s.vmax - s.vmin, 0), 6) AS value_minmax
+FROM events e JOIN stats s ON e.event_type = s.event_type""",
+)
+def x_standardize(spark, sf_dir):
+    """Per-group feature scaling: z-score and min-max normalization against
+    group statistics — the numeric-feature prep step (one grouped stats
+    pass, broadcast stats join, codegen'd projection). NULLIF guards the
+    degenerate constant-valued group."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0)), 6
+            ).alias("value_z"),
+            F.round(
+                (F.col("value") - F.col("vmin"))
+                / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0)),
+                6,
+            ).alias("value_minmax"),
+        )
+    )
