@@ -1214,3 +1214,102 @@ def x_standardize(spark, sf_dir):
             ).alias("value_minmax"),
         )
     )
+
+
+@query(
+    "x_hapax_share",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(SUM(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hapax_share
+FROM tok t JOIN freq f ON t.w = f.w
+GROUP BY t.doc_id""",
+)
+def x_hapax_share(spark, sf_dir):
+    """Corpus-hapax share per document: the fraction of a doc's tokens that
+    occur exactly once in the WHOLE corpus — high share flags unique/noisy
+    vocabulary (OCR junk, code, IDs), near-zero flags templated text. The
+    corpus frequency table is vocabulary-sized; no broadcast hint — AQE
+    broadcasts it while it fits and falls back to a shuffled join at
+    web-scale vocabularies (where a forced broadcast would OOM)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+            ).alias("hapax_share"),
+        )
+    )
+
+
+@query(
+    "x_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(t,
+             (x, i) -> CASE WHEN i + 2 <= len(t)
+                       THEN x || ' ' || t[i + 1] || ' ' || t[i + 2] END),
+             g -> g IS NOT NULL)) AS g
+  FROM toks
+), dg AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), first_seen AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g
+)
+SELECT dg.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN fs.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN fs.first_doc = dg.doc_id THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS novelty
+FROM dg JOIN first_seen fs ON fs.g = dg.g
+GROUP BY dg.doc_id""",
+)
+def x_ngram_novelty(spark, sf_dir):
+    """3-gram novelty per document in doc_id (arrival) order: the share of
+    a doc's distinct 3-grams whose FIRST corpus occurrence is this doc —
+    the memorization/repeat-content readout a streaming ingest would track.
+    One gram explode, a min-per-gram aggregate, and a join back."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', slice(t, i + 1, 3))) ELSE array() END"
+            )
+        ).alias("g"),
+    ).distinct()
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

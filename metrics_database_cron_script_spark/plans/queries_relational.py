@@ -2659,3 +2659,49 @@ def c_anomaly_zscore(spark, sf_dir):
             (F.abs(z) > 2).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "c_chi_square",
+    oracle="""
+WITH obs AS (
+  SELECT event_type, user_id % 4 AS ub, COUNT(*) AS o
+  FROM events GROUP BY event_type, user_id % 4
+), tot AS (SELECT SUM(o) AS n FROM obs),
+rows_t AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
+cols_t AS (SELECT ub, SUM(o) AS c FROM obs GROUP BY ub)
+SELECT ROUND(SUM(pow(obs.o - (r.r * c.c * 1.0 / t.n), 2)
+             / (r.r * c.c * 1.0 / t.n)), 6) AS chi2,
+       CAST((COUNT(DISTINCT obs.event_type) - 1)
+            * (COUNT(DISTINCT obs.ub) - 1) AS BIGINT) AS dof
+FROM obs
+JOIN rows_t r ON r.event_type = obs.event_type
+JOIN cols_t c ON c.ub = obs.ub
+CROSS JOIN tot t""",
+)
+def c_chi_square(spark, sf_dir):
+    """Chi-square independence statistic over the (event_type × user-bucket)
+    contingency table: observed vs expected = row·col/total — the
+    categorical-association test, computed entirely from one grouped pass
+    plus broadcast marginals."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("event_type", (F.col("user_id") % 4).alias("ub")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_t = obs.groupBy("ub").agg(F.sum("o").alias("c"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "ub")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2"),
+            (
+                (F.countDistinct("event_type") - 1) * (F.countDistinct("ub") - 1)
+            )
+            .cast("bigint")
+            .alias("dof"),
+        )
+    )
