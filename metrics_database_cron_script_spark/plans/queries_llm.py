@@ -1313,3 +1313,47 @@ def x_ngram_novelty(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "x_cross_source_dups",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM documents
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM norm a JOIN norm b
+    ON a.nt = b.nt AND a.doc_id < b.doc_id AND a.source < b.source
+)
+SELECT source_a, source_b, COUNT(*) AS n_dup_pairs
+FROM pairs GROUP BY source_a, source_b""",
+)
+def x_cross_source_dups(spark, sf_dir):
+    """Cross-source contamination matrix: pairs of sources shipping the
+    IDENTICAL normalized text (one feed scraping another, or shared
+    upstream) — the provenance readout that decides which feed to trust.
+    Join key is the 64-bit normalized-text hash; verification re-checks the
+    raw text so hash collisions cannot fabricate a pair."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n = d.select("doc_id", "source", norm.alias("nt"), F.xxhash64(norm).alias("h"))
+    a = n.select(
+        F.col("doc_id").alias("da"), F.col("source").alias("source_a"),
+        F.col("nt").alias("nta"), "h",
+    )
+    b = n.select(
+        F.col("doc_id").alias("db"), F.col("source").alias("source_b"),
+        F.col("nt").alias("ntb"), "h",
+    )
+    return (
+        a.join(b, "h")
+        .filter(
+            (F.col("da") < F.col("db"))
+            & (F.col("source_a") < F.col("source_b"))
+            & (F.col("nta") == F.col("ntb"))
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )

@@ -2705,3 +2705,41 @@ def c_chi_square(spark, sf_dir):
             .alias("dof"),
         )
     )
+
+
+@query(
+    "c_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice)))) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT d,
+       COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS observed,
+       ROUND(log10(1 + 1.0 / d), 6) AS benford_expected,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER () - log10(1 + 1.0 / d), 6) AS deviation
+FROM digits GROUP BY d""",
+)
+def c_benford(spark, sf_dir):
+    """Benford's-law first-digit profile of order totals: observed digit
+    shares vs log10(1 + 1/d) — the classic fabricated-data / unit-mixing
+    screen on financial columns. One grouped pass; the digit table is nine
+    rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    share = F.count(F.lit(1)) / F.sum(F.count(F.lit(1))).over(w)
+    return (
+        o.groupBy(d.alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(share, 6).alias("observed"),
+            F.round(F.log10(1 + 1.0 / F.col("d")), 6).alias("benford_expected"),
+            F.round(share - F.log10(1 + 1.0 / F.col("d")), 6).alias("deviation"),
+        )
+    )
