@@ -1357,3 +1357,42 @@ def x_cross_source_dups(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
+
+
+@query(
+    "x_lang_confusion",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_de,
+       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and', 'is'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_en,
+       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'y', 'es'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_es,
+       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'est', 'les'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_fr,
+       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('de', 'shi', 'le', 'bu'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS score_zh
+  FROM t
+), pred AS (
+  SELECT doc_id, lang,
+       CASE
+            WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+            WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+            WHEN score_zh = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'zh'
+       END AS predicted_lang
+  FROM s
+)
+SELECT lang, predicted_lang, COUNT(*) AS n,
+       lang = predicted_lang AS is_match
+FROM pred GROUP BY lang, predicted_lang""",
+)
+def x_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: declared lang × predicted lang counts
+    — the calibration readout for the x_lang_id classifier (which declared
+    languages it mistakes for which). Composes lang_id's full scoring
+    pipeline and aggregates to a languages² relation."""
+    pred = TX.lang_id(load_table(spark, sf_dir, "documents"))
+    return pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.col("lang") == F.col("predicted_lang")).alias("is_match"),
+    )

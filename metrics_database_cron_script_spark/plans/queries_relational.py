@@ -2743,3 +2743,61 @@ def c_benford(spark, sf_dir):
             F.round(share - F.log10(1 + 1.0 / F.col("d")), 6).alias("deviation"),
         )
     )
+
+
+@query(
+    "c_top_category_per_user",
+    oracle="""
+WITH cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS favorite_type, c AS n_events
+FROM cnt
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) = 1""",
+)
+def c_top_category_per_user(spark, sf_dir):
+    """Per-user modal category ('favorite event type'): count per (user,
+    type), then the deterministic argmax (count desc, type asc). The window
+    runs over the aggregated relation — users × types rows, not raw
+    events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    return (
+        cnt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("favorite_type"),
+            F.col("c").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "c_seasonality_profile",
+    oracle="""
+SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow_sun1,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+FROM events GROUP BY dayofweek(ts), hour(ts)""",
+)
+def c_seasonality_profile(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap with global shares — the
+    seasonality readout behind load forecasting and anomaly baselines.
+    (Spark dayofweek is 1=Sunday, DuckDB 0=Sunday → +1 on the oracle.)"""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy()
+    return ev.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow_sun1"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.count(F.lit(1)) / F.sum(F.count(F.lit(1))).over(w), 6).alias("share"),
+    )
