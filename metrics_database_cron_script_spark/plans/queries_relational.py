@@ -2801,3 +2801,104 @@ def c_seasonality_profile(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.count(F.lit(1)) / F.sum(F.count(F.lit(1))).over(w), 6).alias("share"),
     )
+
+
+@query(
+    "c_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p_next
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type""",
+)
+def c_transition_matrix(spark, sf_dir):
+    """First-order behavioral transition matrix: consecutive event-type
+    bigrams per user (lag over event-time order) with row-normalized
+    transition probabilities — the Markov-chain flow readout behind Sankey
+    diagrams and next-action models."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    wp = Window.partitionBy("prev_type")
+    return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.count(F.lit(1)) / F.sum(F.count(F.lit(1))).over(wp), 6
+        ).alias("p_next"),
+    )
+
+
+@query(
+    "c_rfm_segmentation",
+    oracle="""
+WITH anchor AS (SELECT MAX(ts) AS now FROM events),
+rfm AS (
+  SELECT e.user_id,
+         date_diff('day', MAX(e.ts), a.now) AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(e.value), 2) AS monetary
+  FROM events e CROSS JOIN anchor a
+  GROUP BY e.user_id, a.now
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS BIGINT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_quartile
+FROM rfm""",
+)
+def c_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: per-user recency (days since last event,
+    anchored at the corpus max so the result is replayable), frequency,
+    monetary, each quartiled with a deterministic user_id tie-break. The
+    ntile windows run over the per-user aggregate — user-cardinality, not
+    events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now"))
+    rfm = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "now")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.datediff(F.to_date("now"), F.to_date("last_ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return (
+        rfm.withColumn(
+            "r_quartile",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("recency_days").asc(), "user_id"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "f_quartile",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "m_quartile",
+            F.ntile(4)
+            .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+            .cast("bigint"),
+        )
+    )
