@@ -250,3 +250,36 @@ def sq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def centroid_outliers(corpus: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k embeddings farthest (by cosine) from the corpus centroid — the
+    embedding-space outlier screen (mislabeled modality, corrupt vectors,
+    off-domain content). The centroid is one element-wise mean: posexplode
+    → per-position avg → re-assembled into a single-row array and
+    broadcast; the scan then scores each vector once. No pairwise work
+    anywhere."""
+    pos = corpus.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    centroid = (
+        pos.groupBy("pos")
+        .agg(F.avg("v").alias("m"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("pm")
+        )
+        .select(F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    scored = fan_out(corpus.select("vec_id", "embedding")).crossJoin(
+        F.broadcast(centroid)
+    )
+    return (
+        scored.select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+                "cos_to_centroid"
+            ),
+        )
+        .orderBy(F.col("cos_to_centroid").asc(), "vec_id")
+        .limit(k)
+    )

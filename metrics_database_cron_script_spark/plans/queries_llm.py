@@ -1396,3 +1396,12 @@ def x_lang_confusion(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.first(F.col("lang") == F.col("predicted_lang")).alias("is_match"),
     )
+
+
+@query("x_embed_outliers", oracle=None)  # float ranking → rows-only
+def x_embed_outliers(spark, sf_dir):
+    """Embedding outlier screen (similarity.centroid_outliers): the 10
+    vectors least aligned with the corpus centroid; a planted-outlier
+    recall test lives in tests/test_dedup_quality.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.centroid_outliers(emb, k=10)

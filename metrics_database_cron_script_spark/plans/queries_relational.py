@@ -2902,3 +2902,43 @@ def c_rfm_segmentation(spark, sf_dir):
             .cast("bigint"),
         )
     )
+
+
+@query(
+    "c_year_over_year",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+)
+SELECT yr, mo, revenue,
+       ROUND(lag(revenue, 12) OVER (ORDER BY yr, mo), 2) AS revenue_prev_year,
+       ROUND(100.0 * (revenue - lag(revenue, 12) OVER (ORDER BY yr, mo))
+             / NULLIF(lag(revenue, 12) OVER (ORDER BY yr, mo), 0), 6) AS yoy_pct
+FROM monthly""",
+)
+def c_year_over_year(spark, sf_dir):
+    """Year-over-year monthly revenue comparison: lag(12) over the
+    continuous month series (the fixture's orders span 1995-2001, so every
+    month has a same-month-last-year partner after the first year) — the
+    seasonal-growth readout. Month-cardinality window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "revenue",
+        F.round(prev, 2).alias("revenue_prev_year"),
+        F.round(
+            100.0 * (F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6
+        ).alias("yoy_pct"),
+    )

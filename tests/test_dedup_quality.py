@@ -213,3 +213,25 @@ def test_compression_ratio_orders_repetitive_below_diverse(spark):
     }
     assert rows[3] is None
     assert rows[1] < rows[2] * 0.5
+
+
+def test_centroid_outliers_find_planted_vector(spark):
+    """A vector pointed away from the shared direction of an otherwise
+    homogeneous corpus must surface as the top centroid outlier."""
+    import random
+
+    from metrics_database_cron_script_spark.functions.similarity import (
+        centroid_outliers,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    base = [1.0] * dim
+    rows = []
+    for i in range(50):
+        rows.append((i, [b + rng.uniform(-0.1, 0.1) for b in base]))
+    rows.append((999, [-1.0] * dim))  # planted anti-aligned outlier
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = centroid_outliers(emb, k=3).collect()
+    assert top[0]["vec_id"] == 999
+    assert top[0]["cos_to_centroid"] < -0.9
