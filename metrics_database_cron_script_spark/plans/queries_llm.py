@@ -1405,3 +1405,29 @@ def x_embed_outliers(spark, sf_dir):
     recall test lives in tests/test_dedup_quality.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.centroid_outliers(emb, k=10)
+
+
+@query(
+    "x_dup_cluster_sizes",
+    oracle=r"""
+WITH groups AS (
+  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+         COUNT(*) AS cluster_size
+  FROM documents GROUP BY 1
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM groups GROUP BY cluster_size""",
+)
+def x_dup_cluster_sizes(spark, sf_dir):
+    """Histogram of exact-duplicate cluster sizes (how many texts appear
+    once, twice, ...) — the shape that decides dedup strategy: a few huge
+    clusters means boilerplate, many pairs means mirrored feeds. Two
+    map-side-combinable groupBys."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    groups = d.groupBy(norm.alias("nt")).agg(F.count(F.lit(1)).alias("cluster_size"))
+    return groups.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )

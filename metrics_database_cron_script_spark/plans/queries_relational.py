@@ -2942,3 +2942,48 @@ def c_year_over_year(spark, sf_dir):
             100.0 * (F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6
         ).alias("yoy_pct"),
     )
+
+
+@query(
+    "c_concentration",
+    oracle="""
+WITH spend AS (
+  SELECT user_id, SUM(value) AS s FROM events GROUP BY user_id
+), ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s, user_id) AS i, COUNT(*) OVER () AS n,
+         SUM(s) OVER () AS total
+  FROM spend
+)
+SELECT ROUND(2.0 * SUM(i * s) / (MAX(n) * MAX(total)) - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+       ROUND(SUM(CASE WHEN i * 1.0 / n > 0.8 THEN s ELSE 0 END) / MAX(total), 6) AS top20_share
+FROM ranked""",
+)
+def c_concentration(spark, sf_dir):
+    """Concentration of user spend: Gini coefficient (rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending spend) and the Pareto
+    top-20%-of-users revenue share — the whale-concentration readout for a
+    staking/AUM domain. Windows run over the user-cardinality aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(F.sum("value").alias("s"))
+    w = Window.orderBy("s", "user_id")
+    wall = Window.partitionBy()
+    ranked = spend.select(
+        "s",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("s").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("s")) / (F.max("n") * F.max("total"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(F.when(F.col("i") / F.col("n") > 0.8, F.col("s")).otherwise(0))
+            / F.max("total"),
+            6,
+        ).alias("top20_share"),
+    )
