@@ -1431,3 +1431,29 @@ def x_dup_cluster_sizes(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     )
+
+
+@query(
+    "x_embed_norm_audit",
+    oracle="""
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+       abs(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) - 1.0) < 0.1 AS near_unit
+FROM embeddings""",
+)
+def x_embed_norm_audit(spark, sf_dir):
+    """L2-norm audit of the embedding column: un-normalized vectors break
+    cosine≈dot shortcuts and quantization assumptions, so the ingest gate
+    flags them. One codegen-adjacent HOF pass per vector (invariant hoisted
+    into a single aggregate expression)."""
+    from metrics_database_cron_script_spark.functions.similarity import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = l2_norm(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(n, 4).alias("l2_norm"),
+        (F.abs(n - 1.0) < 0.1).alias("near_unit"),
+    )

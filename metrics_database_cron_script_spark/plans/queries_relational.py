@@ -2987,3 +2987,45 @@ def c_concentration(spark, sf_dir):
             6,
         ).alias("top20_share"),
     )
+
+
+@query(
+    "c_segment_overlap",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+i AS (SELECT COUNT(*) AS ni FROM a JOIN b USING (user_id)),
+ca AS (SELECT COUNT(*) AS na FROM a), cb AS (SELECT COUNT(*) AS nb FROM b)
+SELECT na AS n_purchasers, nb AS n_signups, ni AS n_both,
+       ROUND(ni * 1.0 / (na + nb - ni), 6) AS jaccard,
+       ROUND(ni * 1.0 / LEAST(na, nb), 6) AS overlap_coef
+FROM ca, cb, i""",
+)
+def c_segment_overlap(spark, sf_dir):
+    """Set similarity between two behavioral segments (purchasers vs
+    signups): Jaccard and the overlap coefficient over distinct user sets —
+    the audience-overlap readout. Distinct-sets first, so the join runs on
+    user-cardinality relations."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    na = a.agg(F.count(F.lit(1)).alias("n_purchasers"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_signups"))
+    ni = a.join(b, "user_id").agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(ni)
+        .select(
+            "n_purchasers",
+            "n_signups",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_purchasers") + F.col("n_signups") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_both") / F.least("n_purchasers", "n_signups"), 6
+            ).alias("overlap_coef"),
+        )
+    )

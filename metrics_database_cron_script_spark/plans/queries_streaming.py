@@ -173,3 +173,34 @@ def s_windowed_topk(spark, sf_dir):
         agg.withColumn("rk", F.row_number().over(wk).cast("bigint"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "s_rate_stats",
+    oracle="""
+WITH per_min AS (
+  SELECT event_type, date_trunc('minute', ts) AS m, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('minute', ts)
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS peak_per_min,
+       ROUND(AVG(n), 6) AS avg_per_min,
+       CAST(COUNT(*) AS BIGINT) AS active_minutes
+FROM per_min GROUP BY event_type""",
+)
+def s_rate_stats(spark, sf_dir):
+    """Throughput profile per event type: peak and average events-per-minute
+    over ACTIVE minutes (the capacity-planning readout a streaming ingest
+    monitors). Two map-side-combinable groupBys; minute-cardinality
+    intermediate."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_min.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("peak_per_min"),
+        F.round(F.avg("n"), 6).alias("avg_per_min"),
+        F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
+    )
