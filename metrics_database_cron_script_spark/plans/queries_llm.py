@@ -1457,3 +1457,74 @@ def x_embed_norm_audit(spark, sf_dir):
         F.round(n, 4).alias("l2_norm"),
         (F.abs(n - 1.0) < 0.1).alias("near_unit"),
     )
+
+
+@query(
+    "x_bigram_perplexity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(t,
+             (x, i) -> CASE WHEN i < len(t) THEN x || '\x01' || t[i + 1] END),
+             g -> g IS NOT NULL)) AS g
+  FROM toks
+), bic AS (SELECT g, COUNT(*) AS c12 FROM bi GROUP BY g),
+uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT doc_id,
+               unnest(list_filter(list_transform(t,
+                   (x, i) -> CASE WHEN i < len(t) THEN x END),
+                   w -> w IS NOT NULL)) AS w
+        FROM toks)
+  GROUP BY w
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(-AVG(ln(bic.c12 * 1.0 / uni.c1)), 6) AS cross_entropy,
+       ROUND(exp(-AVG(ln(bic.c12 * 1.0 / uni.c1))), 4) AS perplexity
+FROM bi b
+JOIN bic ON bic.g = b.g
+JOIN uni ON uni.w = split_part(b.g, '\x01', 1)
+GROUP BY b.doc_id""",
+)
+def x_bigram_perplexity(spark, sf_dir):
+    """Per-document cross-entropy/perplexity under the CORPUS bigram model
+    (p(w2|w1) = c12/c1, both counted over non-final positions so the
+    conditional normalizes exactly): low perplexity flags formulaic text,
+    high flags noise — the statistical-LM quality signal computed without
+    any trained model. Every doc bigram exists in the corpus counts, so no
+    smoothing is needed. Separator is \\x01 (absent from the token
+    alphabet), keeping the uni join key exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], '\x01', t[i + 1])) ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    bic = bi.groupBy("g").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        toks.select(
+            F.explode(F.expr("slice(t, 1, greatest(size(t) - 1, 0))")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    lp = F.log(F.col("c12") / F.col("c1"))
+    return (
+        bi.join(bic, "g")
+        .withColumn("w", F.split_part(F.col("g"), F.lit("\x01"), F.lit(1)))
+        .join(uni, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(lp), 6).alias("cross_entropy"),
+            F.round(F.exp(-F.avg(lp)), 4).alias("perplexity"),
+        )
+    )
