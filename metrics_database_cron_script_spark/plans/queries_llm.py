@@ -1528,3 +1528,44 @@ def x_bigram_perplexity(spark, sf_dir):
             F.round(F.exp(-F.avg(lp)), 4).alias("perplexity"),
         )
     )
+
+
+@query(
+    "x_incremental_dedup",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM documents
+), existing AS (
+  SELECT DISTINCT nt FROM norm WHERE doc_id < 250
+), batch AS (
+  SELECT * FROM norm WHERE doc_id >= 250
+)
+SELECT b.doc_id, b.source
+FROM batch b
+LEFT JOIN existing e ON b.nt = e.nt
+WHERE e.nt IS NULL
+QUALIFY row_number() OVER (PARTITION BY b.nt ORDER BY b.doc_id) = 1""",
+)
+def x_incremental_dedup(spark, sf_dir):
+    """Incremental content dedup — the production cron shape: a new batch
+    (doc_id >= watermark) is anti-joined against the EXISTING corpus's
+    normalized-text set, then deduped within itself keeping the lowest
+    doc_id. Combines the reference's idempotent-insert anti-join (R14,
+    updatescript.py:62) with content hashing; both joins key on the
+    normalized hash."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n = d.select("doc_id", "source", norm.alias("nt"))
+    existing = n.filter(F.col("doc_id") < 250).select("nt").distinct()
+    batch = n.filter(F.col("doc_id") >= 250)
+    w = Window.partitionBy("nt").orderBy("doc_id")
+    return (
+        batch.join(existing, "nt", "left_anti")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source")
+    )

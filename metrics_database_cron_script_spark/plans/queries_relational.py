@@ -3029,3 +3029,58 @@ def c_segment_overlap(spark, sf_dir):
             ).alias("overlap_coef"),
         )
     )
+
+
+@query(
+    "c_change_intervals",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grp AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM seq
+), intervals AS (
+  SELECT user_id, event_type, g,
+         MIN(ts) AS valid_from, MAX(ts) AS last_seen, COUNT(*) AS n_events
+  FROM grp GROUP BY user_id, event_type, g
+)
+SELECT user_id, event_type, valid_from, last_seen, n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, g) AS valid_to
+FROM intervals""",
+)
+def c_change_intervals(spark, sf_dir):
+    """SCD2-style change compression: each user's event stream collapsed
+    into validity intervals of consecutive same-type runs (change flag →
+    running group id → per-run min/max/count → lead for the exclusive end)
+    — the state-history form a dimension table stores instead of raw
+    events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    grp = seq.withColumn(
+        "g", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    intervals = grp.groupBy("user_id", "event_type", "g").agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("valid_from", "g")
+    return intervals.withColumn("valid_to", F.lead("valid_from").over(wi)).drop("g")
