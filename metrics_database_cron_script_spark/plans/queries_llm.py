@@ -1569,3 +1569,45 @@ def x_incremental_dedup(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "x_source_kl",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), src AS (
+  SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w
+), src_n AS (SELECT source, SUM(c) AS n FROM src GROUP BY source),
+corpus AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+corpus_n AS (SELECT SUM(c) AS n FROM corpus)
+SELECT s.source,
+       ROUND(SUM((s.c * 1.0 / sn.n)
+             * ln((s.c * 1.0 / sn.n) / (g.c * 1.0 / gn.n))), 6) AS kl_to_corpus
+FROM src s
+JOIN src_n sn ON sn.source = s.source
+JOIN corpus g ON g.w = s.w
+CROSS JOIN corpus_n gn
+GROUP BY s.source""",
+)
+def x_source_kl(spark, sf_dir):
+    """KL divergence of each source's token distribution from the corpus
+    distribution — the feed-drift readout (which source's language diverges
+    from the mixture). Every source token exists in the corpus counts, so
+    the divergence is exact without smoothing; all joins run on the
+    vocabulary-sized term tables."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    src = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    src_n = src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = tok.groupBy("w").agg(F.count(F.lit(1)).alias("gc"))
+    corpus_n = corpus.agg(F.sum("gc").alias("gn"))
+    p = F.col("c") / F.col("n")
+    q = F.col("gc") / F.col("gn")
+    return (
+        src.join(F.broadcast(src_n), "source")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(corpus_n))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_to_corpus"))
+    )

@@ -3084,3 +3084,45 @@ def c_change_intervals(spark, sf_dir):
     )
     wi = Window.partitionBy("user_id").orderBy("valid_from", "g")
     return intervals.withColumn("valid_to", F.lead("valid_from").over(wi)).drop("g")
+
+
+@query(
+    "c_ewma",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS volume
+  FROM events GROUP BY 1
+), hist AS (
+  SELECT day, volume,
+         list(volume) OVER (ORDER BY day
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS vs
+  FROM daily
+)
+SELECT day, volume,
+       ROUND(list_sum(list_transform(vs, (v, i) -> v * pow(0.7, len(vs) - i)))
+             / list_sum(list_transform(vs, (v, i) -> pow(0.7, len(vs) - i))), 6)
+         AS ewma14
+FROM hist""",
+)
+def c_ewma(spark, sf_dir):
+    """Truncated (14-day) exponentially weighted moving average of daily
+    volume: the trailing window is collected per row and the decay weights
+    applied with an indexed lambda, normalized over the weights actually
+    present (so the series start is unbiased). Day-cardinality window +
+    vocabulary-free HOF — cheap despite the nested array."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("volume")
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    hist = daily.withColumn("vs", F.collect_list("volume").over(w))
+    # Spark transform index i is 0-based; DuckDB's is 1-based — the weight
+    # exponent len(vs) - i differs by one, cancelled by the normalizing
+    # denominator using the same convention on each engine
+    num = F.expr("aggregate(transform(vs, (v, i) -> v * pow(0.7, size(vs) - i)), 0D, (a, x) -> a + x)")
+    den = F.expr("aggregate(transform(vs, (v, i) -> pow(0.7, size(vs) - i)), 0D, (a, x) -> a + x)")
+    return hist.select(
+        "day", "volume", F.round(num / den, 6).alias("ewma14")
+    )
