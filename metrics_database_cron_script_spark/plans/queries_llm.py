@@ -1611,3 +1611,38 @@ def x_source_kl(spark, sf_dir):
         .groupBy("source")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_to_corpus"))
     )
+
+
+@query(
+    "x_token_budget",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+), running AS (
+  SELECT doc_id, n_toks,
+         SUM(n_toks) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+  FROM toks
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(cum_toks AS BIGINT) AS cum_toks,
+       cum_toks <= 10000 AS in_budget
+FROM running""",
+)
+def x_token_budget(spark, sf_dir):
+    """Token-budget corpus selection: running token total in deterministic
+    doc_id order with an in-budget flag — 'which prefix of the corpus fits
+    a 10k-token training budget'. The running sum is the only global
+    window; at scale it becomes a two-pass per-partition-offset cumsum, but
+    the declared semantics stay exactly this."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return toks.select(
+        "doc_id",
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        F.sum("n_toks").over(w).cast("bigint").alias("cum_toks"),
+        (F.sum("n_toks").over(w) <= 10000).alias("in_budget"),
+    )

@@ -204,3 +204,75 @@ def s_rate_stats(spark, sf_dir):
         F.round(F.avg("n"), 6).alias("avg_per_min"),
         F.count(F.lit(1)).cast("bigint").alias("active_minutes"),
     )
+
+
+@query(
+    "s_session_stats",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), grp AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM seq
+), sessions AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         CAST(floor((epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 1000.0) AS BIGINT) AS duration_s
+  FROM grp GROUP BY user_id, sid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(n_events), 6) AS avg_events,
+       ROUND(AVG(duration_s), 6) AS avg_duration_s,
+       ROUND(median(duration_s), 6) AS p50_duration_s,
+       CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
+FROM sessions""",
+)
+def s_session_stats(spark, sf_dir):
+    """Session-quality rollup: sessions built with the engine's 30-min-gap
+    rule (gap >= 30 min starts a new session, matching session_window's
+    end-inclusive semantics), then corpus-level duration/size statistics —
+    the engagement readout layered on sessionization."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            prev.isNull()
+            | (F.col("ts").cast("long") - prev.cast("long") >= 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wg = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    grp = seq.withColumn("sid", F.sum("new_s").over(wg))
+    sessions = grp.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # exact-ms difference floored once (truncating each endpoint to
+        # seconds first would disagree with the oracle on sub-second gaps)
+        F.floor(
+            (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))) / 1000.0
+        )
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+        F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
+        F.round(F.median("duration_s"), 6).alias("p50_duration_s"),
+        F.max("duration_s").cast("bigint").alias("max_duration_s"),
+    )
