@@ -1646,3 +1646,40 @@ def x_token_budget(spark, sf_dir):
         F.sum("n_toks").over(w).cast("bigint").alias("cum_toks"),
         (F.sum("n_toks").over(w) <= 10000).alias("in_budget"),
     )
+
+
+@query(
+    "x_mixture_weights",
+    oracle="""
+WITH cells AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+), tot AS (SELECT SUM(c) AS n, COUNT(*) AS n_cells FROM cells)
+SELECT d.doc_id, d.source, d.lang,
+       ROUND((t.n * 1.0 / t.n_cells) / cells.c, 6) AS sample_weight
+FROM documents d
+JOIN cells ON cells.source = d.source AND cells.lang = d.lang
+CROSS JOIN tot t""",
+)
+def x_mixture_weights(spark, sf_dir):
+    """Inverse-propensity sampling weights per (source, lang) cell that
+    rebalance the corpus to a UNIFORM cell mixture: weight =
+    (N/n_cells)/cell_count, so expected weighted mass per cell is equal —
+    the training-mixture correction applied at sampling time. The cell
+    table is tiny and broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return (
+        d.join(F.broadcast(cells), ["source", "lang"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.round((F.col("n") / F.col("n_cells")) / F.col("c"), 6).alias(
+                "sample_weight"
+            ),
+        )
+    )

@@ -3126,3 +3126,49 @@ def c_ewma(spark, sf_dir):
     return hist.select(
         "day", "volume", F.round(num / den, 6).alias("ewma14")
     )
+
+
+@query(
+    "c_cohort_ltv",
+    oracle="""
+WITH firstw AS (
+  SELECT user_id,
+         CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_w
+  FROM events GROUP BY user_id
+), weekly AS (
+  SELECT f.cohort_w,
+         CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_w AS week_offset,
+         ROUND(SUM(e.value), 2) AS revenue
+  FROM events e JOIN firstw f ON e.user_id = f.user_id
+  GROUP BY f.cohort_w, CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_w
+)
+SELECT cohort_w, week_offset, revenue,
+       ROUND(SUM(revenue) OVER (PARTITION BY cohort_w ORDER BY week_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cumulative_revenue
+FROM weekly""",
+)
+def c_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: revenue per (first-activity-week
+    cohort, week offset) with the running cumulative — the LTV triangle
+    that prices acquisition. Same first-touch spine as c_retention_cohort;
+    the cumulative window runs over the weeks² matrix."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("bigint")
+    firstw = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_w"))
+    weekly = (
+        ev.join(firstw, "user_id")
+        .groupBy(
+            "cohort_w", (week(F.col("ts")) - F.col("cohort_w")).alias("week_offset")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_w")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return weekly.withColumn(
+        "cumulative_revenue", F.round(F.sum("revenue").over(w), 2)
+    )
