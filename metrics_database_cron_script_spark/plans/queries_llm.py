@@ -1683,3 +1683,30 @@ def x_mixture_weights(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "x_dedup_survivorship",
+    oracle=r"""
+SELECT doc_id, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+  ORDER BY n_chars DESC, doc_id) = 1""",
+)
+def x_dedup_survivorship(spark, sf_dir):
+    """Policy-pluggable dedup survivorship: within each exact-duplicate
+    cluster the LONGEST document wins (n_chars desc, doc_id tie-break) —
+    the quality-first alternative to x_exact_dedup's lowest-id rule; same
+    window shape, different ORDER BY, which is the whole point: the
+    survivor policy is one expression."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy(norm).orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -3172,3 +3172,79 @@ def c_cohort_ltv(spark, sf_dir):
     return weekly.withColumn(
         "cumulative_revenue", F.round(F.sum("revenue").over(w), 2)
     )
+
+
+@query(
+    "c_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / SUM(revenue) OVER () AS cum_share
+  FROM rev
+)
+SELECT l_partkey, revenue,
+       ROUND(cum_share, 6) AS cum_share,
+       CASE WHEN cum_share <= 0.8 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked""",
+)
+def c_abc_classification(spark, sf_dir):
+    """ABC (Pareto) classification of parts by revenue: cumulative revenue
+    share in descending order cuts the catalog into A (first 80%),
+    B (to 95%), C (tail) — the ops-analytics prioritization readout. The
+    windows run over the part-cardinality aggregate."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    wc = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    share = F.sum("revenue").over(wc) / F.sum("revenue").over(wall)
+    return rev.select(
+        "l_partkey",
+        "revenue",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+
+
+@query(
+    "c_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(MAX(med.m), 6) AS med,
+       ROUND(median(abs(e.value - med.m)), 6) AS mad
+FROM events e JOIN med ON med.event_type = e.event_type
+GROUP BY e.event_type""",
+)
+def c_mad(spark, sf_dir):
+    """Median absolute deviation per group — the robust dispersion measure
+    (outlier-immune alternative to stddev): two grouped exact-median
+    passes, the first broadcast back as the center."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("m"), 6).alias("med"),
+            F.round(F.median(F.abs(F.col("value") - F.col("m"))), 6).alias("mad"),
+        )
+    )
