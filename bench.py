@@ -38,6 +38,11 @@ HEADLINE = [
     "c_multi_join",
     "x_tfidf",
     "x_ngram_jaccard",
+    # TPC-H classics + sub-document dedup (round-1 close)
+    "c_tpch_q1_shape",
+    "c_tpch_q9_shape",
+    "c_tpch_q21_shape",
+    "x_chunk_dedup",
 ]
 
 

@@ -1710,3 +1710,146 @@ def x_dedup_survivorship(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@query(
+    "x_chunk_dedup",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), chunks AS (
+  SELECT doc_id, source, (ord - 1) // 10 AS chunk_id,
+         string_agg(w, ' ' ORDER BY ord) AS chunk
+  FROM tok GROUP BY doc_id, source, chunk_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_unique,
+       ROUND((COUNT(*) - COUNT(DISTINCT chunk)) * 1.0 / COUNT(*), 6)
+         AS chunk_dup_rate
+FROM chunks GROUP BY source""",
+)
+def x_chunk_dedup(spark, sf_dir):
+    """Sub-document (chunk-granularity) dedup audit: split every document
+    into consecutive 10-word chunks and measure, per source, how much of
+    the corpus is made of repeated chunks — the paragraph-dedup analog for
+    a corpus whose documents have no paragraph structure. The chunking is
+    a pure narrow map (one HOF over the token array, no shuffle); the only
+    exchange is the per-source distinct-count. At 100 TB the distinct goes
+    through the same partial-agg path as any COUNT(DISTINCT) — or swaps to
+    approx_count_distinct when the 6-decimal audit doesn't need exactness.
+
+    Reference parity: the reference dedups whole rows by _id only
+    (updatescript.py:62); sub-record dedup is a north-star extension."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", "source", F.split("text", " ").alias("ws"))
+    chunks = ws.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(cast(ceil(size(ws) / 10.0) as int) - 1, 0)),"
+                " i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("chunk").alias("n_unique"),
+        F.round(
+            (F.count(F.lit(1)) - F.count_distinct("chunk")) / F.count(F.lit(1)), 6
+        ).alias("chunk_dup_rate"),
+    )
+
+
+@query(
+    "x_filter_cascade",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, lower(trim(text)) AS t,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+), s1 AS (
+  SELECT * FROM base WHERE n_words >= 20
+), s2 AS (
+  SELECT * FROM s1 WHERE lang IN ('en', 'es', 'de', 'fr')
+), s3 AS (
+  SELECT * FROM s2 WHERE ttr >= 0.35
+), s4 AS (
+  SELECT * FROM s3 QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY t)
+)
+SELECT * FROM (
+  SELECT 1 AS stage_no, 'min_words' AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_in,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_out
+  UNION ALL
+  SELECT 2, 'lang_keep', (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'ttr', (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3)
+  UNION ALL
+  SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM s4)
+) ORDER BY stage_no""",
+)
+def x_filter_cascade(spark, sf_dir):
+    """Corpus-curation filter cascade with a per-stage rejection readout —
+    the funnel view of a training-data cleaning pipeline (length gate →
+    language keep-list → type-token-ratio quality gate → exact dedup).
+    Computed in ONE pass: each doc gets a `passed_through` level (the last
+    stage it survived), then a single tiny aggregate yields every stage's
+    in/out counts — no per-stage rescans, which is the difference between
+    1 and 4 full corpus reads at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.lower(F.trim(F.col("text"))).alias("t"),
+        F.size(ws).alias("n_words"),
+        (F.size(F.array_distinct(ws)) / F.size(ws)).alias("ttr"),
+    )
+    g1 = F.col("n_words") >= 20
+    g2 = F.col("lang").isin("en", "es", "de", "fr")
+    g3 = F.col("ttr") >= 0.35
+    lev = (
+        F.when(~g1, 0).when(~g2, 1).when(~g3, 2).otherwise(3).alias("lvl")
+    )
+    leveled = base.select("doc_id", "t", lev)
+    # Survivors of stage 3 additionally dedup on normalized text (stage 4).
+    w = Window.partitionBy("t")
+    survived4 = leveled.withColumn(
+        "lvl",
+        F.when(
+            (F.col("lvl") == 3) & (F.col("doc_id") == F.min(F.when(F.col("lvl") == 3, F.col("doc_id"))).over(w)),
+            4,
+        ).otherwise(F.col("lvl")),
+    )
+    counts = survived4.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum((F.col("lvl") >= 1).cast("bigint")).alias("c1"),
+        F.sum((F.col("lvl") >= 2).cast("bigint")).alias("c2"),
+        F.sum((F.col("lvl") >= 3).cast("bigint")).alias("c3"),
+        F.sum((F.col("lvl") >= 4).cast("bigint")).alias("c4"),
+    )
+    stages = spark.createDataFrame(
+        [(1, "min_words"), (2, "lang_keep"), (3, "ttr"), (4, "exact_dedup")],
+        "stage_no int, stage string",
+    )
+    return (
+        stages.join(F.broadcast(counts))
+        .select(
+            "stage_no",
+            "stage",
+            F.element_at(
+                F.array("c0", "c1", "c2", "c3"), F.col("stage_no")
+            ).alias("n_in"),
+            F.element_at(
+                F.array("c1", "c2", "c3", "c4"), F.col("stage_no")
+            ).alias("n_out"),
+        )
+        .orderBy("stage_no")
+    )

@@ -276,3 +276,53 @@ def s_session_stats(spark, sf_dir):
         F.round(F.median("duration_s"), 6).alias("p50_duration_s"),
         F.max("duration_s").cast("bigint").alias("max_duration_s"),
     )
+
+
+@query(
+    "s_interval_join",
+    oracle="""
+SELECT c.event_id, c.user_id,
+       CAST(COUNT(v.event_id) AS BIGINT) AS n_views,
+       MAX(v.ts) AS last_view_ts
+FROM events c
+LEFT JOIN events v
+  ON v.user_id = c.user_id AND v.event_type = 'view'
+ AND v.ts > c.ts - INTERVAL 30 MINUTE AND v.ts <= c.ts
+WHERE c.event_type = 'click'
+GROUP BY c.event_id, c.user_id""",
+)
+def s_interval_join(spark, sf_dir):
+    """Interval (stream-stream) join: every click joined to the views the
+    same user made in the preceding 30 minutes — the attribution-window
+    join that Structured Streaming runs as a watermarked stream-stream
+    left-outer join with a time-bound condition (state eviction = the
+    30-min bound + watermark). Batch-side it is a user_id equi-join with
+    the range predicate evaluated post-probe; the equi-key keeps it
+    hash/sort-merge partitioned, never a cross product. Reference parity:
+    the reference's per-tx `find_one` probe loop (updatescript.py:62-67)
+    is the degenerate 1-row version of exactly this join."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("c_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("v_ts") > F.col("c_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("v_ts") <= F.col("c_ts")),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.count("v_id").alias("n_views"),
+            F.max("v_ts").alias("last_view_ts"),
+        )
+    )
