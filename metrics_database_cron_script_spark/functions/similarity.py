@@ -283,3 +283,47 @@ def centroid_outliers(corpus: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.col("cos_to_centroid").asc(), "vec_id")
         .limit(k)
     )
+
+
+def knn_label_majority(
+    corpus: DataFrame, k: int = 5, holdout_mod: int = 10
+) -> DataFrame:
+    """k-NN classification by majority vote: every vec_id divisible by
+    `holdout_mod` is held out as a query and classified by the modal label
+    of its k nearest (cosine) neighbors in the remaining corpus. Vote ties
+    break to the smallest label (deterministic).
+
+    Scale shape: rides brute_force_topk (query set broadcast, corpus
+    scanned once, per-query top-k via WindowGroupLimit); the voting stage
+    then runs on O(queries × k) rows — negligible — with neighbor labels
+    joined from a broadcast of the corpus id→label projection. Swap the
+    neighbor stage for ivf_topk/lsh_topk when the query set itself is too
+    big to broadcast.
+
+    Reference parity: no ML surface in the reference (updatescript.py);
+    this is the §2.C similarity-search extension applied to labeling."""
+    held = F.col("vec_id") % holdout_mod == 0
+    queries = corpus.filter(held).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("true_label"),
+    )
+    rest = corpus.filter(~held)
+    nn = brute_force_topk(rest, queries.select("q_id", "q_vec"), k=k)
+    labels = corpus.select("vec_id", F.col("label").alias("nbr_label"))
+    votes = (
+        nn.join(F.broadcast(labels), "vec_id")
+        .groupBy("q_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label")
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("q_id", F.col("nbr_label").alias("predicted_label"), "n_votes")
+    )
+    return pred.join(
+        F.broadcast(queries.select("q_id", "true_label")), "q_id"
+    ).select("q_id", "predicted_label", "true_label", "n_votes")

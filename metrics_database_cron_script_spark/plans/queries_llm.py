@@ -1853,3 +1853,11 @@ def x_filter_cascade(spark, sf_dir):
         )
         .orderBy("stage_no")
     )
+
+
+@query("x_knn_label_majority", oracle=None)  # float cosine ordering → rows-only
+def x_knn_label_majority(spark, sf_dir):
+    """Hold-out k-NN classification over the embeddings table (every 10th
+    vector classified by its 5 nearest neighbors' majority label);
+    exact-match differential vs numpy in tests/test_knn_classify.py."""
+    return S.knn_label_majority(load_table(spark, sf_dir, "embeddings"), k=5)

@@ -3248,3 +3248,51 @@ def c_mad(spark, sf_dir):
             F.round(F.median(F.abs(F.col("value") - F.col("m"))), 6).alias("mad"),
         )
     )
+
+
+@query(
+    "c_changepoint_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, AVG(value) AS day_mean
+  FROM events GROUP BY event_type, day
+), dev AS (
+  SELECT event_type, day,
+         day_mean - AVG(day_mean) OVER (PARTITION BY event_type) AS d
+  FROM daily
+), cusum AS (
+  SELECT event_type, day,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM dev
+)
+SELECT event_type, day AS changepoint_day, ROUND(abs(c), 6) AS max_abs_cusum
+FROM cusum
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(c) DESC, day) = 1""",
+)
+def c_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of daily means from the series mean peaks — the
+    classic offline mean-shift locator. Three window passes all share one
+    partitionBy(event_type) exchange (the second and third add only a
+    sort); the fact-sized work is the single daily pre-aggregation, so the
+    window chain runs over O(types × days) rows at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("day_mean"))
+    wt = Window.partitionBy("event_type")
+    dev = daily.withColumn("d", F.col("day_mean") - F.avg("day_mean").over(wt))
+    cusum = dev.withColumn(
+        "c", F.sum("d").over(wt.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ranked = cusum.withColumn(
+        "rn",
+        F.row_number().over(wt.orderBy(F.abs(F.col("c")).desc(), "day")),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day").alias("changepoint_day"),
+        F.round(F.abs(F.col("c")), 6).alias("max_abs_cusum"),
+    )

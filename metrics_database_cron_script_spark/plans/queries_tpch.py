@@ -661,11 +661,12 @@ def c_tpch_q21_shape(spark, sf_dir):
     """TPC-H Q21 (suppliers who kept orders waiting): the double-correlated
     EXISTS / NOT-EXISTS. A line qualifies when some *other* supplier has a
     line in the same order (EXISTS) but none of them shipped later
-    (NOT EXISTS) — i.e. this supplier shipped last. De-correlated with two
-    per-order aggregates instead of two self-join probes:
+    (NOT EXISTS) — i.e. this supplier shipped last. De-correlated into
+    window aggregates over the compact per-(order, supplier) frame instead
+    of self-join probes:
 
-      per (order, supp):  s_max   = max(shipdate)
-      per order:          m1      = max(s_max),  k = #supps with s_max = m1,
+      per (order, supp):  s_max   = max(shipdate)          [grouped agg]
+      window over order:  m1      = max(s_max),  k = #supps with s_max = m1,
                           m2      = max(s_max | s_max < m1),  nsupp = #supps
       other_max(supp)     = m1 if (s_max < m1 or k >= 2) else m2
 
@@ -680,36 +681,38 @@ def c_tpch_q21_shape(spark, sf_dir):
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("s_max")
     )
-    per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.max("s_max").alias("m1"),
-        F.count(F.lit(1)).alias("nsupp"),
-    )
-    with_m1 = per_supp.join(
-        per_order, per_supp["l_orderkey"] == per_order["po_orderkey"]
-    )
-    order_stats = with_m1.groupBy("po_orderkey").agg(
-        F.max("m1").alias("m1"),
-        F.max("nsupp").alias("nsupp"),
-        F.sum(F.when(F.col("s_max") == F.col("m1"), 1).otherwise(0)).alias("k"),
-        F.max(F.when(F.col("s_max") < F.col("m1"), F.col("s_max"))).alias("m2"),
-    )
-    supp_stats = per_supp.join(
-        order_stats, per_supp["l_orderkey"] == order_stats["po_orderkey"]
-    ).select(
+    # Both window passes share partitionBy(l_orderkey): one exchange + one
+    # sort serve all five analytics (no join-back to order-level aggregates).
+    w = Window.partitionBy("l_orderkey")
+    lvl1 = per_supp.select(
         "l_orderkey",
+        "l_suppkey",
+        "s_max",
+        F.max("s_max").over(w).alias("m1"),
+        F.count(F.lit(1)).over(w).alias("nsupp"),
+    )
+    supp_stats = lvl1.select(
+        F.col("l_orderkey").alias("ss_orderkey"),
         F.col("l_suppkey").alias("ss_suppkey"),
         "nsupp",
         F.when(
-            (F.col("s_max") < F.col("m1")) | (F.col("k") >= 2), F.col("m1")
+            (F.col("s_max") < F.col("m1"))
+            | (
+                F.sum((F.col("s_max") == F.col("m1")).cast("int")).over(w)
+                >= 2
+            ),
+            F.col("m1"),
         )
-        .otherwise(F.col("m2"))
+        .otherwise(
+            F.max(F.when(F.col("s_max") < F.col("m1"), F.col("s_max"))).over(w)
+        )
         .alias("other_max"),
     )
     qualified = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_semi")
         .join(
             supp_stats,
-            (li["l_orderkey"] == supp_stats["l_orderkey"])
+            (li["l_orderkey"] == supp_stats["ss_orderkey"])
             & (li["l_suppkey"] == supp_stats["ss_suppkey"]),
         )
         .filter((F.col("nsupp") >= 2) & (li["l_shipdate"] >= F.col("other_max")))

@@ -38,6 +38,8 @@ DOC_QUERIES = [
     "x_length_histogram",
     "x_exact_dedup",
     "c_array_setops",
+    "x_chunk_dedup",
+    "x_filter_cascade",
 ]
 
 
@@ -286,3 +288,96 @@ def test_edge_relational_match_oracle(spark, edge_rel_dir, name):
         con.close()
     res = compare(sdf, opdf)
     assert res["ok"], f"{name} on edge relational fixture: {res}"
+
+
+# ------------------------------------------------------------- TPC-H Q21 ties
+
+EDGE_Q21_LINEITEM = [
+    # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+    #  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+    # order 1: single supplier → EXISTS(other supplier) fails, never counts
+    (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "F", _T("1996-01-05")),
+    # order 2: s1 ships last strictly (d3 > s2's d2); s1's early line at d1
+    # must NOT count (an other-supplier line shipped later)
+    (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "F", _T("1996-02-01")),
+    (2, 2, 2, 2, 1.0, 10.0, 0.0, 0.0, "N", "F", _T("1996-02-10")),
+    (2, 3, 1, 3, 1.0, 10.0, 0.0, 0.0, "N", "F", _T("1996-02-20")),
+    # order 3: s2 and s3 TIE at the max shipdate (k >= 2 branch): the
+    # NOT-EXISTS is strict '>', so BOTH tied last-shippers count
+    (3, 4, 2, 1, 1.0, 10.0, 0.0, 0.0, "N", "F", _T("1996-03-15")),
+    (3, 5, 3, 2, 1.0, 10.0, 0.0, 0.0, "N", "F", _T("1996-03-15")),
+    (3, 6, 3, 3, 1.0, 10.0, 0.0, 0.0, "N", "F", _T("1996-03-01")),
+    # order 4: open status → excluded by the o_orderstatus = 'F' gate
+    (4, 7, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _T("1996-04-01")),
+    (4, 8, 2, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", _T("1996-04-02")),
+]
+
+EDGE_Q21_ORDERS = [
+    (1, 7, "F", 10.0, _T("1996-01-01"), "1-URGENT"),
+    (2, 7, "F", 30.0, _T("1996-02-01"), "1-URGENT"),
+    (3, 14, "F", 30.0, _T("1996-03-01"), "2-HIGH"),
+    (4, 14, "O", 20.0, _T("1996-04-01"), "3-MEDIUM"),
+]
+
+EDGE_Q21_SUPPLIER = [
+    (1, "Supplier#1", 1, 100.0),
+    (2, "Supplier#2", 1, 200.0),
+    (3, "Supplier#3", 2, 300.0),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_q21_dir(spark, tmp_path_factory):
+    import pandas as pd
+
+    path = tmp_path_factory.mktemp("edge_q21")
+    pd.DataFrame(
+        EDGE_Q21_LINEITEM,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        ],
+    ).to_parquet(str(path / "lineitem.parquet"), index=False)
+    pd.DataFrame(
+        EDGE_Q21_ORDERS,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    ).to_parquet(str(path / "orders.parquet"), index=False)
+    pd.DataFrame(
+        EDGE_Q21_SUPPLIER,
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).to_parquet(str(path / "supplier.parquet"), index=False)
+    return str(path)
+
+
+def test_edge_q21_tie_semantics(spark, edge_q21_dir):
+    """The Q21 de-correlation (window/agg rewrite of the double-correlated
+    EXISTS / NOT-EXISTS) against both the DuckDB correlated original AND
+    hand-derived expected counts, on a fixture built to hit every branch:
+    single-supplier order (EXISTS fails), strict last-shipper (m2 path),
+    tied last-shippers (k>=2 path), early line of a qualifying supplier
+    (must not count), and an excluded open order."""
+    import duckdb
+
+    from metrics_database_cron_script_spark.oracle import compare
+    from metrics_database_cron_script_spark.plans import ORACLES, QUERIES
+
+    sdf = QUERIES["c_tpch_q21_shape"](spark, edge_q21_dir)
+    rows = {r["s_name"]: r["numwait"] for r in sdf.collect()}
+    # order 2 → s1 only (line at d3); order 3 → one line each for s2 and s3
+    assert rows == {"Supplier#1": 1, "Supplier#2": 1, "Supplier#3": 1}
+
+    con = duckdb.connect()
+    try:
+        for t in ("lineitem", "orders", "supplier"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{edge_q21_dir}/{t}.parquet')"
+            )
+        opdf = con.execute(ORACLES["c_tpch_q21_shape"]).df()
+    finally:
+        con.close()
+    res = compare(sdf, opdf)
+    assert res["ok"], f"c_tpch_q21_shape on tie fixture: {res}"

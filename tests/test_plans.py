@@ -98,3 +98,58 @@ def test_repetition_reads_corpus_once(spark):
         .toString()
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_tpch_q6_pushes_all_range_predicates(spark):
+    """Q6 exists to prove conjunctive range predicates reach the scan."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["c_tpch_q6_shape"](spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_tax" not in read_schema
+
+
+def test_tpch_q19_derives_disjunctive_pushdown(spark):
+    """The OR-of-ANDs join predicate must yield pushed filters on BOTH
+    scans (Catalyst extracts per-side disjunctions), not a post-join
+    filter over unpruned inputs."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["c_tpch_q19_shape"](spark, SF_SMOKE))
+    scans = [seg[:300] for seg in plan.split("PushedFilters")[1:]]
+    assert any("l_quantity" in s and "Or(" in s for s in scans), plan
+    assert any("p_brand" in s and "Or(" in s for s in scans), plan
+
+
+def test_tpch_q1_single_agg_exchange(spark):
+    """Q1: one hash exchange (partial→final agg) + one range (order by) —
+    anything more means the wide agg stopped being a single pass."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["c_tpch_q1_shape"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+
+
+def test_tpch_q21_decorrelation_shuffle_budget(spark):
+    """The Q21 window rewrite must keep the shuffle budget: ≤3 hash
+    exchanges (per-supp agg, window repartition, final count) and exactly
+    two lineitem scans — the correlated original would add fact-sized
+    self-join probes."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["c_tpch_q21_shape"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert plan.count("lineitem.parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q13_join_keeps_outer_with_on_predicate(spark):
+    """Q13's priority filter lives in the LEFT JOIN's ON clause; the plan
+    must keep LeftOuter (a WHERE rewrite would drop zero-order customers)."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["c_tpch_q13_shape"](spark, SF_SMOKE))
+    assert "LeftOuter" in plan, plan
