@@ -327,3 +327,57 @@ def knn_label_majority(
     return pred.join(
         F.broadcast(queries.select("q_id", "true_label")), "q_id"
     ).select("q_id", "predicted_label", "true_label", "n_votes")
+
+
+def pca_top_component(corpus: DataFrame) -> DataFrame:
+    """First-principal-component score per embedding, computed with the
+    fixed-size-partial-aggregate pattern: each Arrow batch reduces to one
+    (count, sum, sum-of-outer-products) row via mapInPandas — d + d² + 1
+    doubles regardless of batch size — so the driver combines
+    O(partitions) tiny partials, eigensolves the d×d covariance locally
+    (d=64: trivial), and the component projects back over the corpus as a
+    broadcast literal. No d²-wide shuffle, no per-row Python, corpus
+    scanned twice (once for moments, once for scores).
+
+    At 100 TB this is exactly the treeAggregate shape MLlib uses for PCA:
+    the moment matrix is invariant-sized, only the scan parallelism grows.
+
+    Sign convention: the eigenvector's first nonzero coordinate is made
+    positive so the score is deterministic across eigensolver builds."""
+    import numpy as np
+    import pandas as pd
+
+    d_dim = len(corpus.select("embedding").first()[0])
+
+    def _moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0).tolist()],
+                    "ss": [(m.T @ m).reshape(-1).tolist()],
+                }
+            )
+
+    parts = corpus.select("embedding").mapInPandas(
+        _moments, schema="n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([p["s"] for p in parts], axis=0)
+    ss = np.sum([p["ss"] for p in parts], axis=0).reshape(d_dim, d_dim)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, int(np.argmax(vals))]
+    nz = np.nonzero(np.abs(top) > 1e-12)[0]
+    if len(nz) and top[nz[0]] < 0:
+        top = -top
+    centered_dot = dot(
+        F.col("embedding"), F.array(*[F.lit(float(x)) for x in top])
+    ) - float(mean @ top)
+    return corpus.select(
+        "vec_id", F.round(centered_dot, 6).alias("pc1_score")
+    )

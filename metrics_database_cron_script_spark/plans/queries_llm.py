@@ -1861,3 +1861,77 @@ def x_knn_label_majority(spark, sf_dir):
     vector classified by its 5 nearest neighbors' majority label);
     exact-match differential vs numpy in tests/test_knn_classify.py."""
     return S.knn_label_majority(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
+    "x_bm25",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT AVG(dlen) AS avgdl, COUNT(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok
+  WHERE w IN ('table', 'query', 'spark') GROUP BY doc_id, w
+), df AS (
+  SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok
+  WHERE w IN ('table', 'query', 'spark') GROUP BY w
+)
+SELECT t.doc_id,
+       ROUND(SUM(
+         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         * t.tf * 2.2
+         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dlen / s.avgdl))
+       ), 6) AS bm25
+FROM tf t
+JOIN df f ON f.w = t.w
+JOIN dl d ON d.doc_id = t.doc_id
+CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id LIMIT 20""",
+)
+def x_bm25(spark, sf_dir):
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against a
+    fixed 3-term query — the classic lexical ranker a training-data
+    pipeline uses for quality-weighted retrieval and decontamination
+    sweeps. One token explode feeds all three statistics (tf, df, doc
+    length); df and the corpus scalars are aggregated-tiny and broadcast,
+    so the only fact-sized exchanges are the two grouped passes over
+    (doc, term) and (doc). At 100 TB the same plan holds: term-filtered
+    tf is far smaller than the corpus, and avgdl/N ride a 1-row
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["table", "query", "spark"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.avg("dlen").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    qtok = tok.filter(F.col("w").isin(terms))
+    tf = qtok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (
+        1 - 0.75 + 0.75 * F.col("dlen") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query("x_embed_pca_scores", oracle=None)  # eigensolve floats → rows-only
+def x_embed_pca_scores(spark, sf_dir):
+    """First principal component of the embedding corpus (distributed
+    moment aggregation + driver-side 64x64 eigensolve), scored per vector;
+    numpy differential in tests/test_pca.py."""
+    return S.pca_top_component(load_table(spark, sf_dir, "embeddings"))

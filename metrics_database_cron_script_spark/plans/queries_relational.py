@@ -3296,3 +3296,44 @@ def c_changepoint_cusum(spark, sf_dir):
         F.col("day").alias("changepoint_day"),
         F.round(F.abs(F.col("c")), 6).alias("max_abs_cusum"),
     )
+
+
+@query(
+    "c_sliding_distinct_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+)
+SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day ORDER BY d.day""",
+)
+def c_sliding_distinct_users(spark, sf_dir):
+    """Trailing-7-day distinct users per day — the rolling-DAU/WAU metric.
+    COUNT(DISTINCT) does not decompose over sliding windows (a user active
+    on 3 of the 7 days must count once), so the shape is: dedup to
+    (day, user) grains first — collapsing the fact table to its small
+    grain — then a range join of the day spine (broadcast, day-cardinality)
+    against the grain, and a distinct-count per spine day. Fact-sized work
+    is the one dedup shuffle; the range join fans each grain row to ≤7
+    spine days. The approximate alternative at extreme scale is per-day HLL
+    sketches merged over the window."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("spine_day")).distinct()
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("spine_day"))
+            & (F.col("day") >= F.col("spine_day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("spine_day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.col("spine_day").alias("day"), "users_7d")
+        .orderBy("day")
+    )
