@@ -1935,3 +1935,104 @@ def x_embed_pca_scores(spark, sf_dir):
     moment aggregation + driver-side 64x64 eigensolve), scored per vector;
     numpy differential in tests/test_pca.py."""
     return S.pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "x_containment_pairs",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             list_transform(ws, (w, i) -> CASE WHEN i + 3 <= len(ws)
+                THEN array_to_string(ws[i:i+3], ' ') END),
+             x -> x IS NOT NULL)) AS s
+    FROM words
+  )
+), df AS (
+  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+), rare AS (
+  SELECT s FROM df WHERE df BETWEEN 2 AND 5
+), cand AS (
+  SELECT DISTINCT t1.doc_id AS a, t2.doc_id AS b
+  FROM sh t1 JOIN rare r ON r.s = t1.s JOIN sh t2 ON t2.s = t1.s
+  WHERE t1.doc_id < t2.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh ta ON ta.doc_id = c.a
+  JOIN sh tb ON tb.doc_id = c.b AND tb.s = ta.s
+  GROUP BY c.a, c.b
+)
+SELECT i.a AS doc_a, i.b AS doc_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       ROUND(i.n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.5
+ORDER BY doc_a, doc_b""",
+)
+def x_containment_pairs(spark, sf_dir):
+    """Containment near-dup detection: pairs where the smaller document's
+    word-4-gram shingle set is ≥50% contained in the other's — the
+    asymmetric relation Jaccard misses (a short doc quoted wholesale
+    inside a long one scores near-zero Jaccard but containment 1.0).
+
+    Candidate generation is rare-shingle blocking (document frequency
+    2..5): only docs sharing a discriminative shingle ever pair, the same
+    recall-bounded trick as the n-gram Jaccard operator — and the oracle
+    mirrors the identical blocking, so parity is exact, not sampled.
+    Exact intersection counts only ever run on candidates; at 100 TB the
+    df bound caps each posting list's self-join at 5×5."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", F.split("text", " ").alias("ws"))
+    sh = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(size(ws) - 3, 1)),"
+                " i -> case when i + 3 <= size(ws) then array_join(slice(ws, i, 4), ' ') end),"
+                " x -> x is not null)"
+            )
+        ).alias("s"),
+    ).distinct()
+    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_.filter(F.col("df").between(2, 5)).select("s")
+    t1 = sh.join(rare, "s").select("s", F.col("doc_id").alias("a"))
+    cand = (
+        t1.join(sh.select("s", F.col("doc_id").alias("b")), "s")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), "s"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "s"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b"
+        )
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.least("na", "nb"), 6)
+        )
+        .filter(F.col("containment") >= 0.5)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_common",
+            "containment",
+        )
+        .orderBy("doc_a", "doc_b")
+    )

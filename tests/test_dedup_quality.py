@@ -235,3 +235,39 @@ def test_centroid_outliers_find_planted_vector(spark):
     top = centroid_outliers(emb, k=3).collect()
     assert top[0]["vec_id"] == 999
     assert top[0]["cos_to_centroid"] < -0.9
+
+
+def test_containment_finds_embedded_quote(spark, tmp_path):
+    """A short doc quoted wholesale inside a long doc: low Jaccard (the
+    long doc dominates the union) but containment 1.0 — x_containment_pairs
+    must surface exactly that pair from a corpus of otherwise-distinct
+    docs."""
+    import pandas as pd
+
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"w{i} w{i+1} common common" for i in range(0, 40, 2))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                quote,  # the short doc
+                filler + " " + quote + " india juliet kilo lima mike november",
+                "totally different words here nothing shared with others at all",
+                "yet another unrelated document with its own vocabulary entirely",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s0"] * 4,
+            "n_chars": [len(quote), 100, 60, 60],
+        }
+    )
+    path = tmp_path / "contain"
+    path.mkdir()
+    docs.to_parquet(str(path / "documents.parquet"), index=False)
+    rows = {
+        (int(r["doc_a"]), int(r["doc_b"])): float(r["containment"])
+        for r in QUERIES["x_containment_pairs"](spark, str(path)).collect()
+    }
+    assert rows.get((1, 2)) == 1.0, rows
+    assert all(a == 1 and b == 2 for (a, b) in rows), rows
