@@ -625,17 +625,31 @@ def c_json(spark, sf_dir):
     )
 
 
-@query("c_map_funcs", oracle=None)  # MapType output → rows-only (SURVEY §2.C)
+@query(
+    "c_map_funcs",
+    oracle="""
+SELECT doc_id,
+       2 AS meta_size,
+       'lang,source' AS meta_keys,
+       lang AS lang_from_map,
+       source AS source_from_map
+FROM documents""",
+)
 def c_map_funcs(spark, sf_dir):
+    """map_from_arrays/map_keys/map_values/element_at/size exercised inside the
+    plan; the *output* is flattened to scalar columns so the driver's pandas
+    canonicalizer (sort + hash) can process it — map/array cells are unhashable
+    there. Flattening also makes the query SQL-oracle-able."""
     d = load_table(spark, sf_dir, "documents")
     m = F.map_from_arrays(
         F.array(F.lit("lang"), F.lit("source")), F.array("lang", "source")
     )
     return d.select(
         "doc_id",
-        m.alias("meta"),
-        F.map_keys(m).alias("meta_keys"),
+        F.size(m).alias("meta_size"),
+        F.concat_ws(",", F.map_keys(m)).alias("meta_keys"),
         F.element_at(m, "lang").alias("lang_from_map"),
+        F.element_at(F.map_values(m), 2).alias("source_from_map"),
     )
 
 
@@ -769,11 +783,14 @@ def c_percentile(spark, sf_dir):
 
 @query("c_approx_quantile", oracle=None)  # sketch → rows-only
 def c_approx_quantile(spark, sf_dir):
+    # Output flattened to scalar columns (the driver's canonicalizer cannot
+    # hash array cells); still rows-only because the sketch is approximate.
     ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
-            "approx_quartiles"
-        )
+        F.element_at(q, 1).alias("q25"),
+        F.element_at(q, 2).alias("q50"),
+        F.element_at(q, 3).alias("q75"),
     )
 
 

@@ -675,9 +675,16 @@ def c_tpch_q21_shape(spark, sf_dir):
 
     One shuffle on the order key replaces the O(n²) correlated probes; the
     same rewrite is how the 100 TB plan avoids two extra fact-fact joins."""
-    li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
+    # An order's status is one value per orderkey, and the EXISTS/NOT-EXISTS
+    # probes only ever compare lines of the SAME order — so restricting to
+    # F-status orders up front (semi join once, before the window passes)
+    # is semantics-preserving and halves the per-order window + join-back
+    # work (TPC-H: ~49% of orders are 'F').
+    li = load_table(spark, sf_dir, "lineitem").join(
+        o, F.col("l_orderkey") == o["o_orderkey"], "left_semi"
+    )
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("s_max")
     )
@@ -708,15 +715,11 @@ def c_tpch_q21_shape(spark, sf_dir):
         )
         .alias("other_max"),
     )
-    qualified = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_semi")
-        .join(
-            supp_stats,
-            (li["l_orderkey"] == supp_stats["ss_orderkey"])
-            & (li["l_suppkey"] == supp_stats["ss_suppkey"]),
-        )
-        .filter((F.col("nsupp") >= 2) & (li["l_shipdate"] >= F.col("other_max")))
-    )
+    qualified = li.join(
+        supp_stats,
+        (li["l_orderkey"] == supp_stats["ss_orderkey"])
+        & (li["l_suppkey"] == supp_stats["ss_suppkey"]),
+    ).filter((F.col("nsupp") >= 2) & (li["l_shipdate"] >= F.col("other_max")))
     return (
         qualified.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")

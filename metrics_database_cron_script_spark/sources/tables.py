@@ -117,6 +117,49 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# bytes of parquet per post-shuffle partition the sizing heuristic targets
+_SHUFFLE_TARGET_BYTES = 64 * 1024 * 1024
+_sized_dirs: dict[str, int] = {}
+
+
+def _dir_bytes(sf_dir: str) -> int:
+    import os
+
+    total = 0
+    root = sf_dir.rstrip("/")
+    for name in TABLES:
+        p = f"{root}/{name}.parquet"
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        elif os.path.isdir(p):
+            for dirpath, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
+def _size_shuffle(spark: SparkSession, sf_dir: str) -> None:
+    """Scale-aware shuffle sizing: pick `spark.sql.shuffle.partitions` from the
+    actual dataset footprint (~64 MB of input per partition), not Spark's
+    static 200 default. At fixture scale that is single-digit partitions
+    (per-task overhead dominates sub-MB partitions); at 100 TB the same rule
+    yields hundreds of thousands, capped so AQE coalescing still owns the
+    fine-grained sizing. Runs once per sf_dir; an explicit
+    SPARK_GRAFT_SHUFFLE_PARTITIONS env pins the value instead."""
+    import os
+
+    key = sf_dir.rstrip("/")
+    n = _sized_dirs.get(key)
+    if n is None:
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env:
+            n = int(env)
+        else:
+            n = max(8, min(_dir_bytes(key) // _SHUFFLE_TARGET_BYTES, 200_000))
+        _sized_dirs[key] = n
+    if spark.conf.get("spark.sql.shuffle.partitions", None) != str(n):
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (reference R1: `coll.find()`,
     updatescript.py:119 — but as a prunable parquet scan, not a cursor).
@@ -128,6 +171,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    _size_shuffle(spark, sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Engine-wide determinism contract: all timestamps are naive wall-clock
     # interpreted as UTC (the fixtures were written TZ-naive). Pinning the
@@ -158,6 +202,7 @@ def events_since(spark: SparkSession, sf_dir: str, watermark: str) -> DataFrame:
     between scanning a day and scanning years."""
     import datetime
 
+    _size_shuffle(spark, sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     wm = datetime.datetime.fromisoformat(watermark)
