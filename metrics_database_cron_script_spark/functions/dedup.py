@@ -421,3 +421,23 @@ def fuzzy_pairs_edit1(df: DataFrame, key: str, text: str) -> DataFrame:
         .filter(F.levenshtein("text_a", "text_b") <= 1)
         .select("key_a", "key_b")
     )
+
+
+def shingle_edges(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Near-dup graph edges: (doc_a, doc_b) pairs sharing at least one exact
+    n-token shingle. Unlike the MinHash/SimHash candidate generators, the
+    edge relation here is fully deterministic given the corpus (shingle
+    equality, no banding), so a SQL oracle can reproduce it — shingles are
+    still joined as 64-bit hashes (equality-preserving) so the posting-list
+    self-join shuffles 8-byte keys."""
+    sh = word_shingles(docs, n=n)  # hashed + distinct
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+

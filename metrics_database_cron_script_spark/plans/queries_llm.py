@@ -2036,3 +2036,171 @@ def x_containment_pairs(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------- round 2: dedup clustering
+
+
+@query(
+    "x_shingle_components",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[g.g : g.g + 7], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 7, 1)))) AS g(g)
+), sh2 AS (
+  SELECT doc_id, shingle FROM sh WHERE shingle <> ''
+), edges AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM sh2 a JOIN sh2 b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+), reach AS (
+  SELECT u AS doc_id, v AS peer FROM edges
+  UNION
+  SELECT r.doc_id, e.v FROM reach r JOIN edges e ON e.u = r.peer
+)
+SELECT doc_id, LEAST(doc_id, MIN(peer)) AS component
+FROM reach GROUP BY doc_id""",
+)
+def x_shingle_components(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: docs sharing an exact 8-token
+    shingle form edges; connected components (iterative min-label
+    propagation, functions/dedup.py) assign each doc its cluster id. The
+    oracle reproduces the same components with a recursive CTE — an
+    SQL-checked iterative algorithm, not a rows-only sketch."""
+    edges = D.shingle_edges(load_table(spark, sf_dir, "documents"), n=8)
+    return D.connected_components(edges)
+
+
+@query(
+    "x_hash_split",
+    oracle="""
+SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY split""",
+)
+def x_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by multiplicative hashing of
+    the stable doc key (Knuth 2654435761): reproducible across runs,
+    engines and partitionings — the property a training pipeline needs so
+    re-ingesting never migrates a doc across splits. 80/10/10."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@query(
+    "x_sample_allocation",
+    oracle="""
+WITH strata AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         stddev_samp(CAST(n_chars AS DOUBLE)) AS sd
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, ROUND(sd, 6) AS sd_chars,
+       ROUND(1000.0 * (n_docs * sd) / SUM(n_docs * sd) OVER (), 6) AS alloc
+FROM strata""",
+)
+def x_sample_allocation(spark, sf_dir):
+    """Neyman allocation of a 1000-doc sampling budget across language
+    strata: budget share ∝ stratum size × within-stratum std of doc length
+    (minimum-variance stratified sampling). The plan is one aggregation plus
+    a scalar window over the 5-row strata frame."""
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.stddev_samp(F.col("n_chars").cast("double")).alias("sd"),
+    )
+    w = F.col("n_docs") * F.col("sd")
+    return strata.select(
+        "lang",
+        "n_docs",
+        F.round("sd", 6).alias("sd_chars"),
+        F.round(F.lit(1000.0) * w / F.sum(w).over(Window.partitionBy()), 6).alias(
+            "alloc"
+        ),
+    )
+
+
+@query(
+    "x_stopword_prune",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+  FROM documents
+), top20 AS (
+  SELECT token FROM tok GROUP BY token
+  ORDER BY COUNT(*) DESC, token LIMIT 20
+), kept AS (
+  SELECT t.doc_id, COUNT(*) AS n_kept
+  FROM tok t WHERE t.token NOT IN (SELECT token FROM top20)
+  GROUP BY t.doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(tt.n_tokens, 0) AS n_tokens,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       CASE WHEN COALESCE(tt.n_tokens, 0) > 0
+            THEN ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / tt.n_tokens, 6)
+       END AS kept_share
+FROM documents d
+LEFT JOIN totals tt USING (doc_id)
+LEFT JOIN kept k USING (doc_id)""",
+)
+def x_stopword_prune(spark, sf_dir):
+    """Corpus-adaptive stopword pruning: the 20 most frequent corpus tokens
+    (deterministic tie-break on the token) are removed; per doc we report
+    total tokens, kept tokens, and kept share. The top-20 list is a tiny
+    broadcast anti-join side — the shape that scales to a 100 TB corpus
+    where the stop list still fits in one broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = TX.tokenize(d)
+    top20 = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+        .select("token")
+    )
+    kept = (
+        tok.join(F.broadcast(top20), "token", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    totals = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        d.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_tokens"), 6
+                ),
+            ).alias("kept_share"),
+        )
+    )

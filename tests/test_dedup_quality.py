@@ -271,3 +271,37 @@ def test_containment_finds_embedded_quote(spark, tmp_path):
     }
     assert rows.get((1, 2)) == 1.0, rows
     assert all(a == 1 and b == 2 for (a, b) in rows), rows
+
+
+def test_connected_components_chain_and_star(spark):
+    """Label propagation must cross multi-hop chains (diameter > 1) and merge
+    star clusters; singletons absent from edges stay out of the output."""
+    from metrics_database_cron_script_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, star 10-(11,12,13), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_shingle_components_cluster_planted_dups(spark, docs_with_plants):
+    """The planted exact + near copies of doc 7 share 8-token shingles with
+    it, so all three must land in one component labeled 7."""
+    from metrics_database_cron_script_spark.functions.dedup import (
+        connected_components,
+        shingle_edges,
+    )
+
+    comp = connected_components(shingle_edges(docs_with_plants, n=8))
+    mine = {r["doc_id"]: r["component"] for r in comp.collect()}
+    assert mine.get(100007) == mine.get(100008) == mine.get(7) == 7
