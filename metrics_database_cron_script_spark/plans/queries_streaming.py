@@ -326,3 +326,29 @@ def s_interval_join(spark, sf_dir):
             F.max("v_ts").alias("last_view_ts"),
         )
     )
+
+
+@query(
+    "s_stream_exec_tumbling",
+    oracle="""
+SELECT date_trunc('day', ts) AS win_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events GROUP BY 1, 2""",
+)
+def s_stream_exec_tumbling(spark, sf_dir):
+    """The one entry in the gate that EXECUTES as a stream, not batch-shaped
+    SQL: readStream over the events fixture → withWatermark → tumbling
+    window agg → complete-mode drain into a memory sink (streaming/
+    structured.py). Complete mode + full drain means nothing is
+    watermark-dropped, so the result is deterministic and hash-comparable
+    to the same day-bucket SQL the batch s_tumbling uses."""
+    import uuid
+
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_tumbling,
+    )
+
+    return run_streaming_tumbling(
+        spark, sf_dir, query_name=f"s_exec_tumb_{uuid.uuid4().hex[:8]}"
+    )
