@@ -20,3 +20,20 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     if df.rdd.getNumPartitions() < target * min_ratio:
         return df.repartition(target)
     return df
+
+
+def key_fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition on `keys` at no fewer partitions than the session's
+    core count. Use before a window/agg partitioned on the same keys when
+    the input may be a few fat splits (single-row-group files): the explicit
+    exchange replaces the one Catalyst would insert anyway (ClusteredDistribution
+    on the same keys — no second shuffle), but at max(cores, shuffle.partitions)
+    width, so the per-key sort runs on every core instead of inside the
+    narrow scan stage. At cluster scale shuffle.partitions dominates the max()
+    and this is exactly the implicit exchange."""
+    sess = df.sparkSession
+    n = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return df.repartition(n, *keys)

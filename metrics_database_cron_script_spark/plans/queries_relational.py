@@ -443,12 +443,21 @@ QUALIFY row_number() OVER (PARTITION BY l_suppkey
                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3""",
 )
 def c_topk_per_group(spark, sf_dir):
+    from metrics_database_cron_script_spark.operators.partitioning import key_fan_out
+
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_suppkey").orderBy(
         F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
     )
+    # key_fan_out: the window shuffles on l_suppkey anyway; making the
+    # exchange explicit at >= core-count width keeps the per-group sort off
+    # the narrow scan stage (single-row-group file => 1-task partial sort
+    # otherwise; measured 0.77 s -> 0.46 s warm at sf0.1).
     return (
-        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        key_fan_out(
+            li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+            "l_suppkey",
+        )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 3)
         .drop("__rn")
