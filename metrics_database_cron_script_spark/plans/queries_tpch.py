@@ -682,8 +682,19 @@ def c_tpch_q21_shape(spark, sf_dir):
     # F-status orders up front (semi join once, before the window passes)
     # is semantics-preserving and halves the per-order window + join-back
     # work (TPC-H: ~49% of orders are 'F').
-    li = load_table(spark, sf_dir, "lineitem").join(
-        o, F.col("l_orderkey") == o["o_orderkey"], "left_semi"
+    from metrics_database_cron_script_spark.operators.partitioning import key_fan_out
+
+    # One explicit exchange on l_orderkey feeds EVERYTHING downstream: the
+    # per-(order, supp) aggregate and the order-window both cluster on a
+    # key-subset of this partitioning, and the join-back's equi-keys
+    # (orderkey, suppkey) are a superset — so Catalyst inserts no further
+    # lineitem shuffle, and ReuseExchange shares the one shuffle between the
+    # aggregate branch and the join-back branch instead of re-scanning.
+    li = key_fan_out(
+        load_table(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"], "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate"),
+        "l_orderkey",
     )
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("s_max")
