@@ -57,8 +57,28 @@ def _queries_table(spark, sf_dir, n=10):
     )
 
 
-@query("x_embed_cosine_topk", oracle=None)  # float tolerance → rows-only
+@query(
+    "x_embed_cosine_topk",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         ROUND(list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))), 6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5""",
+)
 def x_embed_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k — hash-checked against DuckDB's
+    list_dot_product (both sides accumulate in double and RANK ON THE
+    ROUNDED cosine with vec_id tie-break, so the ordering is engine-stable;
+    verified identical at sf0.001/0.01/0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.brute_force_topk(emb, _queries_table(spark, sf_dir), k=5)
 
@@ -1398,11 +1418,33 @@ def x_lang_confusion(spark, sf_dir):
     )
 
 
-@query("x_embed_outliers", oracle=None)  # float ranking → rows-only
+@query(
+    "x_embed_outliers",
+    oracle="""
+WITH pos AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), cent AS (
+  SELECT list(m ORDER BY i) AS centroid
+  FROM (SELECT i, AVG(v) AS m FROM pos GROUP BY i)
+)
+SELECT e.vec_id,
+       ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(c.centroid, c.centroid))), 6)
+         AS cos_to_centroid
+FROM embeddings e, cent c
+ORDER BY cos_to_centroid ASC, vec_id LIMIT 10""",
+)
 def x_embed_outliers(spark, sf_dir):
     """Embedding outlier screen (similarity.centroid_outliers): the 10
     vectors least aligned with the corpus centroid; a planted-outlier
-    recall test lives in tests/test_dedup_quality.py."""
+    recall test lives in tests/test_dedup_quality.py. Upgraded from
+    rows-only: both engines accumulate in double and rank on the ROUNDED
+    cosine with vec_id tie-break (verified identical at sf0.001/0.01/0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.centroid_outliers(emb, k=10)
 
