@@ -1897,11 +1897,40 @@ def x_filter_cascade(spark, sf_dir):
     )
 
 
-@query("x_knn_label_majority", oracle=None)  # float cosine ordering → rows-only
+@query(
+    "x_knn_label_majority",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec, label AS true_label
+  FROM embeddings WHERE vec_id % 10 = 0
+), rest AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+  FROM embeddings WHERE vec_id % 10 <> 0
+), scored AS (
+  SELECT q.q_id, r.vec_id, r.label,
+         ROUND(list_dot_product(q.q_vec, r.emb)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(r.emb, r.emb))), 6) AS cos
+  FROM rest r, q WHERE r.vec_id <> q.q_id
+), nn AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5
+), votes AS (
+  SELECT q_id, label AS nbr_label, COUNT(*) AS n_votes FROM nn GROUP BY q_id, label
+), pred AS (
+  SELECT q_id, nbr_label AS predicted_label, n_votes FROM votes
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, nbr_label) = 1
+)
+SELECT p.q_id, p.predicted_label, q.true_label, CAST(p.n_votes AS BIGINT) AS n_votes
+FROM pred p JOIN q USING (q_id)""",
+)
 def x_knn_label_majority(spark, sf_dir):
     """Hold-out k-NN classification over the embeddings table (every 10th
     vector classified by its 5 nearest neighbors' majority label);
-    exact-match differential vs numpy in tests/test_knn_classify.py."""
+    exact-match differential vs numpy in tests/test_knn_classify.py.
+    Upgraded from rows-only: neighbor rank (round-6 cosine, vec_id
+    tie-break) and vote tie-break (smallest label) are deterministic on
+    both engines — verified identical at sf0.001/0.01/0.1."""
     return S.knn_label_majority(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
