@@ -441,3 +441,249 @@ def shingle_edges(docs: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# Portable-hash variants: every hash below is a prefix of md5's lowercase hex
+# encoding, which Spark (`F.md5`) and DuckDB (`md5`) compute identically —
+# so MinHash minima, LSH band signatures, SimHash bit votes and winnowing
+# window-minima are bit-for-bit reproducible in ANSI SQL and the full
+# pipelines get a real value-hash oracle instead of a rows-only check.
+# xxhash64 stays the production fast path (8-byte shuffle keys, ~2× cheaper
+# to compute); the portable path trades that for end-to-end checkability.
+# Ordering note: min() over fixed-length lowercase-hex strings is the same
+# ordering as min() over the underlying 64-bit values.
+# --------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def portable_hash16(col) -> F.Column:
+    """16-hex-char (64-bit) md5-prefix hash, identical in Spark and DuckDB."""
+    return F.substring(F.md5(col), 1, 16)
+
+
+def _hex_digit_value(hex_col: F.Column, pos: int) -> F.Column:
+    """Value 0..15 of the 1-based `pos`-th hex digit — `conv` on the Spark
+    side, `strpos('0123…f', …) - 1` on the DuckDB side; same result."""
+    return F.conv(F.substring(hex_col, pos, 1), 16, 10).cast("int")
+
+
+def minhash_signatures_portable(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """doc_id → 8 portable minhashes in one aggregation pass: seed i's hash
+    of a shingle is md5('<i>|' || shingle)[:16]; the per-seed minimum over
+    hex strings equals the numeric minimum (fixed-length lowercase hex)."""
+    aggs = [
+        F.min(portable_hash16(F.concat_ws("|", F.lit(str(i)), "shingle"))).alias(
+            f"mh_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_near_dups_portable(
+    docs: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline on portable hashes: shingle (raw word
+    3-gram strings) → 8-hash signature → 4 bands of 2 → candidate pairs →
+    exact Jaccard verification. Same shape as `minhash_near_dups` (one
+    shingle shuffle, bucket equi-joins, verification only on candidates) —
+    but every intermediate is reproducible in DuckDB SQL, so the whole
+    pipeline is value-hash-checked, not rows-only."""
+    shingles = word_shingles(docs, hashed=False).persist()
+    sigs = minhash_signatures_portable(shingles, num_hashes)
+    n_bands = num_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    pairs = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verified_jaccard(shingles, pairs)
+
+
+def simhash_portable(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash on md5 bits: bit i of a token's hash is bit (i mod 4)
+    of the value of hex digit (i div 4) of md5(token) — a fixed mapping both
+    engines can compute. One explode + one groupBy with 32 conditional
+    aggregates, single shuffle, no UDF (same plan shape as `simhash`)."""
+    tok_counts = (
+        fan_out(docs)
+        .select("doc_id", F.explode(tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("hx", F.md5("token"))
+    )
+    votes = []
+    for i in range(bits):
+        bit = F.shiftright(_hex_digit_value(F.col("hx"), i // 4 + 1), i % 4).bitwiseAND(
+            F.lit(1)
+        )
+        votes.append(
+            F.sum(F.when(bit == 1, F.col("w")).otherwise(-F.col("w"))).alias(f"v{i}")
+        )
+    voted = tok_counts.groupBy("doc_id").agg(*votes)
+    terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(bits)
+    ]
+    return voted.select("doc_id", sum(terms[1:], terms[0]).alias("simhash"))
+
+
+def simhash_near_dups_portable(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Hamming-LSH over the portable 32-bit SimHash: 4 chunks of 8 bits;
+    pigeonhole guarantees recall for hamming ≤ 3, wider is best-effort.
+    Verification = bit_count(xor) — same operator DuckDB exposes."""
+    sh = simhash_portable(docs)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_id"),
+                        F.shiftright("simhash", j * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("chunk"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk"
+    )
+    pairs = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def char_ngram_jaccard_portable(
+    docs: DataFrame,
+    n: int = 6,
+    min_jaccard: float = 0.5,
+    max_df: int = 32,
+    sample_mod: int = 8,
+) -> DataFrame:
+    """`char_ngram_jaccard` with Broder mod-p sampling driven by a portable
+    rule — keep a gram iff the value of md5(gram)'s last hex digit ≡ 0
+    (mod `sample_mod`) — so the sampled gram subset, and therefore the
+    estimated Jaccard, is reproducible in DuckDB. Grams stay raw strings
+    (equality joins only); the df > max_df stop-gram rule is unchanged."""
+    exploded = fan_out(docs).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length("text") - n, F.lit(0))),
+                lambda i: F.col("text").substr(i + 1, F.lit(n)),
+            )
+        ).alias("gram"),
+    )
+    if sample_mod > 1:
+        keep = (_hex_digit_value(F.md5("gram"), 32) % sample_mod) == 0
+        exploded = exploded.filter(keep)
+    grams = exploded.distinct().persist()
+    dfreq = grams.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("df"))
+    rare = grams.join(dfreq.filter(F.col("df") <= max_df), ["source", "gram"])
+    ra = rare.select(F.col("doc_id").alias("doc_a"), "source", "gram")
+    rb = rare.select(F.col("doc_id").alias("doc_b"), "source", "gram")
+    inter = (
+        ra.join(rb, ["source", "gram"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def dedup_clusters_portable(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """`dedup_clusters` on the portable MinHash pipeline: candidate pairs,
+    exact Jaccard, threshold, iterative min-label connected components.
+    Every stage — including the LSH banding — is reproducible in DuckDB
+    (pairs via the portable md5 minhash, components via a recursive CTE),
+    so the cluster assignment is value-hash-checked end to end."""
+    pairs = minhash_near_dups_portable(docs).filter(F.col("jaccard") >= min_jaccard)
+    comps = connected_components(pairs)
+    return comps.withColumn(
+        "is_representative", F.col("doc_id") == F.col("component")
+    )
+
+
+def dedup_pipeline_portable(
+    docs: DataFrame,
+    min_words: int = 10,
+    min_alpha_ratio: float = 0.5,
+    max_jaccard: float = 0.85,
+) -> DataFrame:
+    """`dedup_pipeline` (quality gate → exact dedup → near-dup drop) with the
+    near-dup stage on the portable MinHash pipeline, making the full
+    composed survivor set SQL-checkable."""
+    from metrics_database_cron_script_spark.functions.text import tokens_col
+
+    quality_ok = docs.filter(
+        (F.size(tokens_col()) >= min_words)
+        & (
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+            >= F.length("text") * min_alpha_ratio
+        )
+    )
+    exact = exact_dedup(quality_ok)
+    near_pairs = minhash_near_dups_portable(exact).filter(
+        F.col("jaccard") >= max_jaccard
+    )
+    losers = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact.join(losers, "doc_id", "left_anti")

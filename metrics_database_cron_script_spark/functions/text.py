@@ -198,3 +198,31 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )
     return hits
+
+
+def fingerprint_portable(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing fingerprint (Schleimer et al., SIGMOD'03) on the portable
+    md5-prefix hash: char k-gram hashes are 16-hex-char strings whose
+    ordering equals the numeric ordering, the window minimum picks the same
+    grams in Spark and DuckDB, and the per-doc summary (count + min/max
+    fingerprint) is value-hash-checkable. The xxhash64 `fingerprint` stays
+    the production fast path."""
+    grams = fan_out(docs).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length("text") - k, F.lit(0))),
+                lambda i: F.col("text").substr(i + 1, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "doc_id", "pos", F.substring(F.md5("gram"), 1, 16).alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    fps = hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )

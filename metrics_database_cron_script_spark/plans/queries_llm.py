@@ -33,19 +33,216 @@ def x_exact_dedup(spark, sf_dir):
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@query("x_near_dup_minhash", oracle=None)  # hash-sketch → rows-only
+@query("x_near_dup_minhash", oracle=None)  # xxhash64 sketch → rows-only
 def x_near_dup_minhash(spark, sf_dir):
+    """Production fast path: xxhash64 signatures (8-byte shuffle keys).
+    The value-hash-checked twin is `x_near_dup_minhash_portable`."""
     return D.minhash_near_dups(load_table(spark, sf_dir, "documents"))
 
 
-@query("x_simhash_neardup", oracle=None)  # hash-sketch → rows-only
+_MINHASH_PORTABLE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, g AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(t[i:i+2], ' '))) AS g
+    FROM toks)
+  WHERE g <> ''
+), sig AS (
+  SELECT doc_id,
+         MIN(substr(md5('0|' || shingle), 1, 16)) AS mh_0,
+         MIN(substr(md5('1|' || shingle), 1, 16)) AS mh_1,
+         MIN(substr(md5('2|' || shingle), 1, 16)) AS mh_2,
+         MIN(substr(md5('3|' || shingle), 1, 16)) AS mh_3,
+         MIN(substr(md5('4|' || shingle), 1, 16)) AS mh_4,
+         MIN(substr(md5('5|' || shingle), 1, 16)) AS mh_5,
+         MIN(substr(md5('6|' || shingle), 1, 16)) AS mh_6,
+         MIN(substr(md5('7|' || shingle), 1, 16)) AS mh_7
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, mh_0 || mh_1 AS band_sig FROM sig
+  UNION ALL SELECT doc_id, 1, mh_2 || mh_3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh_4 || mh_5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh_6 || mh_7 FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, band_sig)
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.n * 1.0 / (za.sz + zb.sz - i.n), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b"""
+
+
+def _minhash_pair_cte(src: str) -> str:
+    """CTE chain computing portable-minhash candidate pairs + exact Jaccard
+    over the docs in CTE `src` (must expose doc_id, text). Shared by the
+    pair / cluster / pipeline oracles so all three check the same LSH."""
+    return f"""ptoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM {src}
+), psh AS (
+  SELECT DISTINCT doc_id, g AS shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(t[i:i+2], ' '))) AS g
+    FROM ptoks)
+  WHERE g <> ''
+), psig AS (
+  SELECT doc_id,
+         MIN(substr(md5('0|' || shingle), 1, 16)) AS mh_0,
+         MIN(substr(md5('1|' || shingle), 1, 16)) AS mh_1,
+         MIN(substr(md5('2|' || shingle), 1, 16)) AS mh_2,
+         MIN(substr(md5('3|' || shingle), 1, 16)) AS mh_3,
+         MIN(substr(md5('4|' || shingle), 1, 16)) AS mh_4,
+         MIN(substr(md5('5|' || shingle), 1, 16)) AS mh_5,
+         MIN(substr(md5('6|' || shingle), 1, 16)) AS mh_6,
+         MIN(substr(md5('7|' || shingle), 1, 16)) AS mh_7
+  FROM psh GROUP BY doc_id
+), pbands AS (
+  SELECT doc_id, 0 AS band, mh_0 || mh_1 AS band_sig FROM psig
+  UNION ALL SELECT doc_id, 1, mh_2 || mh_3 FROM psig
+  UNION ALL SELECT doc_id, 2, mh_4 || mh_5 FROM psig
+  UNION ALL SELECT doc_id, 3, mh_6 || mh_7 FROM psig
+), pcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pbands a JOIN pbands b USING (band, band_sig)
+  WHERE a.doc_id < b.doc_id
+), psizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM psh GROUP BY doc_id
+), pinter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n
+  FROM pcand c
+  JOIN psh sa ON sa.doc_id = c.doc_a
+  JOIN psh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+), pjacc AS (
+  SELECT i.doc_a, i.doc_b,
+         ROUND(i.n * 1.0 / (za.sz + zb.sz - i.n), 6) AS jaccard
+  FROM pinter i
+  JOIN psizes za ON za.doc_id = i.doc_a
+  JOIN psizes zb ON zb.doc_id = i.doc_b
+)"""
+
+
+@query("x_near_dup_minhash_portable", oracle=_MINHASH_PORTABLE_ORACLE)
+def x_near_dup_minhash_portable(spark, sf_dir):
+    """Full MinHash+LSH near-dup pipeline on the portable md5-prefix hash:
+    shingle → 8-hash signature → 4 bands of 2 → candidate pairs → exact
+    Jaccard. Every stage is reproduced by the DuckDB oracle, so the LSH
+    banding itself — not just the final pair list — is value-hash-checked."""
+    return D.minhash_near_dups_portable(load_table(spark, sf_dir, "documents"))
+
+
+@query("x_simhash_neardup", oracle=None)  # xxhash64 sketch → rows-only
 def x_simhash_neardup(spark, sf_dir):
+    """Production fast path: 64-bit xxhash64 SimHash. The value-hash-checked
+    twin is `x_simhash_portable`."""
     return D.simhash_near_dups(load_table(spark, sf_dir, "documents"))
 
 
-@query("x_ngram_jaccard", oracle=None)  # pairwise float → rows-only
+_SIMHASH_PORTABLE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS token
+  FROM documents
+), tc AS (
+  SELECT doc_id, token, COUNT(*) AS w, md5(token) AS hx
+  FROM toks GROUP BY doc_id, token
+), bitvotes AS (
+  SELECT doc_id, i.i AS i,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, i.i // 4 + 1, 1)) - 1)
+                        >> (i.i % 4)) & 1 = 1
+                  THEN w ELSE -w END) AS v
+  FROM tc, LATERAL (SELECT unnest(range(0, 32))) AS i(i)
+  GROUP BY doc_id, i.i
+), sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+  FROM bitvotes GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, simhash, j.j AS chunk_id, (simhash >> (8 * j.j)) & 255 AS chunk
+  FROM sh, LATERAL (SELECT unnest(range(0, 4))) AS j(j)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b USING (chunk_id, chunk)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 8"""
+
+
+@query("x_simhash_portable", oracle=_SIMHASH_PORTABLE_ORACLE)
+def x_simhash_portable(spark, sf_dir):
+    """32-bit SimHash + hamming-chunk LSH on the portable md5 bit mapping
+    (bit i = bit (i mod 4) of hex digit (i div 4)): signature construction,
+    chunk banding and the hamming verification are all reproduced by the
+    DuckDB oracle — an exactly-checked sketch, not a rows-only one."""
+    return D.simhash_near_dups_portable(load_table(spark, sf_dir, "documents"))
+
+
+@query("x_ngram_jaccard", oracle=None)  # xxhash64 mod-p sampling → rows-only
 def x_ngram_jaccard(spark, sf_dir):
+    """Production fast path: xxhash64 grams + mod-p sampling. The
+    value-hash-checked twin is `x_ngram_jaccard_portable`."""
     return D.char_ngram_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+_NGRAM_JACCARD_PORTABLE_ORACLE = """
+WITH grams0 AS (
+  SELECT doc_id, source, substr(text, i.i, 6) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 5, 1)))) AS i(i)
+), sampled AS (
+  SELECT DISTINCT doc_id, source, gram FROM grams0
+  WHERE (strpos('0123456789abcdef', substr(md5(gram), 32, 1)) - 1) % 8 = 0
+), dfreq AS (
+  SELECT source, gram, COUNT(*) AS df FROM sampled GROUP BY source, gram
+), rare AS (
+  SELECT s.doc_id, s.source, s.gram
+  FROM sampled s JOIN dfreq d USING (source, gram)
+  WHERE d.df <= 32
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM rare GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n
+  FROM rare a JOIN rare b ON a.source = b.source AND a.gram = b.gram
+                         AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT * FROM (
+  SELECT i.doc_a, i.doc_b,
+         ROUND(i.n * 1.0 / (za.sz + zb.sz - i.n), 6) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+) WHERE jaccard >= 0.5"""
+
+
+@query("x_ngram_jaccard_portable", oracle=_NGRAM_JACCARD_PORTABLE_ORACLE)
+def x_ngram_jaccard_portable(spark, sf_dir):
+    """Char-6-gram Jaccard with Broder mod-8 sampling driven by md5's last
+    hex digit — the sampled gram subset is identical in Spark and DuckDB,
+    so the sampling, the df≤32 stop-gram rule and the pair Jaccards are all
+    value-hash-checked."""
+    return D.char_ngram_jaccard_portable(load_table(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------------------------- similarity
@@ -190,9 +387,30 @@ def x_lang_id(spark, sf_dir):
     return TX.lang_id(load_table(spark, sf_dir, "documents"))
 
 
-@query("x_fingerprint", oracle=None)  # hash-sketch → rows-only
+@query(
+    "x_fingerprint",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, i.i AS pos, substr(md5(substr(text, i.i, 8)), 1, 16) AS h
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 8, 0) + 1))) AS i(i)
+), fps AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       MIN(fp) AS fp_min, MAX(fp) AS fp_max
+FROM fps GROUP BY doc_id""",
+)
 def x_fingerprint(spark, sf_dir):
-    return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+    """Winnowing fingerprints (k=8, window=4) on the portable md5-prefix
+    hash: window minima over fixed-length hex strings are the same grams
+    DuckDB picks, so the fingerprint SET per doc is value-hash-checked
+    (count + min/max). `functions/text.py:fingerprint` keeps the xxhash64
+    fast path for production."""
+    return TX.fingerprint_portable(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -243,9 +461,35 @@ def x_embed_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, _queries_table(spark, sf_dir), k=5)
 
 
-@query("x_dedup_pipeline", oracle=None)  # composition incl. sketches → rows-only
+def _dedup_pipeline_oracle() -> str:
+    return (
+        r"""
+WITH pbase AS (
+  SELECT * FROM documents
+  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) >= 10
+    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) >= length(text) * 0.5
+), pexact AS (
+  SELECT * FROM pbase
+  QUALIFY row_number() OVER (
+    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    ORDER BY doc_id) = 1
+), """
+        + _minhash_pair_cte("pexact")
+        + """, plosers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM pjacc WHERE jaccard >= 0.85
+)
+SELECT e.* FROM pexact e LEFT JOIN plosers l ON l.doc_id = e.doc_id
+WHERE l.doc_id IS NULL"""
+    )
+
+
+@query("x_dedup_pipeline", oracle=_dedup_pipeline_oracle())
 def x_dedup_pipeline(spark, sf_dir):
-    return D.dedup_pipeline(load_table(spark, sf_dir, "documents"))
+    """Composed training-data dedup (quality gate → exact dedup → near-dup
+    drop) on the portable MinHash stage, so the SURVIVOR SET of the whole
+    composition is value-hash-checked against DuckDB. `D.dedup_pipeline`
+    keeps the xxhash64 fast path for production."""
+    return D.dedup_pipeline_portable(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -301,8 +545,39 @@ def x_length_histogram(spark, sf_dir):
     )
 
 
-@query("x_decontaminate", oracle=None)  # hash shingle join → rows-only
+@query(
+    "x_decontaminate",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id >= 5
+), bench AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 5
+), csh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(t[i:i+2], ' '))) AS g
+    FROM corpus)
+  WHERE g <> ''
+), bsh AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(t[i:i+2], ' '))) AS g
+    FROM bench)
+  WHERE g <> ''
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_shingles
+FROM csh c JOIN bsh b USING (g)
+GROUP BY c.doc_id""",
+)
 def x_decontaminate(spark, sf_dir):
+    """The Spark plan joins on 64-bit shingle HASHES (8-byte shuffle keys);
+    the oracle joins the raw shingle strings — identical output because the
+    hash is used for equality only, so this is a full value-hash check of
+    the contamination counts, not a rows-only run."""
     # n=3 for the fixture demo (real decontamination uses 8-13-gram shingles,
     # but the synthetic word-salad corpus shares no 8-gram with anything)
     docs = load_table(spark, sf_dir, "documents")
@@ -417,9 +692,38 @@ def x_token_packing(spark, sf_dir):
     )
 
 
-@query("x_dedup_clusters", oracle=None)  # iterative fixpoint → rows-only
+def _dedup_clusters_oracle() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pair_cte("documents")
+        + """, ppairs AS (
+  SELECT doc_a, doc_b FROM pjacc WHERE jaccard >= 0.5
+), pedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM ppairs
+  UNION
+  SELECT doc_b, doc_a FROM ppairs
+), preach AS (
+  SELECT u AS doc_id, v AS peer FROM pedges
+  UNION
+  SELECT r.doc_id, e.v FROM preach r JOIN pedges e ON e.u = r.peer
+)
+SELECT doc_id,
+       LEAST(doc_id, MIN(peer)) AS component,
+       doc_id = LEAST(doc_id, MIN(peer)) AS is_representative
+FROM preach GROUP BY doc_id"""
+    )
+
+
+@query("x_dedup_clusters", oracle=_dedup_clusters_oracle())
 def x_dedup_clusters(spark, sf_dir):
-    return D.dedup_clusters(load_table(spark, sf_dir, "documents"), min_jaccard=0.5)
+    """Near-dup clusters on the portable MinHash pairs: LSH candidates →
+    exact Jaccard ≥ 0.5 → iterative min-label connected components → one
+    representative per cluster. The oracle reproduces the pairs AND the
+    fixpoint (recursive CTE), so the cluster ids are value-hash-checked.
+    `D.dedup_clusters` keeps the xxhash64 fast path."""
+    return D.dedup_clusters_portable(
+        load_table(spark, sf_dir, "documents"), min_jaccard=0.5
+    )
 
 
 @query("x_multimodal_frames", oracle=None)  # mapInPandas plumbing → rows-only

@@ -1120,7 +1120,9 @@ def c_window_range(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # unix_micros requires LTZ; ts is NTZ — cast preserves the wall
+        # clock under the pinned UTC session timezone
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
@@ -1828,7 +1830,7 @@ def c_unix_time(spark, sf_dir):
     return ev.select(
         "event_id",
         sec.alias("unix_sec"),
-        F.unix_millis("ts").alias("unix_ms"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("unix_ms"),
         F.floor(sec / 86400).cast("bigint").alias("unix_day"),
         (sec % 86400).alias("sec_of_day"),
     )

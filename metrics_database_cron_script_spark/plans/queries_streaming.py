@@ -249,7 +249,13 @@ def s_session_stats(spark, sf_dir):
         "ts",
         F.when(
             prev.isNull()
-            | (F.col("ts").cast("long") - prev.cast("long") >= 1800),
+            # NTZ has no direct long cast; epoch seconds via the LTZ cast
+            # (wall-clock-preserving under the pinned UTC session timezone)
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - prev.cast("timestamp").cast("long")
+                >= 1800
+            ),
             1,
         )
         .otherwise(0)
@@ -264,7 +270,11 @@ def s_session_stats(spark, sf_dir):
         # exact-ms difference floored once (truncating each endpoint to
         # seconds first would disagree with the oracle on sub-second gaps)
         F.floor(
-            (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))) / 1000.0
+            (
+                F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+                - F.min(F.unix_millis(F.col("ts").cast("timestamp")))
+            )
+            / 1000.0
         )
         .cast("bigint")
         .alias("duration_s"),

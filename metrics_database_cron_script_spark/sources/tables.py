@@ -87,7 +87,11 @@ TABLES: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            # naive wall-clock, same contract as o_orderdate/l_shipdate; the
+            # fixture generation has shipped both TIMESTAMP(NANOS) (read as
+            # long under the legacy conf) and TIMESTAMP(MICROS) (read as NTZ
+            # directly) — load_table normalizes either to NTZ
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -181,12 +185,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     declared = TABLES[name]
     for field in declared.fields:
-        if isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)) and isinstance(
-            df.schema[field.name].dataType, T.LongType
-        ):
+        if not isinstance(field.dataType, (T.TimestampType, T.TimestampNTZType)):
+            continue
+        actual = df.schema[field.name].dataType
+        if isinstance(actual, T.LongType):
+            # ns-precision fixture generation: raw ns longs → µs NTZ
             df = df.withColumn(
-                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")).cast(
+                    field.dataType
+                ),
             )
+        elif actual != field.dataType:
+            # LTZ↔NTZ normalization — identity wall-clock under the pinned
+            # UTC session timezone
+            df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
     return df
 
 
@@ -206,6 +219,20 @@ def events_since(spark: SparkSession, sf_dir: str, watermark: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     wm = datetime.datetime.fromisoformat(watermark)
-    ns = int(wm.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) * 1000
-    raw = spark.read.parquet(table_path(sf_dir, "events")).filter(F.col("ts") > ns)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        # ns-long layout: compare in raw ns space so the strict-greater
+        # predicate reaches the scan before the µs conversion projection
+        ns = (
+            int(wm.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+            * 1000
+        )
+        raw = raw.filter(F.col("ts") > ns)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    # native timestamp layout: the typed comparison itself is pushed down
+    # (parquet min/max stats on timestamp columns prune row groups directly)
+    return raw.filter(
+        F.col("ts") > F.lit(wm).cast(raw.schema["ts"].dataType)
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))

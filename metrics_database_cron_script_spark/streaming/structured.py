@@ -17,11 +17,18 @@ from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events fixture. The ns-timestamp column is read as
-    long (same legacy conf as the batch reader) and converted in-plan."""
+    """readStream over the events fixture. readStream needs a declared
+    schema, so probe the parquet footer with a zero-row batch read first:
+    ns-precision fixtures surface `ts` as long (legacy conf) and are
+    converted in-plan; µs-precision fixtures surface NTZ and pass through."""
+    import pyspark.sql.types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    path = table_path(sf_dir, "events")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    ts_decl = "long" if isinstance(ts_type, T.LongType) else ts_type.simpleString()
+    schema = f"event_id long, ts {ts_decl}, user_id long, event_type string, value double, props string"
     # The fixture is a single parquet FILE; the streaming file source needs a
     # directory, so stream the sf_dir with a glob pinned to the events table.
     raw = (
@@ -30,7 +37,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # withWatermark requires TIMESTAMP (LTZ) event time; under the pinned UTC
+    # session timezone the LTZ wall clock equals the batch path's NTZ one.
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_streaming_tumbling(

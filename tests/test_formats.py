@@ -8,7 +8,10 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 
-SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+# ts is TIMESTAMP_NTZ (naive wall-clock — the engine-wide contract from
+# sources/tables.py); ORC enforces NTZ/LTZ agreement between file and read
+# schema, so the round-trip must declare NTZ where parquet/JSON/CSV coerce.
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
 
 
 def _events(spark):
