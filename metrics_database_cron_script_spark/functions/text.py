@@ -153,7 +153,9 @@ def tf_idf(docs: DataFrame) -> DataFrame:
     hash aggregations on the exploded token relation."""
     toks = tokenize(docs)
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is one row per (doc, token), so a plain count IS the doc frequency —
+    # no distinct-expand pass (countDistinct rewrites to a second aggregate)
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.countDistinct("doc_id").alias("__n"))
     return (
         tf.join(df, "token")

