@@ -280,14 +280,91 @@ def x_embed_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(emb, _queries_table(spark, sf_dir), k=5)
 
 
-@query("x_embed_lsh_topk", oracle=None)  # approximate → rows-only
+def _lsh_topk_oracle(num_bits: int = 8, dim: int = 64, k: int = 5) -> str:
+    """The LSH hyperplanes are deterministic sha256-derived literals
+    (similarity.py:_hyperplane), so the oracle embeds the SAME constants and
+    reproduces the bucket assignment: the approximation is deterministic,
+    not random, and therefore checkable. Dot products on both sides
+    accumulate in double (list_dot_product parity proven by
+    x_embed_cosine_topk)."""
+    from metrics_database_cron_script_spark.functions.similarity import _hyperplane
+
+    bits = []
+    for i in range(num_bits):
+        plane = ", ".join(repr(v) for v in _hyperplane(i, dim))
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{plane}]) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n       + ".join(bits)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sigs AS (
+  SELECT vec_id, v,
+       {bucket} AS bucket
+  FROM emb
+), q AS (
+  SELECT vec_id AS q_id, v AS q_vec, bucket FROM sigs WHERE vec_id < 10
+), cand AS (
+  SELECT q.q_id, s.vec_id, q.q_vec, s.v
+  FROM sigs s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.q_id
+), scored AS (
+  SELECT q_id, vec_id,
+         ROUND(list_dot_product(q_vec, v)
+               / (sqrt(list_dot_product(q_vec, q_vec))
+                  * sqrt(list_dot_product(v, v))), 6) AS cos
+  FROM cand
+)
+SELECT q_id, vec_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= {k}"""
+
+
+@query("x_embed_lsh_topk", oracle=_lsh_topk_oracle())
 def x_embed_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH top-k. 'Approximate' refers to recall vs the
+    exact scan, not to nondeterminism — the hyperplanes are fixed literals,
+    so bucket membership, candidates and the rounded-cosine re-rank are all
+    value-hash-checked against the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, _queries_table(spark, sf_dir), k=5)
 
 
-@query("x_embed_neardup_cosine", oracle=None)  # approximate → rows-only
+def _neardup_cosine_oracle(num_bits: int = 6, dim: int = 64, threshold: float = 0.3) -> str:
+    from metrics_database_cron_script_spark.functions.similarity import _hyperplane
+
+    bits = []
+    for i in range(num_bits):
+        plane = ", ".join(repr(v) for v in _hyperplane(i, dim))
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{plane}]) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = "\n       + ".join(bits)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sigs AS (
+  SELECT vec_id, v,
+       {bucket} AS bucket
+  FROM emb
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT * FROM (
+  SELECT vec_a, vec_b,
+         ROUND(list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va))
+                  * sqrt(list_dot_product(vb, vb))), 6) AS cos
+  FROM pairs
+) WHERE cos >= {threshold}"""
+
+
+@query("x_embed_neardup_cosine", oracle=_neardup_cosine_oracle())
 def x_embed_neardup_cosine(spark, sf_dir):
+    """Cosine near-dup pairs via 6-bit hyperplane buckets. The hyperplanes
+    are fixed sha256-derived literals, so the bucket self-join and the
+    rounded-cosine threshold are value-hash-checked — the 'approximation'
+    (bucket-local recall) is deterministic and reproduced by the oracle."""
     return S.cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
