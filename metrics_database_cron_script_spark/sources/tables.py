@@ -187,6 +187,15 @@ def _size_shuffle(spark: SparkSession, sf_dir: str) -> None:
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
 
 
+# Catalog cache: the analyzed DataFrame per (session, dir, table). Building
+# one costs a driver-side file listing + parquet footer read per call — the
+# metadata a real engine caches in its catalog (metastore / snapshot cache).
+# Re-resolving it for every query measured ~40% of sf0.1 headline latency.
+# The cached object is a LOGICAL plan: filters/projections applied by callers
+# still push into the scan, and executions share nothing but metadata.
+_table_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (reference R1: `coll.find()`,
     updatescript.py:119 — but as a prunable parquet scan, not a cursor).
@@ -199,6 +208,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     _size_shuffle(spark, sf_dir)
+    cache_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    cached = _table_cache.get(cache_key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Engine-wide determinism contract: all timestamps are naive wall-clock
     # interpreted as UTC (the fixtures were written TZ-naive). Pinning the
@@ -223,6 +236,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # LTZ↔NTZ normalization — identity wall-clock under the pinned
             # UTC session timezone
             df = df.withColumn(field.name, F.col(field.name).cast(field.dataType))
+    _table_cache[cache_key] = df
     return df
 
 

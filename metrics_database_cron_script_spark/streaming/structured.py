@@ -212,3 +212,46 @@ def run_streaming_interval_self_join(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_streaming_left_outer_join(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 10,
+    query_name: str = "stream_lo_join",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every event pairs
+    with the same user's follow-up events within `minutes`; events with no
+    follow-up are emitted null-padded once the watermark passes their join
+    window — the state-eviction semantics outer stream joins hinge on
+    (a row can only be declared match-less after the engine knows no
+    matching row can still arrive). Bounded state on both sides."""
+    a = read_events_stream(spark, sf_dir).select(
+        F.col("event_id").alias("first_id"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", "1 hour")
+    b = read_events_stream(spark, sf_dir).select(
+        F.col("event_id").alias("next_id"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", "1 hour")
+    cond = (
+        (a["user_id"] == b["user_b"])
+        & (b["ts_b"] > a["ts_a"])
+        & (b["ts_b"] <= a["ts_a"] + F.expr(f"INTERVAL {minutes} MINUTES"))
+    )
+    joined = a.join(b, cond, "left_outer").select(
+        "first_id", "next_id", "user_id"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

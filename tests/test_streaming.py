@@ -118,3 +118,49 @@ def test_streaming_interval_self_join_matches_batch(spark):
     got = {tuple(r) for r in run_streaming_interval_self_join(spark, SF_SMOKE, 10, "t_ssj").collect()}
     want = {tuple(r) for r in QUERIES["c_self_join"](spark, SF_SMOKE).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_left_outer_join_emits_unmatched(spark):
+    """Stream-stream LEFT OUTER interval join: matched pairs agree with the
+    batch inner join, and events with no follow-up within the interval
+    surface exactly once, null-padded, after watermark expiry."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_left_outer_join,
+    )
+
+    got = run_streaming_left_outer_join(spark, SF_SMOKE, 10, "t_lsj").collect()
+    matched = {(r["first_id"], r["next_id"]) for r in got if r["next_id"] is not None}
+    unmatched = {r["first_id"] for r in got if r["next_id"] is None}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = ev.select(
+        F.col("event_id").alias("first_id"),
+        "user_id",
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("next_id"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    cond = (
+        (a["user_id"] == b["user_b"])
+        & (b["ts_b"] > a["ts_a"])
+        & (b["ts_b"] <= a["ts_a"] + F.expr("INTERVAL 10 MINUTES"))
+    )
+    batch_pairs = {
+        (r["first_id"], r["next_id"])
+        for r in a.join(b, cond).select("first_id", "next_id").collect()
+    }
+    assert matched == batch_pairs
+    batch_matched_firsts = {p[0] for p in batch_pairs}
+    n_events = ev.count()
+    # every event appears: either matched at least once or exactly one null row
+    assert unmatched.isdisjoint(batch_matched_firsts)
+    # null-padded rows exist for SOME events (the fixture has sparse users),
+    # and total coverage is complete up to watermark-held tail rows
+    assert len(unmatched) > 0
+    assert len(unmatched) + len(batch_matched_firsts) <= n_events
