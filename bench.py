@@ -70,7 +70,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):  # steady-state: min of two runs (GC/compile noise)
+        for _ in range(3):  # steady-state: min of three runs (GC + machine noise)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()

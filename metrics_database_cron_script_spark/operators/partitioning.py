@@ -23,17 +23,20 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
 
 
 def key_fan_out(df: DataFrame, *keys: str) -> DataFrame:
-    """Hash-repartition on `keys` at no fewer partitions than the session's
-    core count. Use before a window/agg partitioned on the same keys when
-    the input may be a few fat splits (single-row-group files): the explicit
-    exchange replaces the one Catalyst would insert anyway (ClusteredDistribution
-    on the same keys — no second shuffle), but at max(cores, shuffle.partitions)
-    width, so the per-key sort runs on every core instead of inside the
-    narrow scan stage. At cluster scale shuffle.partitions dominates the max()
-    and this is exactly the implicit exchange."""
+    """Hash-repartition on `keys` at exactly the session's shuffle width.
+    Use before a window/agg partitioned on the same keys when the input may
+    be a few fat splits (single-row-group files): the explicit exchange
+    replaces the one Catalyst would insert anyway (ClusteredDistribution on
+    the same keys — no second shuffle) and pulls the CPU-heavy per-key work
+    out of the narrow scan stage.
+
+    The width deliberately MATCHES `spark.sql.shuffle.partitions` (the
+    engine's data-sized rule, sources/tables.py) rather than max()-ing with
+    the core count: downstream exchanges use the conf width, and a mismatch
+    (e.g. 32-wide repartition meeting a 4-wide join requirement) defeats
+    ReuseExchange and buys an extra full shuffle — worse than the lost
+    parallelism at the small end, and a non-issue at cluster scale where
+    the conf width exceeds cores anyway."""
     sess = df.sparkSession
-    n = max(
-        sess.sparkContext.defaultParallelism,
-        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
+    n = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
     return df.repartition(n, *keys)

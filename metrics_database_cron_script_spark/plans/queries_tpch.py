@@ -726,14 +726,15 @@ def c_tpch_q21_shape(spark, sf_dir):
         )
         .alias("other_max"),
     )
-    # shuffle_hash: both sides already cluster on l_orderkey, so the join
-    # needs no exchange either way — but the default SMJ would SORT both
-    # sides on the full (orderkey, suppkey) key, while a hash join just
-    # builds a per-partition map from the (smaller) stats side. Partition
-    # sizing (~64 MB) keeps the build in memory at cluster scale; measured
-    # ~25% off the query at sf0.1.
+    # Deliberately NO shuffle_hash hint here: SMJ's ClusteredDistribution is
+    # satisfied by the existing hashpartitioning(l_orderkey) on BOTH sides
+    # (subset of the join keys), so the join adds only two sorts — while
+    # Spark's shuffled-hash join demands exact-key co-partitioning and
+    # re-shuffles the full fact side on (orderkey, suppkey). Measured ~25%
+    # faster locally with the hint, but it buys that with a fact-wide
+    # exchange — the thing that does not survive a 100× scale-up.
     qualified = li.join(
-        supp_stats.hint("shuffle_hash"),
+        supp_stats,
         (li["l_orderkey"] == supp_stats["ss_orderkey"])
         & (li["l_suppkey"] == supp_stats["ss_suppkey"]),
     ).filter((F.col("nsupp") >= 2) & (li["l_shipdate"] >= F.col("other_max")))

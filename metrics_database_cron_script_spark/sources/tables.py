@@ -168,7 +168,11 @@ def _size_shuffle(spark: SparkSession, sf_dir: str) -> None:
         if env:
             n = int(env)
         else:
-            n = max(8, min(_dir_bytes(key) // _SHUFFLE_TARGET_BYTES, 200_000))
+            # floor 4, not cores: sub-MB shuffle partitions cost more in task
+            # scheduling than they recover in parallelism (sweep at sf0.1:
+            # 4 partitions ≈ 7.6-8.4 s headline, 8 ≈ 8.2-9.9, 32 ≈ 12.5);
+            # the byte rule takes over as soon as data justifies more tasks
+            n = max(4, min(_dir_bytes(key) // _SHUFFLE_TARGET_BYTES, 200_000))
         _sized_dirs[key] = n
     if spark.conf.get("spark.sql.shuffle.partitions", None) != str(n):
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
