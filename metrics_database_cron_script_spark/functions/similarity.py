@@ -9,8 +9,10 @@ Two tiers, as a 100 TB engine needs both:
   generation by bucket equi-join, exact re-rank within buckets. The bucket
   join is the scale path: each corpus row is scanned once per probe table.
 
-Dot products use the higher-order `zip_with`+`aggregate` combination — JVM
-expression codegen, no Python in the loop.
+Column-expression dot products use the higher-order `zip_with`+`aggregate`
+combination (JVM-side, no per-row Python); the brute-force scorer instead
+vectorizes through Arrow (`mapInPandas` + float64 matmul) because HOF
+array expressions are interpreted per element — see `brute_force_topk`.
 """
 
 from __future__ import annotations
@@ -49,25 +51,60 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per query vector. `queries` must be
     broadcast-sized: (q_id, q_vec).
 
-    Two deliberate cost moves: (1) norms are computed once per corpus row /
-    once per query row and joined in, not re-derived inside every pair's
-    cosine (3× fewer array traversals); (2) the corpus is fanned out first —
-    higher-order array expressions are interpreted, not codegen'd, so the
-    scoring stage must run at full parallelism, not at (possibly single-file)
-    scan parallelism."""
-    corpus_n = fan_out(corpus.select("vec_id", "embedding")).withColumn(
-        "__cn", l2_norm(F.col("embedding"))
+    Arrow-vectorized scan-side scoring: the query matrix is collected once
+    (tiny by contract) and captured in a `mapInPandas` closure, so each
+    corpus partition scores ALL queries with one float64 BLAS matmul and
+    emits only its LOCAL top-k per query — the global merge then ranks
+    |partitions|·|queries|·k rows instead of shuffling the full
+    |corpus|·|queries| cross product. That is the 100 TB shape: broadcast
+    the probes, stream the corpus once, local top-k, tiny final window.
+    (The earlier higher-order `aggregate(zip_with(...))` formulation kept
+    everything JVM-side but is *interpreted* per element — measured ~25×
+    slower than DuckDB at sf0.1; the Arrow batch path is the fast path the
+    north-star spec names for exactly this operator.)
+
+    Local pruning is lossless because the final order (`cos` desc rounded to
+    6 dp, `vec_id` asc) is total: every global top-k row is necessarily in
+    its partition's top-k under the same order."""
+    import numpy as np
+    import pandas as pd
+
+    q_pd = queries.toPandas()
+    q_ids = q_pd["q_id"].to_numpy()
+    q_mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in q_pd.iloc[:, 1]], dtype=np.float64
     )
-    queries_n = queries.withColumn("__qn", l2_norm(F.col("q_vec")))
-    joined = corpus_n.join(F.broadcast(queries_n)).filter(
-        F.col("vec_id") != F.col("q_id")
-    )
-    scored = joined.select(
-        "q_id",
-        "vec_id",
-        F.round(
-            dot(F.col("q_vec"), F.col("embedding")) / (F.col("__qn") * F.col("__cn")), 6
-        ).alias("cos"),
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vec_ids = pdf["vec_id"].to_numpy()
+            c_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
+                dtype=np.float64,
+            )
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            cos = np.round(
+                (c_mat @ q_mat.T) / (c_norm[:, None] * q_norm[None, :]), 6
+            )
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j]
+                keep = vec_ids != qid
+                ids, vals = vec_ids[keep], col[keep]
+                if not len(ids):
+                    continue
+                # total order (cos desc, vec_id asc); top-k only
+                order = np.lexsort((ids, -vals))[:k]
+                out_q.extend([qid] * len(order))
+                out_v.extend(ids[order])
+                out_c.extend(vals[order])
+            yield pd.DataFrame({"q_id": out_q, "vec_id": out_v, "cos": out_c})
+
+    scored = corpus.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, vec_id long, cos double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
     return (

@@ -153,12 +153,15 @@ def tf_idf(docs: DataFrame) -> DataFrame:
     hash aggregations on the exploded token relation."""
     toks = tokenize(docs)
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # tf is one row per (doc, token), so a plain count IS the doc frequency —
-    # no distinct-expand pass (countDistinct rewrites to a second aggregate)
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # tf is one row per (doc, token), so a per-token COUNT *window* over tf IS
+    # the doc frequency — one pass, one extra shuffle (on token), versus the
+    # groupBy-then-self-join formulation which re-executes the whole
+    # tokenize/explode subtree for the df branch and adds a join exchange.
+    # The unordered window needs no sort beyond the partition clustering.
+    df_w = Window.partitionBy("token")
     n_docs = docs.agg(F.countDistinct("doc_id").alias("__n"))
     return (
-        tf.join(df, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
