@@ -231,3 +231,72 @@ def fingerprint_portable(docs: DataFrame, k: int = 8, window: int = 4) -> DataFr
         F.min("fp").alias("fp_min"),
         F.max("fp").alias("fp_max"),
     )
+
+
+def gopher_rules(docs: DataFrame, lo: int = 30, hi: int = 100_000) -> DataFrame:
+    """Gopher-style rule filter flags (Rae et al. 2021, Appendix A): word
+    count bounds, mean word length in [3, 10], ≥2 known stopwords, and ≥80%
+    of words containing a letter. One codegen'd projection per doc; emitted
+    as observable booleans + a combined `passes` rather than a destructive
+    filter so downstream stages can audit the drop reasons. The word-count
+    bounds are fixture-scaled (real Gopher uses [50, 100k])."""
+    toks = tokens_col()
+    n = F.size(toks).cast("long")
+    # total token chars == length of the concatenated tokens: integer math,
+    # bit-identical across engines and cheaper than a per-element aggregate
+    mwl = F.when(n > 0, F.length(F.concat_ws("", toks)).cast("double") / n)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"])))
+    alpha_share = F.when(
+        n > 0, F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    f_wc = (n >= lo) & (n <= hi)
+    f_mwl = (mwl >= 3) & (mwl <= 10)
+    f_stop = n_stop >= 2
+    f_alpha = alpha_share >= 0.8
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        f_wc.alias("flag_word_count"),
+        f_mwl.alias("flag_mean_word_len"),
+        f_stop.alias("flag_stopwords"),
+        f_alpha.alias("flag_alpha"),
+        (f_wc & f_mwl & f_stop & f_alpha).alias("passes"),
+    )
+
+
+def sequence_packing(docs: DataFrame, budget: int = 128) -> DataFrame:
+    """Greedy training-sequence packing: within each shard (`source`), docs
+    in deterministic (doc_id) order are packed into consecutive sequences of
+    at most `budget` tokens; a doc that would overflow the open sequence
+    starts the next one (an oversized doc gets a sequence of its own).
+
+    The running-total-with-reset recurrence is inherently sequential, so it
+    runs as an `applyInPandas` loop — but only WITHIN a shard: shards are
+    independent, so the operator parallelizes across the shard key exactly
+    like the reference's per-chain pipelines (updatescript.py's R24 split),
+    which is the scale story — a 100 TB corpus has millions of shards, each
+    a few MB. The DuckDB oracle replays the same recurrence as a recursive
+    CTE."""
+    toks = docs.select(
+        "source", "doc_id", F.size(tokens_col()).cast("long").alias("n_tok")
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, seq, acc = [], 0, None
+        for tok in pdf["n_tok"]:
+            if acc is None:
+                acc = tok
+            elif acc + tok > budget:
+                seq += 1
+                acc = tok
+            else:
+                acc += tok
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[["source", "doc_id", "n_tok", "seq_id"]]
+
+    return toks.groupBy("source").applyInPandas(
+        pack, "source string, doc_id long, n_tok long, seq_id long"
+    )

@@ -149,13 +149,23 @@ def aum_routing(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
         .distinct()
     )
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # First-touch = the batch-min (ts, event_id) per user. An aggregated
+    # argmin + join-back beats the row_number window here: the groupBy
+    # combines map-side, so only one tiny row per user crosses the wire and
+    # the batch itself is never shuffled (the per-user firsts broadcast; AQE
+    # falls back to a shuffle join if the user count ever outgrows that) —
+    # while the window form sorts the ENTIRE batch through a user_id
+    # exchange. (ts, event_id) is a total order (event_id unique), so the
+    # struct-min is deterministic.
+    first_key = batch.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id")).alias("__first")
+    )
     flagged = (
         batch.join(F.broadcast(seen_pre.withColumn("seen_pre", F.lit(True))), "user_id", "left")
-        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(first_key), "user_id")
         .withColumn(
             "first_touch",
-            F.col("seen_pre").isNull() & (F.col("rn") == 1),
+            F.col("seen_pre").isNull() & (F.struct("ts", "event_id") == F.col("__first")),
         )
         .withColumn("delta", F.col("stake") - F.col("alreadyBonded"))
     )

@@ -2656,3 +2656,62 @@ def x_stopword_prune(spark, sf_dir):
             ).alias("kept_share"),
         )
     )
+
+
+@query(
+    "x_gopher_rules",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+         END AS mwl,
+         len(list_filter(toks, x -> x IN ('the','a','of','to','and','is'))) AS n_stop,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+             / len(toks)
+         END AS alpha_share
+  FROM t)
+SELECT doc_id, n_words, ROUND(mwl, 6) AS mean_word_len,
+       (n_words BETWEEN 30 AND 100000) AS flag_word_count,
+       (mwl BETWEEN 3 AND 10) AS flag_mean_word_len,
+       (n_stop >= 2) AS flag_stopwords,
+       (alpha_share >= 0.8) AS flag_alpha,
+       ((n_words BETWEEN 30 AND 100000) AND (mwl BETWEEN 3 AND 10)
+        AND n_stop >= 2 AND alpha_share >= 0.8) AS passes
+FROM s""",
+)
+def x_gopher_rules(spark, sf_dir):
+    """Gopher rule-filter flags (word count / mean word length / stopword /
+    alpha-word heuristics) as observable booleans. Ratios are exact integer
+    divisions, so the flag comparisons are bit-identical across engines."""
+    return TX.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_seq_packing",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), pack AS (
+  SELECT source, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS seq_id, n_tok AS acc
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.rn, t.doc_id, t.n_tok,
+         CASE WHEN p.acc + t.n_tok > 128 THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.acc + t.n_tok > 128 THEN t.n_tok ELSE p.acc + t.n_tok END
+  FROM pack p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tok, seq_id FROM pack""",
+)
+def x_seq_packing(spark, sf_dir):
+    """Greedy training-sequence packing per shard (budget 128 tokens): the
+    sequential reset-recurrence runs inside applyInPandas per source shard —
+    shard-parallel, loop only within a shard — and the oracle replays the
+    identical recurrence as a recursive CTE (functions/text.py
+    sequence_packing for the scale argument)."""
+    return TX.sequence_packing(load_table(spark, sf_dir, "documents"), budget=128)

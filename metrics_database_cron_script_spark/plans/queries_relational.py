@@ -443,21 +443,20 @@ QUALIFY row_number() OVER (PARTITION BY l_suppkey
                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3""",
 )
 def c_topk_per_group(spark, sf_dir):
-    from metrics_database_cron_script_spark.operators.partitioning import key_fan_out
-
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_suppkey").orderBy(
         F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
     )
-    # key_fan_out: the window shuffles on l_suppkey anyway; making the
-    # exchange explicit at >= core-count width keeps the per-group sort off
-    # the narrow scan stage (single-row-group file => 1-task partial sort
-    # otherwise; measured 0.77 s -> 0.46 s warm at sf0.1).
+    # Deliberately a bare window: Catalyst's InferWindowGroupLimit turns the
+    # rn<=k filter into a two-phase WindowGroupLimit (Partial below the
+    # exchange, Final above), so each scan task ships only its own top-3 per
+    # suppkey — the fact table itself never crosses the wire. An explicit
+    # pre-repartition (tried: key_fan_out) REPLACES the ENSURE_REQUIREMENTS
+    # exchange and thereby defeats the partial prune, shuffling every row;
+    # ~0.2 s faster at single-file fixture scale (scan-width-bound sort) but
+    # strictly worse at cluster scale, where shuffle volume dominates.
     return (
-        key_fan_out(
-            li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
-            "l_suppkey",
-        )
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 3)
         .drop("__rn")
