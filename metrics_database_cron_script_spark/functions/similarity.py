@@ -418,3 +418,26 @@ def pca_top_component(corpus: DataFrame) -> DataFrame:
     return corpus.select(
         "vec_id", F.round(centered_dot, 6).alias("pc1_score")
     )
+
+
+def semdedup(corpus: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    inside each deterministic hyperplane-LSH cell, a vector is DROPPED iff
+    it has a near-duplicate (cosine ≥ threshold) with a smaller vec_id —
+    keep-lowest survivorship, decided from pairwise evidence alone (no
+    transitive closure), so the verdict per vector is a single aggregated
+    count over the candidate-pair join. Same scale shape as
+    `cosine_near_dup_pairs`: the only join is the bucket equi-join."""
+    pairs = cosine_near_dup_pairs(corpus, threshold)
+    dropped = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        corpus.select("vec_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("__n", F.lit(0)).alias("n_dups_smaller"),
+            F.col("__n").isNull().alias("kept"),
+        )
+    )

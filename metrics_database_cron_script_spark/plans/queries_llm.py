@@ -2715,3 +2715,24 @@ def x_seq_packing(spark, sf_dir):
     identical recurrence as a recursive CTE (functions/text.py
     sequence_packing for the scale argument)."""
     return TX.sequence_packing(load_table(spark, sf_dir, "documents"), budget=128)
+
+
+def _semdedup_oracle() -> str:
+    inner = _neardup_cosine_oracle()
+    return f"""
+WITH pairs AS ({inner}),
+dropped AS (
+  SELECT vec_b AS vec_id, COUNT(*) AS n_dups_smaller FROM pairs GROUP BY vec_b
+)
+SELECT e.vec_id, COALESCE(d.n_dups_smaller, 0) AS n_dups_smaller,
+       (d.vec_id IS NULL) AS kept
+FROM embeddings e LEFT JOIN dropped d USING (vec_id)"""
+
+
+@query("x_semdedup", oracle=_semdedup_oracle())
+def x_semdedup(spark, sf_dir):
+    """SemDeDup survivor list: drop a vector iff a smaller-id near-dup shares
+    its LSH cell (keep-lowest policy — deterministic, no transitive closure).
+    Fully value-hash-checked because the cells are fixed hyperplane literals
+    and the pair evidence is the already-verified x_embed_neardup_cosine."""
+    return S.semdedup(load_table(spark, sf_dir, "embeddings"), threshold=0.3)

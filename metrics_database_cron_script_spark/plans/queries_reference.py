@@ -212,3 +212,33 @@ def r_daily_growth(spark, sf_dir):
         ),
         F.round(F.avg("volume").over(ma), 6).alias("ma7"),
     )
+
+
+@query(
+    "r_agg_maintenance",
+    oracle=f"""
+WITH snap AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n, SUM(value) AS sum_value,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM events WHERE ts <= TIMESTAMP '{WM}' GROUP BY 1
+), delta AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n, SUM(value) AS sum_value,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM events WHERE ts > TIMESTAMP '{WM}' GROUP BY 1
+)
+SELECT COALESCE(s.day, d.day) AS day,
+       COALESCE(s.n, 0) + COALESCE(d.n, 0) AS n,
+       ROUND(COALESCE(s.sum_value, 0) + COALESCE(d.sum_value, 0), 6) AS sum_value,
+       LEAST(COALESCE(s.min_value, d.min_value),
+             COALESCE(d.min_value, s.min_value)) AS min_value,
+       GREATEST(COALESCE(s.max_value, d.max_value),
+                COALESCE(d.max_value, s.max_value)) AS max_value
+FROM snap s FULL OUTER JOIN delta d ON s.day = d.day""",
+)
+def r_agg_maintenance(spark, sf_dir):
+    """Incremental rollup maintenance: delta partial-agg merged into the
+    standing daily snapshot (full-outer + coalesce over decomposable stats).
+    The merged result must equal — and the oracle recomputes — the
+    from-scratch rollup, which is the defining invariant of incremental
+    view maintenance."""
+    return R.incremental_agg_merge(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,80 @@
+"""Schema-enforced CSV / JSON-lines file sources.
+
+The reference's only inputs are schemaless BSON and REST JSON; the engine's
+at-rest format is parquet (sources/tables.py). These readers extend the same
+schema-on-read discipline to the two interchange formats a pipeline actually
+receives from third parties. Principles:
+
+- **Declared schema, never inference**: inference reads the data twice and
+  yields drifting types across deliveries; every reader takes an explicit
+  `StructType` (or a fixture table name, resolving to FIXTURES.md §B).
+- **FAILFAST**: a malformed row aborts the read instead of becoming a silent
+  null — the batch-ETL analog of the engine's ANSI-mode posture. Pass
+  `permissive_corrupt_col` to switch to quarantine mode: malformed rows land
+  in a `_corrupt_record` column for a dead-letter sink instead of killing
+  the job (the 100 TB reality: a trillion-row delivery WILL contain a few
+  bad rows, and re-running the whole batch per bad row is not an option).
+- Text formats are a delivery/interchange surface, not a query surface —
+  pipelines should land them to parquet (columnar, prunable, splittable)
+  before repeated querying; CSV/JSON scans re-parse every byte per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from metrics_database_cron_script_spark.sources.tables import TABLES
+
+
+def _resolve_schema(table: str | None, schema: T.StructType | None) -> T.StructType:
+    if schema is not None:
+        return schema
+    if table is None or table not in TABLES:
+        raise ValueError(f"need an explicit schema or a known table name, got {table!r}")
+    return TABLES[table]
+
+
+def _mode_options(permissive_corrupt_col: str | None) -> dict[str, str]:
+    if permissive_corrupt_col:
+        return {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": permissive_corrupt_col}
+    return {"mode": "FAILFAST"}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    permissive_corrupt_col: str | None = None,
+) -> DataFrame:
+    """CSV with a declared schema. Header is read for column order but types
+    come from the schema; quoting/escaping are Spark defaults (RFC-4180-ish),
+    which round-trips embedded commas/quotes in JSON-ish string columns."""
+    resolved = _resolve_schema(table, schema)
+    if permissive_corrupt_col:
+        resolved = resolved.add(T.StructField(permissive_corrupt_col, T.StringType()))
+    reader = (
+        spark.read.schema(resolved)
+        .option("header", str(header).lower())
+        .options(**_mode_options(permissive_corrupt_col))
+    )
+    return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    schema: T.StructType | None = None,
+    permissive_corrupt_col: str | None = None,
+) -> DataFrame:
+    """Newline-delimited JSON with a declared schema (one object per line —
+    the splittable layout; multiline JSON arrays are NOT splittable and are
+    deliberately unsupported here)."""
+    resolved = _resolve_schema(table, schema)
+    if permissive_corrupt_col:
+        resolved = resolved.add(T.StructField(permissive_corrupt_col, T.StringType()))
+    reader = spark.read.schema(resolved).options(**_mode_options(permissive_corrupt_col))
+    return reader.json(path)

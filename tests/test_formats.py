@@ -99,3 +99,49 @@ def test_declared_schemas_match_fixtures(spark):
         for field in declared.fields:
             actual = df.schema[field.name].dataType
             assert actual == field.dataType, (name, field.name, actual, field.dataType)
+
+
+# ---------------------------------------------------------------- files.py API
+
+def test_read_csv_declared_schema(spark, tmp_path):
+    from metrics_database_cron_script_spark.sources.files import read_csv
+
+    df = _events(spark)
+    path = str(tmp_path / "api_csv")
+    df.write.option("header", True).mode("overwrite").csv(path)
+    back = read_csv(spark, path, table="events")
+    assert back.count() == df.count()
+    assert [f.name for f in back.schema.fields] == [f.name for f in df.schema.fields]
+
+
+def test_read_jsonl_quarantine_mode(spark, tmp_path):
+    from metrics_database_cron_script_spark.sources.files import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}\n'
+    )
+    back = read_jsonl(
+        spark, str(p), table="documents", permissive_corrupt_col="_corrupt"
+    )
+    rows = back.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    good = sorted(r["doc_id"] for r in rows if r["_corrupt"] is None)
+    assert len(bad) == 1 and good == [1, 2]
+
+
+def test_read_jsonl_failfast_raises(spark, tmp_path):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from metrics_database_cron_script_spark.sources.files import read_jsonl
+
+    p = tmp_path / "bad2.jsonl"
+    p.write_text('{"doc_id": 1}\nNOPE\n')
+    with _pytest.raises(Exception) as ei:
+        read_jsonl(spark, str(p), table="documents").collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
