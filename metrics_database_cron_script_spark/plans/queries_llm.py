@@ -2736,3 +2736,53 @@ def x_semdedup(spark, sf_dir):
     Fully value-hash-checked because the cells are fixed hyperplane literals
     and the pair evidence is the already-verified x_embed_neardup_cosine."""
     return S.semdedup(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@query(
+    "x_rag_chunks",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), spans AS (
+  SELECT doc_id, w, UNNEST(range(0, CAST(floor((greatest(len(w), 1) - 1) / 16) AS BIGINT) + 1)) AS i
+  FROM ws
+)
+SELECT doc_id, i AS chunk_id, i * 16 + 1 AS start_tok,
+       LEAST(32, len(w) - i * 16) AS n_tok,
+       substr(md5(array_to_string(w[(i * 16 + 1):(i * 16 + 32)], ' ')), 1, 16) AS chunk_hash
+FROM spans""",
+)
+def x_rag_chunks(spark, sf_dir):
+    """Overlapping retrieval-chunking (window 32 tokens, stride 16 — 50%
+    overlap, the standard RAG indexing layout): each doc explodes into its
+    chunk spans via one narrow higher-order transform (no shuffle at all —
+    the plan is scan → project → explode), and chunks are emitted as
+    md5-prefix content hashes so the output stays narrow and the oracle
+    compares exact values. Chunk-count recurrence: starts at every
+    stride-multiple below doc length, short tail chunk kept."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
+    )
+    n = F.size("w")
+    spans = ws.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.greatest(n, F.lit(1)) - 1) / 16).cast("long"),
+            )
+        ).alias("i"),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("i").alias("chunk_id"),
+        (F.col("i") * 16 + 1).alias("start_tok"),
+        F.least(F.lit(32), F.size("w") - F.col("i") * 16).alias("n_tok"),
+        F.substring(
+            F.md5(F.array_join(F.slice("w", F.col("i") * 16 + 1, F.lit(32)), " ")), 1, 16
+        ).alias("chunk_hash"),
+    )

@@ -277,3 +277,23 @@ def events_since(spark: SparkSession, sf_dir: str, watermark: str) -> DataFrame:
     return raw.filter(
         F.col("ts") > F.lit(wm).cast(raw.schema["ts"].dataType)
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, prefix: str = ""
+) -> list[str]:
+    """Expose the catalog to plain `spark.sql(...)`: every fixture table
+    becomes a temp view (optionally `prefix`ed) backed by the same cached,
+    schema-normalized logical plan as `load_table` — so SQL queries get the
+    identical pushdown/pruning behavior as the DataFrame API, and the two
+    surfaces can be mixed freely in one session. Mirrors how the DuckDB
+    oracle registers the same parquet files as views (oracle.py).
+
+    Returns the registered view names.
+    """
+    names = []
+    for name in TABLES:
+        view = f"{prefix}{name}"
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        names.append(view)
+    return names

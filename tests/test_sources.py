@@ -30,3 +30,30 @@ def test_unpadded_dmy_matches_reference_format():
 
     assert unpadded_dmy(datetime.date(2024, 1, 5)) == "5-1-2024"
     assert unpadded_dmy(datetime.date(2024, 11, 25)) == "25-11-2024"
+
+
+def test_register_views_sql_surface(spark):
+    """SQL over the registered views must agree with the DataFrame API, and
+    predicates written in SQL must still push into the parquet scan."""
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.sources.tables import register_views
+    from tests.conftest import SF_SMOKE
+
+    names = register_views(spark, SF_SMOKE)
+    assert set(names) >= {"lineitem", "orders", "events", "documents"}
+    got = spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).collect()
+    df = load_table(spark, SF_SMOKE, "lineitem")
+    from pyspark.sql import functions as F
+
+    want = (
+        df.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert got == want
+    plan = spark.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity > 49"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan
