@@ -216,13 +216,25 @@ def union_chains(events: DataFrame) -> DataFrame:
 def upsert_snapshot(events: DataFrame) -> DataFrame:
     """R9/R25 on plain parquet: keep-latest row per key — the set-based form
     of `update_one({"_id"}, {"$set": ...})` (updatescript.py:131). Latest =
-    max (ts, event_id) per user_id."""
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    max (ts, event_id) per user_id.
+
+    Expressed as a decomposable argmax — `max(struct(ts, event_id,
+    payload...))` per key. Spark plans struct-max as a SortAggregate
+    (struct values don't fit the hash-agg's mutable buffer), but the split
+    that matters survives: `partial_max` runs BELOW the exchange with a
+    key-only sort, so exactly one winner row per key per task crosses the
+    wire — same shuffle volume as the WindowGroupLimit-pruned window form,
+    with a 1-column sort comparator instead of the window's 3-column one.
+    (ts, event_id) leads the struct, so payload fields never influence the
+    comparison ((ts, event_id) is already a total order)."""
+    payload = [c for c in events.columns if c != "user_id"]
+    ordered = ["ts", "event_id"] + [c for c in payload if c not in ("ts", "event_id")]
+    latest = events.groupBy("user_id").agg(
+        F.max(F.struct(*ordered)).alias("__latest")
     )
+    return latest.select(
+        "user_id", *[F.col(f"__latest.{c}").alias(c) for c in ordered]
+    ).select(*events.columns)
 
 
 def calendar_fill(events: DataFrame) -> DataFrame:

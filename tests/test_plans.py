@@ -153,3 +153,62 @@ def test_tpch_q13_join_keeps_outer_with_on_predicate(spark):
 
     plan = _plan(QUERIES["c_tpch_q13_shape"](spark, SF_SMOKE))
     assert "LeftOuter" in plan, plan
+
+
+def test_topk_per_group_keeps_partial_window_group_limit(spark):
+    """The rank-limit window must carry Catalyst's two-phase WindowGroupLimit
+    (Partial BELOW the exchange): an explicit pre-repartition on the window
+    key would silently replace the ENSURE_REQUIREMENTS exchange and shuffle
+    the whole fact (SCALE.md §2 top-k caveat)."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["c_topk_per_group"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
+    partial = plan.split("Exchange", 1)[-1]
+    assert "WindowGroupLimit" in partial and "Partial" in partial, plan
+
+
+def test_aum_routing_has_no_window_exchange(spark):
+    """First-touch is an aggregated argmin + broadcast join-back: the plan
+    must contain NO Window operator (the batch is never sorted through a
+    user_id exchange) and at least two broadcast joins (seen-set + firsts)."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["r_aum_routing"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_upsert_snapshot_partial_aggregates_below_exchange(spark):
+    """Keep-latest is a decomposable argmax: the partial max must run BELOW
+    the exchange (one winner per key per task crosses the wire) and no
+    Window operator may appear. (Struct-max plans as SortAggregate — the
+    partial/final split, not the agg flavor, is the scale property.)"""
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["r_upsert_snapshot"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    below_exchange = plan.split("Exchange", 1)[-1]
+    assert "partial_max(struct" in below_exchange, plan
+
+
+def test_tfidf_scans_documents_once(spark):
+    """The df-by-window formulation must not duplicate the tokenize/explode
+    subtree: exactly one scan of documents.parquet in the executed plan."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["x_tfidf"](spark, SF_SMOKE))
+    # the n_docs branch scans only doc_id (pruned); the token subtree scans
+    # (doc_id, text). More than two FileScans of documents = regression.
+    assert plan.count("documents.parquet") <= 2, plan
+    text_scans = [
+        seg for seg in plan.split("FileScan parquet")[1:] if "text" in seg.split("ReadSchema")[-1][:200]
+    ]
+    assert len(text_scans) == 1, plan
+
+
+def test_rag_chunks_plan_is_shuffle_free(spark):
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["x_rag_chunks"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
