@@ -362,3 +362,42 @@ def s_stream_exec_tumbling(spark, sf_dir):
     return run_streaming_tumbling(
         spark, sf_dir, query_name=f"s_exec_tumb_{uuid.uuid4().hex[:8]}"
     )
+
+
+@query(
+    "s_stream_exec_session",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM sess GROUP BY user_id, sess_id""",
+)
+def s_stream_exec_session(spark, sf_dir):
+    """Second genuinely-STREAM-EXECUTED gate entry: native `session_window`
+    under readStream + watermark, complete-mode drained to a memory sink
+    (streaming/structured.py run_streaming_session), hash-checked against
+    the same DuckDB gaps-and-islands SQL that verifies the batch s_session —
+    i.e., the stateful streaming operator and first-principles batch SQL
+    must agree on every session boundary."""
+    import uuid
+
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_session,
+    )
+
+    return run_streaming_session(
+        spark, sf_dir, query_name=f"s_exec_sess_{uuid.uuid4().hex[:8]}"
+    )
