@@ -275,28 +275,39 @@ def incremental_agg_merge(events: DataFrame, watermark: str = WATERMARK) -> Data
     snapshot side is the standing parquet rollup maintained by state.py.)
     """
     wm = F.lit(watermark).cast("timestamp")
-    day = F.to_date("ts").alias("day")
+    snap = daily_rollup(events.filter(F.col("ts") <= wm))
+    delta = daily_rollup(events.filter(F.col("ts") > wm))
+    merged = merge_daily_rollups(snap, delta)
+    return merged.withColumn("sum_value", F.round("sum_value", 6))
 
-    def daily(df: DataFrame) -> DataFrame:
-        return df.groupBy(day).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
 
-    snap = daily(events.filter(F.col("ts") <= wm))
-    delta = daily(events.filter(F.col("ts") > wm))
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """The standing daily rollup's shape: count/sum/min/max of `value` per
+    day — every stat decomposable, so batches merge exactly
+    (`merge_daily_rollups`)."""
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def merge_daily_rollups(snap: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two daily rollups (full-outer on day + coalesce per stat).
+    Deliberately does NOT round: the stateful pipeline merges every batch,
+    and rounding inside the merge would accumulate drift across batches —
+    readers round at the edge (r_agg_maintenance does, pipelines stay
+    exact)."""
     s, d = snap.alias("s"), delta.alias("d")
     return (
         s.join(d, F.col("s.day") == F.col("d.day"), "full_outer")
         .select(
             F.coalesce(F.col("s.day"), F.col("d.day")).alias("day"),
             (F.coalesce(F.col("s.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
-            F.round(
+            (
                 F.coalesce(F.col("s.sum_value"), F.lit(0.0))
-                + F.coalesce(F.col("d.sum_value"), F.lit(0.0)),
-                6,
+                + F.coalesce(F.col("d.sum_value"), F.lit(0.0))
             ).alias("sum_value"),
             F.least(
                 F.coalesce(F.col("s.min_value"), F.col("d.min_value")),

@@ -13,7 +13,8 @@ Differences from the reference, by design (SURVEY.md §3/§7):
 
 State layout under `state_dir`: `prices.parquet`, `tx_enriched.parquet`,
 `stats.parquet`, `sink_nominations.parquet`, `sink_amountstaked.parquet`,
-`sink_aum.parquet`, `watermark.parquet`.
+`sink_aum.parquet`, `daily_rollup.parquet` (incrementally merged, P6),
+`watermark.parquet`.
 """
 
 from __future__ import annotations
@@ -150,6 +151,42 @@ def update_routing(
         flagged.unpersist()
 
 
+def update_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    state_dir: str,
+    watermark: datetime.datetime,
+    run_ts: datetime.datetime,
+) -> int:
+    """P6 (engine extension beyond the reference): incremental maintenance of
+    the standing daily rollup (hypertable-rollup shape). The batch delta is
+    aggregated (O(new rows), map-side combined) and merged into the
+    persisted rollup by `merge_daily_rollups` — full-outer on day + coalesce
+    over decomposable stats, never a history recompute. Stats stay UNROUNDED
+    in state so repeated merges cannot drift (readers round at the edge).
+
+    Exactly-once subtlety the append sinks don't have: an aggregate merge
+    has NO idempotency key (a re-merged row is invisible, just wrong), so
+    the batch interval must be CLOSED on both ends — (watermark, run_ts].
+    An unbounded `ts > watermark` scan would re-merge any row that arrives
+    with ts ≤ the next run's watermark twice (caught by
+    tests/test_pipelines.py's split-batch equivalence test).
+
+    Returns the number of days touched by this batch's delta."""
+    delta = R.daily_rollup(
+        events.filter((F.col("ts") > F.lit(watermark)) & (F.col("ts") <= F.lit(run_ts)))
+    )
+    path = _sink(state_dir, "daily_rollup")
+    schema = "day date, n bigint, sum_value double, min_value double, max_value double"
+    snap = ST.read_or_empty(spark, path, schema)
+    merged = R.merge_daily_rollups(snap, delta)
+    n_touched = delta.count()
+    # rewrite is O(total days) rows — trivially small; atomicity matches the
+    # other snapshot state (directory swap after materialization)
+    ST.atomic_overwrite(merged.localCheckpoint(eager=True), path)
+    return n_touched
+
+
 def run_batch(
     spark: SparkSession,
     sf_dir: str,
@@ -172,6 +209,9 @@ def run_batch(
     report["tx_appended"] = update_tx_enriched(spark, events, state_dir, watermark)
     update_stats(spark, events, state_dir, run_ts)
     report["routing_appended"] = update_routing(spark, events, state_dir, watermark)
+    report["rollup_days_touched"] = update_rollup(
+        spark, events, state_dir, watermark, run_ts
+    )
     wm_store.commit(run_ts)  # LAST, after every sink (fixes §3 hazard)
     report["watermark_out"] = run_ts
     return report

@@ -45,6 +45,15 @@ def _atomic_overwrite(df: DataFrame, path: str) -> None:
         shutil.rmtree(old)
 
 
+def atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Materialize `df` and atomically replace the table directory at `path`
+    (write to a temp dir, rename-swap, drop the old) — the overwrite
+    primitive every snapshot-shaped state table shares. Callers must pass a
+    plan that does not read `path` itself unless it is already materialized
+    (localCheckpoint(eager=True) cuts that lineage)."""
+    _atomic_overwrite(df, path)
+
+
 def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a state table, or an empty typed DataFrame if it doesn't exist
     yet (first run bootstrap)."""

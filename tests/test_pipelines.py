@@ -82,3 +82,66 @@ def test_tx_enrich_raises_on_missing_price_day(spark, tmp_path):
     update_prices(spark, events, state, price_source=partial_dim)
     with _pytest.raises(AssertionError, match="price dim incomplete"):
         update_tx_enriched(spark, events, state, datetime.datetime(2024, 1, 15))
+
+
+def test_rollup_maintained_incrementally_and_exactly(spark, state_dir):
+    """P6: after a batch, the persisted rollup must EQUAL the from-scratch
+    daily aggregate (the defining invariant of incremental view
+    maintenance), and a re-run must touch zero days and change nothing."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.reference_ops import daily_rollup
+    from metrics_database_cron_script_spark.pipelines import run_batch
+    from metrics_database_cron_script_spark.sources import load_table
+
+    r1 = run_batch(spark, SF_SMOKE, state_dir)
+    assert r1["rollup_days_touched"] > 0
+    path = state_dir + "/daily_rollup.parquet"
+
+    def canon(df):
+        return sorted(
+            (str(r["day"]), r["n"], round(r["sum_value"], 6), r["min_value"], r["max_value"])
+            for r in df.collect()
+        )
+
+    got = canon(spark.read.parquet(path))
+    want = canon(daily_rollup(load_table(spark, SF_SMOKE, "events")))
+    assert got == want
+
+    r2 = run_batch(spark, SF_SMOKE, state_dir)
+    assert r2["rollup_days_touched"] == 0
+    assert canon(spark.read.parquet(path)) == got
+
+
+def test_rollup_merges_two_half_batches_to_the_same_result(spark, state_dir, tmp_path):
+    """Split the fixture at its midpoint watermark and run two batches; the
+    merged rollup must equal the single-batch rollup bit-for-bit on counts
+    and to 6dp on sums (state stays unrounded, so two merges cannot drift)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.reference_ops import daily_rollup
+    from metrics_database_cron_script_spark.pipelines import run_batch
+    from metrics_database_cron_script_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    # NTZ → LTZ → double (NTZ rejects numeric casts; session TZ is pinned UTC)
+    mid = ev.agg(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)")
+    ).collect()[0][0]
+    mid_ts = datetime.datetime.utcfromtimestamp(mid)
+
+    run_batch(spark, SF_SMOKE, state_dir, run_ts=mid_ts)
+    r2 = run_batch(spark, SF_SMOKE, state_dir)
+    assert r2["rollup_days_touched"] > 0  # second half actually merged
+
+    def canon(df):
+        return sorted(
+            (str(r["day"]), r["n"], round(r["sum_value"], 6))
+            for r in df.collect()
+        )
+
+    got = canon(spark.read.parquet(state_dir + "/daily_rollup.parquet"))
+    want = canon(daily_rollup(ev))
+    assert got == want
