@@ -41,3 +41,59 @@ def stream_to_idempotent_sink(
     finally:
         q.stop()
     return spark.read.parquet(sink_path).count()
+
+
+def stream_rollup_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_rollup",
+) -> DataFrame:
+    """Streaming twin of pipelines.update_rollup (P6): maintain the standing
+    daily rollup from the events stream via foreachBatch.
+
+    An aggregate MERGE is not idempotent (a replayed micro-batch silently
+    double-counts — no key to anti-join on), and foreachBatch is only
+    at-least-once, so each merge is guarded by the batch's epoch_id. The
+    epoch rides INSIDE the state table (a constant `epoch` column), so the
+    state and its progress marker commit in the SAME atomic directory swap —
+    no window where one is written and the other is not. A replayed epoch
+    (epoch_id ≤ max committed) is skipped whole.
+
+    Returns the final rollup (without the epoch column)."""
+    from metrics_database_cron_script_spark.operators.reference_ops import (
+        daily_rollup,
+        merge_daily_rollups,
+    )
+    from metrics_database_cron_script_spark.state import atomic_overwrite, read_or_empty
+
+    from pyspark.sql import functions as F
+
+    schema = (
+        "day date, n bigint, sum_value double, min_value double, "
+        "max_value double, epoch bigint"
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        snap_full = read_or_empty(spark, state_path, schema)
+        last = snap_full.agg(F.max("epoch").alias("e")).collect()[0]["e"]
+        if last is not None and epoch_id <= last:
+            return  # replayed epoch: merging again would double-count
+        merged = merge_daily_rollups(
+            snap_full.drop("epoch"), daily_rollup(batch_df)
+        ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+        atomic_overwrite(merged.localCheckpoint(eager=True), state_path)
+
+    events = read_events_stream(spark, sf_dir)
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(state_path).drop("epoch")

@@ -25,3 +25,39 @@ def test_stream_to_idempotent_sink_exactly_once(spark, tmp_path):
     assert n2 == total
     ids = spark.read.parquet(sink).select("event_id").distinct().count()
     assert ids == total
+
+
+def test_stream_rollup_matches_batch_and_skips_replayed_epochs(spark, tmp_path):
+    """The epoch-guarded foreachBatch merge must (a) converge to the exact
+    from-scratch daily rollup after draining the stream, and (b) be a no-op
+    when an epoch is replayed (at-least-once delivery → exactly-once merge)."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.reference_ops import daily_rollup
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.sink import (
+        stream_rollup_maintenance,
+    )
+    from tests.conftest import SF_SMOKE
+
+    state = str(tmp_path / "rollup.parquet")
+    got_df = stream_rollup_maintenance(
+        spark, SF_SMOKE, state, str(tmp_path / "ckpt"), query_name="t_stream_rollup"
+    )
+
+    def canon(df):
+        return sorted(
+            (str(r["day"]), r["n"], round(r["sum_value"], 6))
+            for r in df.collect()
+        )
+
+    want = canon(daily_rollup(load_table(spark, SF_SMOKE, "events")))
+    assert canon(got_df) == want
+
+    # Replay: run the SAME stream again with a FRESH checkpoint — every
+    # batch re-delivers with epoch_id 0, which is ≤ the committed epoch, so
+    # the guard must skip it and the state must not change.
+    again = stream_rollup_maintenance(
+        spark, SF_SMOKE, state, str(tmp_path / "ckpt2"), query_name="t_stream_rollup2"
+    )
+    assert canon(again) == want
