@@ -71,14 +71,29 @@ def brute_force_topk(
 
     q_pd = queries.toPandas()
     q_ids = q_pd["q_id"].to_numpy()
-    q_mat = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in q_pd.iloc[:, 1]], dtype=np.float64
+    q_vecs = [np.asarray(v, dtype=np.float64) for v in q_pd.iloc[:, 1]]
+    # explicit (0, 1) for the empty probe set: np.asarray([]) is 1-D and a
+    # bare reshape(0, -1) raises; downstream guards skip scoring entirely
+    q_mat = (
+        np.asarray(q_vecs, dtype=np.float64) if q_vecs else np.zeros((0, 1))
     )
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    # a zero vector has no direction: its cosine is undefined, so zero-norm
+    # queries (and corpus rows, below) are excluded rather than emitting
+    # NaN — NaN sorts GREATER than every double in Spark's desc order and
+    # would otherwise displace genuine neighbors at rank 1
+    q_keep = q_norm > 0.0
+    q_ids, q_mat, q_norm = q_ids[q_keep], q_mat[q_keep], q_norm[q_keep]
+
+    def _round6(x):
+        # Spark F.round / DuckDB ROUND are HALF_UP (away from zero);
+        # np.round is half-to-even — match the engines' rule so the local
+        # prune ranks in exactly the final, oracle-visible order
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
 
     def score(batches):
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or not len(q_ids):
                 continue
             vec_ids = pdf["vec_id"].to_numpy()
             c_mat = np.asarray(
@@ -86,8 +101,12 @@ def brute_force_topk(
                 dtype=np.float64,
             )
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
-            cos = np.round(
-                (c_mat @ q_mat.T) / (c_norm[:, None] * q_norm[None, :]), 6
+            c_keep = c_norm > 0.0
+            vec_ids, c_mat, c_norm = vec_ids[c_keep], c_mat[c_keep], c_norm[c_keep]
+            if not len(vec_ids):
+                continue
+            cos = _round6(
+                (c_mat @ q_mat.T) / (c_norm[:, None] * q_norm[None, :])
             )
             out_q, out_v, out_c = [], [], []
             for j, qid in enumerate(q_ids):
@@ -101,7 +120,13 @@ def brute_force_topk(
                 out_q.extend([qid] * len(order))
                 out_v.extend(ids[order])
                 out_c.extend(vals[order])
-            yield pd.DataFrame({"q_id": out_q, "vec_id": out_v, "cos": out_c})
+            yield pd.DataFrame(
+                {
+                    "q_id": np.asarray(out_q, dtype=np.int64),
+                    "vec_id": np.asarray(out_v, dtype=np.int64),
+                    "cos": np.asarray(out_c, dtype=np.float64),
+                }
+            )
 
     scored = corpus.select("vec_id", "embedding").mapInPandas(
         score, "q_id long, vec_id long, cos double"

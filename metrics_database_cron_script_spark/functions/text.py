@@ -43,23 +43,29 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def en_stopword_count(toks) -> "F.Column":
+    """Count of known-English stopwords in a token array — shared by
+    quality_score and gopher_rules so the metric cannot drift between the
+    two doc-quality surfaces."""
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"])))
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / word-shape / stopword-ratio quality signals, one codegen'd
     projection per doc — the classic cheap pre-filter before expensive dedup."""
     toks = tokens_col()
     n_words = F.size(toks)
     n_alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
-    stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"])))
+    stop = en_stopword_count(toks)
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         F.when(
             n_words > 0,
-            F.round(
-                F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
-                / n_words,
-                6,
-            ),
+            # same integer-exact formulation as gopher_rules: total token
+            # chars == length of the concatenation (codegen'd, not an
+            # interpreted per-element aggregate)
+            F.round(F.length(F.concat_ws("", toks)).cast("double") / n_words, 6),
         ).alias("avg_word_len"),
         F.when(
             F.length("text") > 0,
@@ -245,7 +251,7 @@ def gopher_rules(docs: DataFrame, lo: int = 30, hi: int = 100_000) -> DataFrame:
     # total token chars == length of the concatenated tokens: integer math,
     # bit-identical across engines and cheaper than a per-element aggregate
     mwl = F.when(n > 0, F.length(F.concat_ws("", toks)).cast("double") / n)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"])))
+    n_stop = en_stopword_count(toks)
     alpha_share = F.when(
         n > 0, F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
     )

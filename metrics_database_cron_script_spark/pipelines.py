@@ -165,22 +165,39 @@ def update_rollup(
     over decomposable stats, never a history recompute. Stats stay UNROUNDED
     in state so repeated merges cannot drift (readers round at the edge).
 
-    Exactly-once subtlety the append sinks don't have: an aggregate merge
+    Exactly-once subtleties the append sinks don't have: an aggregate merge
     has NO idempotency key (a re-merged row is invisible, just wrong), so
-    the batch interval must be CLOSED on both ends — (watermark, run_ts].
-    An unbounded `ts > watermark` scan would re-merge any row that arrives
-    with ts ≤ the next run's watermark twice (caught by
-    tests/test_pipelines.py's split-batch equivalence test).
+    (a) the batch interval must be CLOSED on both ends, and (b) the lower
+    bound must come from the ROLLUP STATE ITSELF (`merged_through`, a
+    constant column riding in the state table) rather than the shared
+    watermark — the watermark commits after all sinks, so a crash between
+    this overwrite and the watermark commit would otherwise re-merge the
+    same interval on replay. With the in-state frontier, state and progress
+    marker commit in ONE atomic directory swap (same design as the
+    streaming twin's epoch guard) and a replayed batch sees an empty
+    interval. Both failure modes are test-caught (split-batch equivalence,
+    crash-replay) in tests/test_pipelines.py.
 
     Returns the number of days touched by this batch's delta."""
-    delta = R.daily_rollup(
-        events.filter((F.col("ts") > F.lit(watermark)) & (F.col("ts") <= F.lit(run_ts)))
-    )
     path = _sink(state_dir, "daily_rollup")
-    schema = "day date, n bigint, sum_value double, min_value double, max_value double"
-    snap = ST.read_or_empty(spark, path, schema)
-    merged = R.merge_daily_rollups(snap, delta)
+    schema = (
+        "day date, n bigint, sum_value double, min_value double, "
+        "max_value double, merged_through timestamp_ntz"
+    )
+    snap_full = ST.read_or_empty(spark, path, schema)
+    row = snap_full.agg(F.max("merged_through").alias("m")).collect()[0]
+    merged_through = row["m"] if row["m"] is not None else watermark
+    delta = R.daily_rollup(
+        events.filter(
+            (F.col("ts") > F.lit(merged_through)) & (F.col("ts") <= F.lit(run_ts))
+        )
+    ).localCheckpoint(eager=True)  # one materialization serves count + merge
     n_touched = delta.count()
+    if n_touched == 0:
+        return 0
+    merged = R.merge_daily_rollups(snap_full.drop("merged_through"), delta).withColumn(
+        "merged_through", F.lit(run_ts).cast("timestamp_ntz")
+    )
     # rewrite is O(total days) rows — trivially small; atomicity matches the
     # other snapshot state (directory swap after materialization)
     ST.atomic_overwrite(merged.localCheckpoint(eager=True), path)

@@ -27,12 +27,23 @@ from pyspark.sql import types as T
 from metrics_database_cron_script_spark.sources.tables import TABLES
 
 
-def _resolve_schema(table: str | None, schema: T.StructType | None) -> T.StructType:
-    if schema is not None:
-        return schema
-    if table is None or table not in TABLES:
-        raise ValueError(f"need an explicit schema or a known table name, got {table!r}")
-    return TABLES[table]
+def _resolve_schema(
+    table: str | None,
+    schema: T.StructType | None,
+    corrupt_col: str | None,
+) -> T.StructType:
+    if schema is None:
+        if table is None or table not in TABLES:
+            raise ValueError(
+                f"need an explicit schema or a known table name, got {table!r}"
+            )
+        schema = TABLES[table]
+    # ALWAYS rebuild: StructType.add mutates in place and both the registry
+    # entry and a caller-supplied schema are borrowed, not owned
+    fields = list(schema.fields)
+    if corrupt_col:
+        fields.append(T.StructField(corrupt_col, T.StringType()))
+    return T.StructType(fields)
 
 
 def _mode_options(permissive_corrupt_col: str | None) -> dict[str, str]:
@@ -49,15 +60,18 @@ def read_csv(
     header: bool = True,
     permissive_corrupt_col: str | None = None,
 ) -> DataFrame:
-    """CSV with a declared schema. Header is read for column order but types
-    come from the schema; quoting/escaping are Spark defaults (RFC-4180-ish),
-    which round-trips embedded commas/quotes in JSON-ish string columns."""
-    resolved = _resolve_schema(table, schema)
-    if permissive_corrupt_col:
-        resolved = resolved.add(T.StructField(permissive_corrupt_col, T.StringType()))
+    """CSV with a declared schema; types come from the schema. With a
+    header, `enforceSchema=false` makes Spark VALIDATE the header names
+    against the schema and fail loudly on a reordered/renamed delivery —
+    data binding is positional either way, so without the check a reordered
+    file would silently land values in the wrong columns. Quoting/escaping
+    are Spark defaults (RFC-4180-ish), which round-trips embedded
+    commas/quotes in JSON-ish string columns."""
+    resolved = _resolve_schema(table, schema, permissive_corrupt_col)
     reader = (
         spark.read.schema(resolved)
         .option("header", str(header).lower())
+        .option("enforceSchema", "false" if header else "true")
         .options(**_mode_options(permissive_corrupt_col))
     )
     return reader.csv(path)
@@ -73,8 +87,6 @@ def read_jsonl(
     """Newline-delimited JSON with a declared schema (one object per line —
     the splittable layout; multiline JSON arrays are NOT splittable and are
     deliberately unsupported here)."""
-    resolved = _resolve_schema(table, schema)
-    if permissive_corrupt_col:
-        resolved = resolved.add(T.StructField(permissive_corrupt_col, T.StringType()))
+    resolved = _resolve_schema(table, schema, permissive_corrupt_col)
     reader = spark.read.schema(resolved).options(**_mode_options(permissive_corrupt_col))
     return reader.json(path)

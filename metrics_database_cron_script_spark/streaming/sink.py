@@ -61,7 +61,14 @@ def stream_rollup_maintenance(
     no window where one is written and the other is not. A replayed epoch
     (epoch_id ≤ max committed) is skipped whole.
 
-    Returns the final rollup (without the epoch column)."""
+    Epoch ids are only meaningful WITHIN one checkpoint lineage — a fresh
+    checkpoint restarts them at 0, and trusting them across lineages would
+    silently skip real data (the first batch of a new checkpoint re-reads
+    everything under epoch 0). The state therefore also records the
+    checkpoint location and the function REFUSES a mismatched lineage:
+    either keep the checkpoint, or drop the state and rebuild.
+
+    Returns the final rollup (without the guard columns)."""
     from metrics_database_cron_script_spark.operators.reference_ops import (
         daily_rollup,
         merge_daily_rollups,
@@ -72,17 +79,29 @@ def stream_rollup_maintenance(
 
     schema = (
         "day date, n bigint, sum_value double, min_value double, "
-        "max_value double, epoch bigint"
+        "max_value double, epoch bigint, lineage string"
     )
+    guard_cols = ["epoch", "lineage"]
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         snap_full = read_or_empty(spark, state_path, schema)
-        last = snap_full.agg(F.max("epoch").alias("e")).collect()[0]["e"]
-        if last is not None and epoch_id <= last:
+        head = snap_full.agg(
+            F.max("epoch").alias("e"), F.max("lineage").alias("l")
+        ).collect()[0]
+        if head["l"] is not None and head["l"] != checkpoint_dir:
+            raise ValueError(
+                f"rollup state at {state_path} was built under checkpoint "
+                f"{head['l']!r}; running it under {checkpoint_dir!r} would "
+                "replay epoch ids and silently drop data — keep the original "
+                "checkpoint or delete the state to rebuild from scratch"
+            )
+        if head["e"] is not None and epoch_id <= head["e"]:
             return  # replayed epoch: merging again would double-count
-        merged = merge_daily_rollups(
-            snap_full.drop("epoch"), daily_rollup(batch_df)
-        ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+        merged = (
+            merge_daily_rollups(snap_full.drop(*guard_cols), daily_rollup(batch_df))
+            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+            .withColumn("lineage", F.lit(checkpoint_dir))
+        )
         atomic_overwrite(merged.localCheckpoint(eager=True), state_path)
 
     events = read_events_stream(spark, sf_dir)
@@ -96,4 +115,4 @@ def stream_rollup_maintenance(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(state_path).drop("epoch")
+    return spark.read.parquet(state_path).drop(*guard_cols)

@@ -135,13 +135,13 @@ def test_read_jsonl_quarantine_mode(spark, tmp_path):
 
 def test_read_jsonl_failfast_raises(spark, tmp_path):
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
     from metrics_database_cron_script_spark.sources.files import read_jsonl
 
     p = tmp_path / "bad2.jsonl"
     p.write_text('{"doc_id": 1}\nNOPE\n')
     with _pytest.raises(Exception) as ei:
         read_jsonl(spark, str(p), table="documents").collect()
-    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value) or isinstance(
-        ei.value, Py4JJavaError
-    )
+    # must be the malformed-record failure specifically, not any incidental
+    # error — otherwise a silent regression to PERMISSIVE would go unseen
+    msg = str(ei.value)
+    assert "Malformed" in msg or "FAILFAST" in msg, msg

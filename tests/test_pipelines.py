@@ -145,3 +145,40 @@ def test_rollup_merges_two_half_batches_to_the_same_result(spark, state_dir, tmp
     got = canon(spark.read.parquet(state_dir + "/daily_rollup.parquet"))
     want = canon(daily_rollup(ev))
     assert got == want
+
+
+def test_rollup_survives_crash_before_watermark_commit(spark, state_dir):
+    """Crash window: the rollup overwrite succeeded but the run died before
+    the watermark commit. The replayed run re-derives the same interval —
+    the rollup's own in-state `merged_through` frontier must make that
+    replay a no-op instead of double-merging (the watermark alone cannot:
+    it is committed last, after all sinks)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.pipelines import update_rollup
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.state import Watermark
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    run_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    n1 = update_rollup(spark, ev, state_dir, Watermark.EPOCH, run_ts)
+    assert n1 > 0
+    before = sorted(
+        (str(r["day"]), r["n"]) for r in spark.read.parquet(
+            state_dir + "/daily_rollup.parquet"
+        ).collect()
+    )
+    # replay with the UNCOMMITTED (old) watermark — the crash scenario
+    n2 = update_rollup(spark, ev, state_dir, Watermark.EPOCH, run_ts)
+    assert n2 == 0
+    after = sorted(
+        (str(r["day"]), r["n"]) for r in spark.read.parquet(
+            state_dir + "/daily_rollup.parquet"
+        ).collect()
+    )
+    assert after == before

@@ -54,10 +54,21 @@ def test_stream_rollup_matches_batch_and_skips_replayed_epochs(spark, tmp_path):
     want = canon(daily_rollup(load_table(spark, SF_SMOKE, "events")))
     assert canon(got_df) == want
 
-    # Replay: run the SAME stream again with a FRESH checkpoint — every
-    # batch re-delivers with epoch_id 0, which is ≤ the committed epoch, so
-    # the guard must skip it and the state must not change.
-    again = stream_rollup_maintenance(
-        spark, SF_SMOKE, state, str(tmp_path / "ckpt2"), query_name="t_stream_rollup2"
+    # A FRESH checkpoint over existing state must be refused loudly: its
+    # epoch ids restart at 0, so trusting them would silently skip real
+    # data (first batch re-reads everything under epoch 0).
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        stream_rollup_maintenance(
+            spark, SF_SMOKE, state, str(tmp_path / "ckpt2"),
+            query_name="t_stream_rollup2",
+        )
+    assert "checkpoint" in str(ei.value)
+
+    # Restarting under the SAME checkpoint is the supported replay path:
+    # no new files → no batches → state unchanged.
+    same = stream_rollup_maintenance(
+        spark, SF_SMOKE, state, str(tmp_path / "ckpt"), query_name="t_stream_rollup3"
     )
-    assert canon(again) == want
+    assert canon(same) == want
