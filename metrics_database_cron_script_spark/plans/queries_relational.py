@@ -219,10 +219,10 @@ def c_asof_join(spark, sf_dir):
     "c_hash_agg",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 6) AS avg_qty,
        ROUND(AVG(l_extendedprice), 6) AS avg_price,
        ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -240,8 +240,12 @@ def c_hash_agg(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,10)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
             # rounding vs fp-reorder: the product sums' TRUE values are
             # exactly 4- (disc) / 6- (charge) decimal, so rounding at that
             # precision recovers them bit-exactly as long as the summation
@@ -249,8 +253,12 @@ def c_hash_agg(spark, sf_dir):
             # sf0.01 gate. round(2) instead lands a 4-decimal group sum on
             # a half-cent with P≈1% per group and the engines' summation
             # orders then disagree (bit c_tpch_q7 at 758 groups).
-            F.round(F.sum(disc), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.sum(disc.cast("decimal(28,10)")), 4)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(28,10)")), 6)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -3363,4 +3371,42 @@ def c_sliding_distinct_users(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("users_7d"))
         .select(F.col("spine_day").alias("day"), "users_7d")
         .orderBy("day")
+    )
+
+
+@query(
+    "c_sequence_gaps",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id,
+         lead(event_id) OVER (ORDER BY event_id) AS next_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id AS gap_after, next_id AS resumes_at,
+       next_id - event_id - 1 AS n_missing
+FROM ordered
+WHERE next_id - event_id > 1""",
+)
+def c_sequence_gaps(spark, sf_dir):
+    """Sequence-integrity audit: find holes in the event_id sequence via
+    lead() over the id order — the data-quality check an idempotent append
+    pipeline runs to prove nothing was dropped (the reference has no such
+    audit; its per-row insert guard can lose rows invisibly on crash).
+    Whole-table window over a SINGLE bigint column: the sort is on the
+    narrowest possible projection, and at 100 TB the same audit runs
+    per-partition (id ranges are partition-aligned) before a tiny
+    cross-partition boundary check."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")  # a sparse id subsequence
+        .select("event_id")
+    )
+    w = Window.orderBy("event_id")
+    gaps = ev.select(
+        "event_id", F.lead("event_id").over(w).alias("next_id")
+    ).filter(F.col("next_id") - F.col("event_id") > 1)
+    return gaps.select(
+        F.col("event_id").alias("gap_after"),
+        F.col("next_id").alias("resumes_at"),
+        (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
     )

@@ -227,8 +227,10 @@ WITH seq AS (
   FROM grp GROUP BY user_id, sid
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       ROUND(AVG(n_events), 6) AS avg_events,
-       ROUND(AVG(duration_s), 6) AS avg_duration_s,
+       -- explicit exact-int SUM / COUNT: AVG(BIGINT) may accumulate in
+       -- double engine-side, which is summation-order-dependent at scale
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+       ROUND(CAST(SUM(duration_s) AS DOUBLE) / COUNT(*), 6) AS avg_duration_s,
        ROUND(median(duration_s), 6) AS p50_duration_s,
        CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
 FROM sessions""",
@@ -249,12 +251,16 @@ def s_session_stats(spark, sf_dir):
         "ts",
         F.when(
             prev.isNull()
-            # NTZ has no direct long cast; epoch seconds via the LTZ cast
-            # (wall-clock-preserving under the pinned UTC session timezone)
+            # NTZ has no direct numeric cast; epoch MICROseconds via the LTZ
+            # cast (wall-clock-preserving under the pinned UTC session TZ).
+            # Full µs precision is required: a whole-second cast truncates
+            # each endpoint and can misjudge a gap within 1s of the 30-min
+            # boundary against the oracle's exact interval comparison
+            # (one boundary session diverged at sf0.1).
             | (
-                F.col("ts").cast("timestamp").cast("long")
-                - prev.cast("timestamp").cast("long")
-                >= 1800
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+                >= 1800 * 1_000_000
             ),
             1,
         )
@@ -281,8 +287,13 @@ def s_session_stats(spark, sf_dir):
     )
     return sessions.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-        F.round(F.avg("n_events"), 6).alias("avg_events"),
-        F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
+        # exact integer sum, one double division — order-independent
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events"),
+        F.round(
+            F.sum("duration_s").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_duration_s"),
         F.round(F.median("duration_s"), 6).alias("p50_duration_s"),
         F.max("duration_s").cast("bigint").alias("max_duration_s"),
     )
