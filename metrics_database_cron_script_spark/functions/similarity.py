@@ -171,11 +171,15 @@ def lsh_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows in the query's hyperplane
-    bucket, exact cosine re-rank within. Recall trades off with num_bits."""
-    sig_c = fan_out(corpus.select("vec_id", "embedding")).withColumn(
-        "bucket", signature_col(F.col("embedding"), num_bits, dim)
+    bucket, exact cosine re-rank within. Recall trades off with num_bits.
+    Zero-norm vectors are excluded on both sides (cosine is undefined for a
+    direction-less vector; the oracle carries the same predicate)."""
+    sig_c = fan_out(
+        corpus.select("vec_id", "embedding").filter(l2_norm(F.col("embedding")) > 0)
+    ).withColumn("bucket", signature_col(F.col("embedding"), num_bits, dim))
+    sig_q = queries.filter(l2_norm(F.col("q_vec")) > 0).withColumn(
+        "bucket", signature_col(F.col("q_vec"), num_bits, dim)
     )
-    sig_q = queries.withColumn("bucket", signature_col(F.col("q_vec"), num_bits, dim))
     joined = sig_c.join(F.broadcast(sig_q), "bucket").filter(
         F.col("vec_id") != F.col("q_id")
     )
@@ -195,8 +199,11 @@ def lsh_topk(
 def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.3) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, LSH-bucketed: only
     same-bucket pairs are scored (plus the all-pairs fallback is deliberately
-    NOT offered — at scale the bucket join is the only viable shape)."""
-    sig = fan_out(corpus).withColumn("bucket", signature_col(F.col("embedding"), 6, 64))
+    NOT offered — at scale the bucket join is the only viable shape).
+    Zero-norm vectors are excluded (cosine undefined; oracle matches)."""
+    sig = fan_out(corpus.filter(l2_norm(F.col("embedding")) > 0)).withColumn(
+        "bucket", signature_col(F.col("embedding"), 6, 64)
+    )
     a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket")
     b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))

@@ -155,7 +155,6 @@ def update_rollup(
     spark: SparkSession,
     events: DataFrame,
     state_dir: str,
-    watermark: datetime.datetime,
     run_ts: datetime.datetime,
 ) -> int:
     """P6 (engine extension beyond the reference): incremental maintenance of
@@ -186,7 +185,11 @@ def update_rollup(
     )
     snap_full = ST.read_or_empty(spark, path, schema)
     row = snap_full.agg(F.max("merged_through").alias("m")).collect()[0]
-    merged_through = row["m"] if row["m"] is not None else watermark
+    # Absent/deleted state bootstraps from EPOCH — a FULL backfill — never
+    # from the shared watermark: a non-EPOCH watermark with no rollup state
+    # (state deleted for rebuild, or P6 deployed onto a pre-P6 state_dir)
+    # would silently and permanently exclude all pre-watermark history.
+    merged_through = row["m"] if row["m"] is not None else ST.Watermark.EPOCH
     delta = R.daily_rollup(
         events.filter(
             (F.col("ts") > F.lit(merged_through)) & (F.col("ts") <= F.lit(run_ts))
@@ -226,9 +229,7 @@ def run_batch(
     report["tx_appended"] = update_tx_enriched(spark, events, state_dir, watermark)
     update_stats(spark, events, state_dir, run_ts)
     report["routing_appended"] = update_routing(spark, events, state_dir, watermark)
-    report["rollup_days_touched"] = update_rollup(
-        spark, events, state_dir, watermark, run_ts
-    )
+    report["rollup_days_touched"] = update_rollup(spark, events, state_dir, run_ts)
     wm_store.commit(run_ts)  # LAST, after every sink (fixes §3 hazard)
     report["watermark_out"] = run_ts
     return report

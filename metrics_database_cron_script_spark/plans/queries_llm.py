@@ -259,14 +259,22 @@ def _queries_table(spark, sf_dir, n=10):
     oracle="""
 WITH q AS (
   SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
-  FROM embeddings WHERE vec_id < 10
+  FROM embeddings
+  WHERE vec_id < 10
+    -- zero-norm exclusion mirrors the Spark scorer: cosine is undefined
+    -- for a direction-less vector (NULL/NaN would poison the desc rank)
+    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 ), scored AS (
   SELECT q.q_id, e.vec_id,
          ROUND(list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[]))
                / (sqrt(list_dot_product(q.q_vec, q.q_vec))
                   * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                           CAST(e.embedding AS DOUBLE[])))), 6) AS cos
-  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id
+    AND list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])) > 0
 )
 SELECT q_id, vec_id, cos FROM scored
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) <= 5""",
@@ -299,6 +307,8 @@ def _lsh_topk_oracle(num_bits: int = 8, dim: int = 64, k: int = 5) -> str:
     return f"""
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 ), sigs AS (
   SELECT vec_id, v,
        {bucket} AS bucket
@@ -342,6 +352,8 @@ def _neardup_cosine_oracle(num_bits: int = 6, dim: int = 64, threshold: float = 
     return f"""
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
 ), sigs AS (
   SELECT vec_id, v,
        {bucket} AS bucket

@@ -212,7 +212,7 @@ def s_rate_stats(spark, sf_dir):
 WITH seq AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_s
   FROM events
@@ -257,10 +257,14 @@ def s_session_stats(spark, sf_dir):
             # each endpoint and can misjudge a gap within 1s of the 30-min
             # boundary against the oracle's exact interval comparison
             # (one boundary session diverged at sf0.1).
+            # STRICTLY greater: native session_window keeps an exactly-
+            # 30:00 gap in ONE session (end-inclusive), as do the s_session
+            # and s_stream_exec_session oracles — >= here would make the
+            # repo's two session definitions disagree on exact ties
             | (
                 F.unix_micros(F.col("ts").cast("timestamp"))
                 - F.unix_micros(prev.cast("timestamp"))
-                >= 1800 * 1_000_000
+                > 1800 * 1_000_000
             ),
             1,
         )

@@ -34,7 +34,12 @@ def _exists(path: str) -> bool:
     return os.path.exists(path)
 
 
-def _atomic_overwrite(df: DataFrame, path: str) -> None:
+def atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Materialize `df` and atomically replace the table directory at `path`
+    (write to a temp dir, rename-swap, drop the old) — the overwrite
+    primitive every snapshot-shaped state table shares. Callers must pass a
+    plan that does not read `path` itself unless it is already materialized
+    (localCheckpoint(eager=True) cuts that lineage)."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
@@ -43,15 +48,6 @@ def _atomic_overwrite(df: DataFrame, path: str) -> None:
     os.rename(tmp, path)
     if _exists(old):
         shutil.rmtree(old)
-
-
-def atomic_overwrite(df: DataFrame, path: str) -> None:
-    """Materialize `df` and atomically replace the table directory at `path`
-    (write to a temp dir, rename-swap, drop the old) — the overwrite
-    primitive every snapshot-shaped state table shares. Callers must pass a
-    plan that does not read `path` itself unless it is already materialized
-    (localCheckpoint(eager=True) cuts that lineage)."""
-    _atomic_overwrite(df, path)
 
 
 def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -79,7 +75,7 @@ class Watermark:
 
     def commit(self, ts: datetime.datetime) -> None:
         df = self.spark.createDataFrame([(ts,)], "lastUpdated timestamp")
-        _atomic_overwrite(df, self.path)
+        atomic_overwrite(df, self.path)
 
 
 def idempotent_append(
@@ -130,7 +126,7 @@ def snapshot_overwrite(
     )
     # The window result must be materialized before the source directory is
     # replaced: localCheckpoint cuts the lineage back to the old files.
-    _atomic_overwrite(latest.localCheckpoint(eager=True), path)
+    atomic_overwrite(latest.localCheckpoint(eager=True), path)
 
 
 def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
@@ -147,5 +143,5 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     )
     n_files = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    _atomic_overwrite(df.repartition(n_files).localCheckpoint(eager=True), path)
+    atomic_overwrite(df.repartition(n_files).localCheckpoint(eager=True), path)
     return n_files

@@ -104,6 +104,26 @@ def stream_rollup_maintenance(
         )
         atomic_overwrite(merged.localCheckpoint(eager=True), state_path)
 
+    import os
+
+    # Inverse lineage mismatch: an EXISTING checkpoint with committed
+    # progress but ABSENT/empty state means the source files it already
+    # committed will never replay — "rebuilding" that way silently loses
+    # all prior history. Refuse up front, symmetrical to the in-batch
+    # lineage check.
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    has_commits = os.path.isdir(commits_dir) and any(
+        not n.startswith(".") for n in os.listdir(commits_dir)
+    )
+    state_exists = os.path.isdir(state_path)
+    if has_commits and not state_exists:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir!r} has committed progress but the "
+            f"rollup state {state_path!r} is missing — restarting would "
+            "rebuild from only post-restart data. Delete the checkpoint "
+            "along with the state to rebuild from scratch."
+        )
+
     events = read_events_stream(spark, sf_dir)
     q = (
         events.writeStream.foreachBatch(merge_batch)
@@ -115,4 +135,6 @@ def stream_rollup_maintenance(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(state_path).drop(*guard_cols)
+    # read_or_empty: a drained stream with zero micro-batches (empty source)
+    # never created the state directory
+    return read_or_empty(spark, state_path, schema).drop(*guard_cols)

@@ -166,15 +166,15 @@ def test_rollup_survives_crash_before_watermark_commit(spark, state_dir):
     import os
 
     os.makedirs(state_dir, exist_ok=True)
-    n1 = update_rollup(spark, ev, state_dir, Watermark.EPOCH, run_ts)
+    n1 = update_rollup(spark, ev, state_dir, run_ts)
     assert n1 > 0
     before = sorted(
         (str(r["day"]), r["n"]) for r in spark.read.parquet(
             state_dir + "/daily_rollup.parquet"
         ).collect()
     )
-    # replay with the UNCOMMITTED (old) watermark — the crash scenario
-    n2 = update_rollup(spark, ev, state_dir, Watermark.EPOCH, run_ts)
+    # replay of the same interval — the crash-before-watermark-commit scenario
+    n2 = update_rollup(spark, ev, state_dir, run_ts)
     assert n2 == 0
     after = sorted(
         (str(r["day"]), r["n"]) for r in spark.read.parquet(
