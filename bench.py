@@ -46,20 +46,65 @@ HEADLINE = [
 ]
 
 
+def bench_dir(src_sf_dir: str) -> str:
+    """Resolve the directory the bench reads: a presplit multi-file copy of
+    the driver fixtures (sources/presplit.py — the realistic many-files
+    layout; single-file single-row-group parquet caps every scan at one
+    task). SPARK_GRAFT_PRESPLIT=off pins the raw layout. Both Spark and the
+    DuckDB baseline (bench_compare.py) read the same resolved dir."""
+    if os.environ.get("SPARK_GRAFT_PRESPLIT", "") == "off":
+        return src_sf_dir
+    from metrics_database_cron_script_spark.sources.presplit import presplit
+
+    tag = src_sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    dst = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", f"{tag}-presplit"
+    )
+    try:
+        return presplit(src_sf_dir, dst)
+    except Exception:
+        return src_sf_dir  # raw fixtures remain a correct fallback
+
+
+def run_query(spark, fn, sf_dir: str, runs: int = 3) -> dict:
+    """Time one registered query: min/max of `runs` full materializations
+    plus the Spark job count of the final run (job count is the per-action
+    fixed-cost driver at toy scale — reported so round-over-round deltas are
+    attributable)."""
+    times = []
+    jobs = 0
+    for i in range(runs):
+        group = f"bench-{id(fn)}-{i}"
+        spark.sparkContext.setJobGroup(group, "bench")
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        times.append(time.perf_counter() - t0)
+        assert n >= 0
+        try:
+            jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+        except Exception:
+            jobs = -1
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+    return {
+        "s": round(min(times), 3),
+        "max_s": round(max(times), 3),
+        "jobs": jobs,
+    }
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from metrics_database_cron_script_spark import get_spark
     from metrics_database_cron_script_spark.plans import QUERIES
 
-    # sf0.1 working set is ~50 MB → ~64 MB/partition rule gives single-digit
-    # shuffle partitions (overridable via SPARK_GRAFT_SHUFFLE_PARTITIONS).
-    default_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
-    spark = get_spark("bench", shuffle_partitions=default_parts)
+    spark = get_spark("bench")
+    sf_dir = bench_dir(src_dir)
     # Warm JVM + whole-stage codegen per plan shape at the smallest sf so the
     # timed run measures the operators, not first-compile of generated code
     # (the DuckDB baseline carries no equivalent cold-start).
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+    if os.path.isdir(warm_dir) and warm_dir != src_dir:
         for name in HEADLINE:
             try:
                 QUERIES[name](spark, warm_dir).count()
@@ -67,18 +112,13 @@ def main() -> None:
                 pass
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(3):  # steady-state: min of three runs (GC + machine noise)
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-            assert n >= 0
-        timings[name] = round(best, 3)
+        r = run_query(spark, QUERIES[name], sf_dir)
+        timings[name] = r["s"]
+        detail[name] = r
     total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = src_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
@@ -87,6 +127,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "layout": "presplit" if sf_dir != src_dir else "raw",
+                "detail": detail,
             }
         )
     )

@@ -18,41 +18,60 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, bench_dir, run_query  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from metrics_database_cron_script_spark import get_spark
     from metrics_database_cron_script_spark.oracle import duckdb_connect
     from metrics_database_cron_script_spark.plans import ORACLES, QUERIES
 
-    spark = get_spark("bench_compare", shuffle_partitions=8)
+    spark = get_spark("bench_compare")
+    sf_dir = bench_dir(src_dir)  # both engines read the same presplit copy
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()  # warm codegen
 
     con = duckdb_connect(sf_dir)
     out = {}
+    agg_s = agg_d = 0.0
     for name in HEADLINE:
-        best_s = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
-            best_s = min(best_s, time.perf_counter() - t0)
+        r = run_query(spark, QUERIES[name], sf_dir, runs=5)
+        best_s = r["s"]
         if name in ORACLES:
             best_d = float("inf")
-            for _ in range(2):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 con.execute(ORACLES[name]).fetchall()
                 best_d = min(best_d, time.perf_counter() - t0)
+            agg_s += best_s
+            agg_d += best_d
             out[name] = {
-                "spark_s": round(best_s, 3),
+                "spark_s": best_s,
+                "spark_max_s": r["max_s"],
+                "spark_jobs": r["jobs"],
                 "duckdb_s": round(best_d, 3),
                 "ratio": round(best_s / best_d, 1) if best_d > 0 else None,
             }
         else:
-            out[name] = {"spark_s": round(best_s, 3), "duckdb_s": None, "ratio": None}
-    print(json.dumps({"metric": "spark_vs_duckdb", "sf": sf_dir, "queries": out}))
+            out[name] = {
+                "spark_s": best_s,
+                "spark_max_s": r["max_s"],
+                "spark_jobs": r["jobs"],
+                "duckdb_s": None,
+                "ratio": None,
+            }
+    print(
+        json.dumps(
+            {
+                "metric": "spark_vs_duckdb",
+                "sf": sf_dir,
+                "layout": "presplit" if sf_dir != src_dir else "raw",
+                "aggregate_ratio": round(agg_s / agg_d, 2) if agg_d > 0 else None,
+                "queries": out,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -69,9 +69,11 @@ def brute_force_topk(
     import numpy as np
     import pandas as pd
 
-    q_pd = queries.toPandas()
+    # pin the (q_id, q_vec) contract by NAME — a caller projection with extra
+    # or reordered columns must not silently score the wrong column
+    q_pd = queries.select("q_id", "q_vec").toPandas()
     q_ids = q_pd["q_id"].to_numpy()
-    q_vecs = [np.asarray(v, dtype=np.float64) for v in q_pd.iloc[:, 1]]
+    q_vecs = [np.asarray(v, dtype=np.float64) for v in q_pd["q_vec"]]
     # explicit (0, 1) for the empty probe set: np.asarray([]) is 1-D and a
     # bare reshape(0, -1) raises; downstream guards skip scoring entirely
     q_mat = (

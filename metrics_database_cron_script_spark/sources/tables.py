@@ -189,6 +189,22 @@ def _size_shuffle(spark: SparkSession, sf_dir: str) -> None:
         aqe = _dir_bytes(key) >= _AQE_MIN_BYTES
     if spark.conf.get("spark.sql.adaptive.enabled", None) != str(aqe).lower():
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+    # Scale-aware SCAN granularity, the read-side twin of the shuffle rule:
+    # Spark's static 128 MB maxPartitionBytes packs a small multi-file table
+    # (sources/presplit.py layout; any real table's tail) into ONE scan task,
+    # serializing the scan-stage CPU work (window partial prunes, explode,
+    # hashing). Target ≈ bytes/cores so local scans use the machine; the
+    # 128 MB cap restores the standard value as soon as data justifies it.
+    # openCost scales down alongside, so sub-MB files still pack sensibly.
+    mpb_env = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb_env:
+        mpb = int(mpb_env)
+    else:
+        cores = spark.sparkContext.defaultParallelism
+        mpb = max(1 << 20, min(128 << 20, _dir_bytes(key) // max(cores, 1)))
+    if spark.conf.get("spark.sql.files.maxPartitionBytes", None) != str(mpb):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(max(mpb // 8, 64 << 10)))
 
 
 # Catalog cache: the analyzed DataFrame per (session, dir, table). Building
@@ -200,9 +216,34 @@ def _size_shuffle(spark: SparkSession, sf_dir: str) -> None:
 _table_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def invalidate_caches(sf_dir: str | None = None) -> None:
+    """Drop the catalog caches (resolved DataFrames, directory byte sizes,
+    shuffle sizing) for `sf_dir`, or everything when None.
+
+    `load_table` assumes fixture directories are IMMUTABLE for the life of
+    the application — the parquet file listing is frozen at first load, so a
+    tool that regenerates/overwrites a fixture dir in-process must call this
+    first or later reads see stale files (FileNotFoundException or stale
+    rows), and the byte-size-derived shuffle/AQE sizing stays frozen too."""
+    if sf_dir is None:
+        _table_cache.clear()
+        _dir_bytes_cache.clear()
+        _sized_dirs.clear()
+        return
+    root = sf_dir.rstrip("/")
+    for k in [k for k in _table_cache if k[1] == root]:
+        del _table_cache[k]
+    _dir_bytes_cache.pop(root, None)
+    _sized_dirs.pop(root, None)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (reference R1: `coll.find()`,
     updatescript.py:119 — but as a prunable parquet scan, not a cursor).
+
+    Fixture dirs are assumed IMMUTABLE: the resolved plan (and its parquet
+    file listing) is cached for the life of the application. Tools that
+    rewrite a fixture dir in-process must call `invalidate_caches` first.
 
     Spark 4 rejects parquet TIMESTAMP(NANOS) columns (events.ts is ns); we
     read them as long via the legacy conf and convert to a µs timestamp in

@@ -64,9 +64,12 @@ def stream_rollup_maintenance(
     Epoch ids are only meaningful WITHIN one checkpoint lineage — a fresh
     checkpoint restarts them at 0, and trusting them across lineages would
     silently skip real data (the first batch of a new checkpoint re-reads
-    everything under epoch 0). The state therefore also records the
-    checkpoint location and the function REFUSES a mismatched lineage:
-    either keep the checkpoint, or drop the state and rebuild.
+    everything under epoch 0). The state therefore records the streaming
+    query's stable id (the UUID Spark persists in `<checkpoint>/metadata`),
+    NOT the checkpoint path: wiping and recreating a checkpoint at the same
+    path mints a new UUID, so the guard still refuses — a path-keyed guard
+    would match and silently skip the whole replay. Either keep the
+    checkpoint, or drop the state and rebuild.
 
     Returns the final rollup (without the guard columns)."""
     from metrics_database_cron_script_spark.operators.reference_ops import (
@@ -83,24 +86,38 @@ def stream_rollup_maintenance(
     )
     guard_cols = ["epoch", "lineage"]
 
+    def _query_id() -> str:
+        # Spark writes `<checkpoint>/metadata` ({"id": "<uuid>"}) when the
+        # query starts, before the first micro-batch, and REUSES it on
+        # restart from the same checkpoint — so by batch time it always
+        # exists, and a wiped/recreated checkpoint carries a fresh UUID.
+        import json
+        import os as _os
+
+        with open(_os.path.join(checkpoint_dir, "metadata")) as f:
+            return str(json.load(f)["id"])
+
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         snap_full = read_or_empty(spark, state_path, schema)
         head = snap_full.agg(
             F.max("epoch").alias("e"), F.max("lineage").alias("l")
         ).collect()[0]
-        if head["l"] is not None and head["l"] != checkpoint_dir:
+        qid = _query_id()
+        if head["l"] is not None and head["l"] != qid:
             raise ValueError(
-                f"rollup state at {state_path} was built under checkpoint "
-                f"{head['l']!r}; running it under {checkpoint_dir!r} would "
-                "replay epoch ids and silently drop data — keep the original "
-                "checkpoint or delete the state to rebuild from scratch"
+                f"rollup state at {state_path} was built under streaming "
+                f"query lineage {head['l']!r}; this run's checkpoint "
+                f"({checkpoint_dir!r}) carries query id {qid!r} — a fresh or "
+                "recreated checkpoint restarts epoch ids at 0, so continuing "
+                "would silently drop the replay. Keep the original checkpoint "
+                "or delete the state to rebuild from scratch."
             )
         if head["e"] is not None and epoch_id <= head["e"]:
             return  # replayed epoch: merging again would double-count
         merged = (
             merge_daily_rollups(snap_full.drop(*guard_cols), daily_rollup(batch_df))
             .withColumn("epoch", F.lit(epoch_id).cast("long"))
-            .withColumn("lineage", F.lit(checkpoint_dir))
+            .withColumn("lineage", F.lit(qid))
         )
         atomic_overwrite(merged.localCheckpoint(eager=True), state_path)
 

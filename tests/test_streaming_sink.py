@@ -72,3 +72,32 @@ def test_stream_rollup_matches_batch_and_skips_replayed_epochs(spark, tmp_path):
         spark, SF_SMOKE, state, str(tmp_path / "ckpt"), query_name="t_stream_rollup3"
     )
     assert canon(same) == want
+
+
+def test_stream_rollup_refuses_wiped_and_recreated_checkpoint(spark, tmp_path):
+    """Ops wipes the checkpoint DIRECTORY CONTENTS but restarts at the same
+    path: epoch ids restart at 0 while the state's committed max is high, so
+    a path-keyed guard would silently skip the entire replay. The lineage is
+    bound to the streaming query's stable UUID (minted fresh when the
+    checkpoint is recreated), so this must refuse loudly."""
+    import shutil
+
+    import pytest
+
+    from metrics_database_cron_script_spark.streaming.sink import (
+        stream_rollup_maintenance,
+    )
+
+    state = str(tmp_path / "rollup.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    stream_rollup_maintenance(
+        spark, SF_SMOKE, state, ckpt, query_name="t_wiped_ckpt1"
+    )
+
+    shutil.rmtree(ckpt)  # same path, fresh contents → fresh query UUID
+
+    with pytest.raises(Exception) as ei:
+        stream_rollup_maintenance(
+            spark, SF_SMOKE, state, ckpt, query_name="t_wiped_ckpt2"
+        )
+    assert "lineage" in str(ei.value) or "query id" in str(ei.value)
