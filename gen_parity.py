@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Machine-readable full-registry parity artifact (PARITY_r{N}.json).
+
+The driver's correctness gate samples a subset of the registry; this runs
+EVERY registered query against its DuckDB oracle at the same gate scale
+(sf0.01) and writes one JSON file the judge can diff round-over-round:
+per-query ok / row counts / oracle-vs-rows-only, plus a summary line.
+
+Usage: python gen_parity.py [round_number] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "03"
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    from metrics_database_cron_script_spark import get_spark
+    from metrics_database_cron_script_spark.oracle import check_query
+    from metrics_database_cron_script_spark.plans import ORACLES, QUERIES
+
+    spark = get_spark("gen_parity")
+    out: dict[str, dict] = {}
+    for name in sorted(QUERIES):
+        try:
+            r = check_query(spark, sf, name)
+            out[name] = {
+                "ok": bool(r["ok"]),
+                "rows_spark": r.get("rows_spark"),
+                "rows_oracle": r.get("rows_oracle"),
+                "check": "oracle" if name in ORACLES else "rows_only",
+            }
+            if not r["ok"]:
+                out[name]["detail"] = {
+                    k: r.get(k) for k in ("rows_match", "cols_match", "values_match")
+                }
+        except Exception as ex:  # a crash is a failure, not a skip
+            out[name] = {
+                "ok": False,
+                "err": f"{type(ex).__name__}: {str(ex)[:300]}",
+                "check": "oracle" if name in ORACLES else "rows_only",
+            }
+    summary = {
+        "sf": sf,
+        "total": len(out),
+        "ok": sum(1 for v in out.values() if v["ok"]),
+        "oracled": sum(1 for v in out.values() if v["check"] == "oracle"),
+        "rows_only": sum(1 for v in out.values() if v["check"] == "rows_only"),
+        "failed": sorted(k for k, v in out.items() if not v["ok"]),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"PARITY_r{rnd}.json"
+    )
+    with open(path, "w") as f:
+        json.dump({"summary": summary, "queries": out}, f, indent=1, sort_keys=True)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -137,32 +137,29 @@ def aum_routing(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     tx = tx_view(events)
     wm = F.lit(watermark).cast("timestamp")
     batch = tx.filter((F.col("ts") > wm) & F.col("successful"))
-    # The seen-set aggregates history down BEFORE it meets the batch: at
-    # 100 TB the pre-watermark side is the whole AUM history, so distinct →
-    # broadcast (or shuffle-hash when the key set outgrows broadcast) beats
-    # folding history into the batch's user-partition sort, which would push
-    # every historical row through the window exchange. (Measured: the fold
-    # was no faster even at fixture scale.)
-    seen_pre = (
-        tx.filter((F.col("ts") <= wm) & F.col("successful"))
-        .select("user_id")
-        .distinct()
+    # Per-user state (seen-pre flag + batch-first key) in ONE grouped pass
+    # over successful txs: the seen-set aggregates history down BEFORE it
+    # meets the batch (at 100 TB the pre-watermark side is the whole AUM
+    # history — the map-side-combined agg ships one tiny row per user), and
+    # the batch argmin rides the same shuffle instead of building a second
+    # dimension: one broadcast build, one history scan, not two of each.
+    # (ts, event_id) is a total order (event_id unique), so the struct-min
+    # is deterministic; conditional aggregates skip the other side's rows.
+    per_user = (
+        tx.filter(F.col("successful"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("ts") <= wm, F.lit(True))).alias("seen_pre"),
+            F.min(
+                F.when(F.col("ts") > wm, F.struct("ts", "event_id"))
+            ).alias("__first"),
+        )
     )
-
-    # First-touch = the batch-min (ts, event_id) per user. An aggregated
-    # argmin + join-back beats the row_number window here: the groupBy
-    # combines map-side, so only one tiny row per user crosses the wire and
-    # the batch itself is never shuffled (the per-user firsts broadcast; AQE
-    # falls back to a shuffle join if the user count ever outgrows that) —
-    # while the window form sorts the ENTIRE batch through a user_id
-    # exchange. (ts, event_id) is a total order (event_id unique), so the
-    # struct-min is deterministic.
-    first_key = batch.groupBy("user_id").agg(
-        F.min(F.struct("ts", "event_id")).alias("__first")
-    )
+    # The per-user firsts broadcast; AQE falls back to a shuffle join if the
+    # user count ever outgrows that. The batch side itself never shuffles —
+    # the window form would sort the ENTIRE batch through a user_id exchange.
     flagged = (
-        batch.join(F.broadcast(seen_pre.withColumn("seen_pre", F.lit(True))), "user_id", "left")
-        .join(F.broadcast(first_key), "user_id")
+        batch.join(F.broadcast(per_user), "user_id")
         .withColumn(
             "first_touch",
             F.col("seen_pre").isNull() & (F.struct("ts", "event_id") == F.col("__first")),

@@ -340,20 +340,27 @@ def c_tpch_q9_shape(spark, sf_dir):
     The p_name LIKE filter prunes part before the join chain."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    s = load_table(spark, sf_dir, "supplier")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
-        "s_suppkey", F.col("n_name").alias("nation")
-    )
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
+    # Flat chain of INDEPENDENT broadcasts (p, s, n, o build concurrently on
+    # the broadcast-exchange pool) instead of pre-joining supplier⋈nation
+    # into a derived dim — a nested broadcast serializes its builds (n must
+    # finish before s⋈n can even start). Catalyst collapses the whole chain
+    # into one fact-scan stage either way; nation reaches the agg through
+    # supplier's s_nationkey.
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
         .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )

@@ -14,7 +14,79 @@ swap `load_table` for `read_mongo_collection`.
 
 from __future__ import annotations
 
+import datetime
+import json
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def watermark_match_pipeline(field: str, watermark: str | datetime.datetime) -> str:
+    """Render R2's strict-greater watermark scan (`{ts: {"$gt": wm}}`,
+    updatescript.py:59) as a MongoDB aggregation `$match` stage in extended
+    JSON. Passing this via the connector's `aggregation.pipeline` option
+    GUARANTEES server-side filtering (the stage runs inside mongod before
+    any document crosses the wire) — the connector's automatic filter
+    pushdown achieves the same when it fires, but an explicit pipeline is
+    the contract we can assert, offline, without the jar.
+
+    Naive watermarks are interpreted as UTC wall-clock, matching the
+    engine-wide timestamp contract (sources/tables.py)."""
+    if isinstance(watermark, str):
+        watermark = datetime.datetime.fromisoformat(watermark)
+    if watermark.tzinfo is None:
+        watermark = watermark.replace(tzinfo=datetime.timezone.utc)
+    iso = watermark.astimezone(datetime.timezone.utc).isoformat(
+        timespec="milliseconds"
+    ).replace("+00:00", "Z")
+    return json.dumps([{"$match": {field: {"$gt": {"$date": iso}}}}])
+
+
+def incremental_read_options(
+    uri: str,
+    database: str,
+    collection: str,
+    watermark_field: str,
+    watermark: str | datetime.datetime,
+) -> dict[str, str]:
+    """Connector option map for an incremental (R2) read: connection wiring
+    plus the `$gt` watermark as an explicit aggregation pipeline. Pure
+    function so the pushdown contract is unit-testable without the jar or a
+    live server — `read_mongo_incremental` consumes it verbatim."""
+    return {
+        "spark.mongodb.read.connection.uri": uri,
+        "spark.mongodb.read.database": database,
+        "spark.mongodb.read.collection": collection,
+        "aggregation.pipeline": watermark_match_pipeline(watermark_field, watermark),
+    }
+
+
+def read_mongo_incremental(
+    spark: SparkSession,
+    uri: str,
+    database: str,
+    collection: str,
+    watermark_field: str,
+    watermark: str | datetime.datetime,
+    schema: str | None = None,
+) -> DataFrame:
+    """Incremental Mongo scan with the watermark predicate pushed server-side
+    (requires the connector jar; see `read_mongo_collection`)."""
+    opts = incremental_read_options(
+        uri, database, collection, watermark_field, watermark
+    )
+    reader = spark.read.format("mongodb")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.load()
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "MongoDB source requires the mongo-spark-connector jar "
+            "(org.mongodb.spark:mongo-spark-connector_2.13) on the cluster "
+            "classpath; this image does not ship it."
+        ) from exc
 
 
 def read_mongo_collection(

@@ -186,3 +186,43 @@ def test_asof_grouped_matches_pandas_by_key(spark, dim, probe):
             (int(r.pid), None if pd.isna(r.dv) else r.dv) for r in merged.itertuples()
         }
     assert got == want
+
+
+def test_asof_grouped_large_dim_no_broadcast_in_plan(spark):
+    """At a dim ≫ probe ratio the broadcast-interval variant is illegal (the
+    dim would not fit an executor); the cogrouped form must (a) carry NO
+    broadcast node in the physical plan — both sides reach the merge through
+    hash exchanges on the equi-key — and (b) still agree with a per-key
+    pandas.merge_asof reference at that ratio (reference semantics:
+    price-as-of-tx-time, updatescript.py:64-67)."""
+    import pandas as pd
+
+    from metrics_database_cron_script_spark.operators.asof import asof_join_grouped
+
+    # 40 keys x 250 dim rows = 10k build rows vs 120 probes
+    dim_rows = [
+        (k, 10 * v, float(k) + v / 1000.0) for k in range(40) for v in range(250)
+    ]
+    probe_rows = [(i, i % 40, 10 * (i % 250) + 5) for i in range(120)]
+    dim_df = spark.createDataFrame(dim_rows, "by long, dk long, dv double")
+    probe_df = spark.createDataFrame(probe_rows, "pid long, by long, pk long")
+
+    joined = asof_join_grouped(probe_df, dim_df, by="by", probe_key="pk", dim_key="dk")
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" not in plan, plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+
+    got = {(r["pid"], r["dv"]) for r in joined.collect()}
+    merged = pd.merge_asof(
+        pd.DataFrame(probe_rows, columns=["pid", "by", "pk"]).sort_values("pk"),
+        pd.DataFrame(dim_rows, columns=["by", "dk", "dv"]).sort_values("dk"),
+        left_on="pk",
+        right_on="dk",
+        by="by",
+        direction="backward",
+    )
+    want = {
+        (int(r.pid), None if pd.isna(r.dv) else r.dv) for r in merged.itertuples()
+    }
+    assert got == want

@@ -57,3 +57,46 @@ def test_register_views_sql_surface(spark):
         "SELECT l_orderkey FROM lineitem WHERE l_quantity > 49"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_quantity" in plan
+
+
+def test_mongo_incremental_options_push_gt_watermark():
+    """R2 pushdown contract for the Mongo source (updatescript.py:59): the
+    strict-greater watermark must land in the connector's aggregation
+    pipeline as a server-side `$match` `$gt` stage — asserted offline, no
+    jar, no network."""
+    import json
+
+    from metrics_database_cron_script_spark.sources.mongo import (
+        incremental_read_options,
+        watermark_match_pipeline,
+    )
+
+    opts = incremental_read_options(
+        "mongodb://example.invalid:27017",
+        "metrics",
+        "transactions",
+        "ts",
+        "2024-01-15 00:00:00",
+    )
+    assert opts["spark.mongodb.read.database"] == "metrics"
+    assert opts["spark.mongodb.read.collection"] == "transactions"
+    pipeline = json.loads(opts["aggregation.pipeline"])
+    assert pipeline == [
+        {"$match": {"ts": {"$gt": {"$date": "2024-01-15T00:00:00.000Z"}}}}
+    ]
+
+    # strictness + field parameterization + tz-aware input normalized to UTC
+    import datetime
+
+    p2 = json.loads(
+        watermark_match_pipeline(
+            "updatedAt",
+            datetime.datetime(
+                2024, 3, 1, 5, 30,
+                tzinfo=datetime.timezone(datetime.timedelta(hours=5)),
+            ),
+        )
+    )
+    assert p2 == [
+        {"$match": {"updatedAt": {"$gt": {"$date": "2024-03-01T00:30:00.000Z"}}}}
+    ]
