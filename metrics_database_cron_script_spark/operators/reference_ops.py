@@ -155,11 +155,13 @@ def aum_routing(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
             ).alias("__first"),
         )
     )
-    # The per-user firsts broadcast; AQE falls back to a shuffle join if the
-    # user count ever outgrows that. The batch side itself never shuffles —
-    # the window form would sort the ENTIRE batch through a user_id exchange.
+    # No explicit broadcast hint: per_user grows WITH the user base, so the
+    # choice must stay stats-driven — under the auto-broadcast threshold it
+    # broadcasts (fixture scale: it does, and the batch side never
+    # shuffles); beyond it the planner degrades to a shuffle join instead
+    # of being forced into a driver-side OOM by a pinned hint.
     flagged = (
-        batch.join(F.broadcast(per_user), "user_id")
+        batch.join(per_user, "user_id")
         .withColumn(
             "first_touch",
             F.col("seen_pre").isNull() & (F.struct("ts", "event_id") == F.col("__first")),

@@ -743,15 +743,17 @@ def c_tpch_q21_shape(spark, sf_dir):
         )
         .alias("other_max"),
     )
-    # Deliberately NO shuffle_hash hint here: SMJ's ClusteredDistribution is
-    # satisfied by the existing hashpartitioning(l_orderkey) on BOTH sides
-    # (subset of the join keys), so the join adds only two sorts — while
-    # Spark's shuffled-hash join demands exact-key co-partitioning and
-    # re-shuffles the full fact side on (orderkey, suppkey). Measured ~25%
-    # faster locally with the hint, but it buys that with a fact-wide
-    # exchange — the thing that does not survive a 100× scale-up.
+    # merge hint: without it Catalyst BROADCASTS the windowed per-(order,
+    # supp) intermediate (its size estimate sits under the auto-broadcast
+    # threshold at fixture scale) — a fact-proportional driver collect that
+    # dies at 100 TB. Pinning SMJ keeps the join on the existing
+    # hashpartitioning(l_orderkey) (ClusteredDistribution satisfied on both
+    # sides — no new exchange, just sorts), and is ~30% faster locally too.
+    # (A shuffle_hash hint would be worse: shuffled-hash demands exact-key
+    # co-partitioning and re-shuffles the full fact side on
+    # (orderkey, suppkey).)
     qualified = li.join(
-        supp_stats,
+        supp_stats.hint("merge"),
         (li["l_orderkey"] == supp_stats["ss_orderkey"])
         & (li["l_suppkey"] == supp_stats["ss_suppkey"]),
     ).filter((F.col("nsupp") >= 2) & (li["l_shipdate"] >= F.col("other_max")))
