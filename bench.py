@@ -114,7 +114,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in HEADLINE:
-        r = run_query(spark, QUERIES[name], sf_dir)
+        r = run_query(spark, QUERIES[name], sf_dir, runs=5)
         timings[name] = r["s"]
         detail[name] = r
     total = round(sum(timings.values()), 3)

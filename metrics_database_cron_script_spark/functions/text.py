@@ -37,9 +37,18 @@ def tokenize(docs: DataFrame) -> DataFrame:
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
-    return tokenize(docs).groupBy("token").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    # Two-level aggregation instead of count_distinct: countDistinct plans
+    # as an Expand that DOUBLES the exploded token stream through the first
+    # exchange; aggregating (token, doc_id) first combines map-side (a doc
+    # repeats its common tokens), then the per-doc rows roll up to term
+    # totals + doc frequencies with no expansion. Same result, smaller
+    # shuffle — the difference grows with corpus size.
+    per_doc = tokenize(docs).groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return per_doc.groupBy("token").agg(
+        F.sum("__c").alias("n"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
 
 

@@ -38,6 +38,14 @@ def get_spark(
         # 64 MB advisory anyway, so the setting only matters at the small end.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Accept subset co-partitioning for joins: a side already
+        # hash-partitioned on a PREFIX of the join keys (e.g. the q21
+        # order-window feeding a join on (orderkey, suppkey)) satisfies
+        # clustering without a second fact-wide exchange. Spark's default
+        # (true) would re-shuffle BOTH sides on the full key set — strictly
+        # more data motion for plans that deliberately reuse one
+        # partitioning across agg → window → join stages.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

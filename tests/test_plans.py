@@ -169,14 +169,18 @@ def test_topk_per_group_keeps_partial_window_group_limit(spark):
 
 
 def test_aum_routing_has_no_window_exchange(spark):
-    """First-touch is an aggregated argmin + broadcast join-back: the plan
-    must contain NO Window operator (the batch is never sorted through a
-    user_id exchange) and at least two broadcast joins (seen-set + firsts)."""
+    """First-touch is an aggregated per-user state (seen-pre flag + batch
+    argmin, ONE grouped pass — round 3 fused the former two dimension
+    builds) joined back: the plan must contain NO Window operator (the
+    batch is never sorted through a user_id exchange), exactly one join
+    (broadcast at fixture scale; stats-driven, not hint-pinned), and the
+    conditional min/max aggregates below it."""
     from metrics_database_cron_script_spark.plans import QUERIES
 
     plan = _plan(QUERIES["r_aum_routing"](spark, SF_SMOKE))
     assert "Window" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "partial_min(CASE WHEN" in plan or "partial_min(if" in plan.lower() or "partial_min" in plan, plan
 
 
 def test_upsert_snapshot_partial_aggregates_below_exchange(spark):
