@@ -31,6 +31,8 @@ def main() -> None:
     sf_dir = bench_dir(src_dir)  # both engines read the same presplit copy
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()  # warm codegen
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).count()  # JIT/page-cache warm at target sf
 
     con = duckdb_connect(sf_dir)
     out = {}
