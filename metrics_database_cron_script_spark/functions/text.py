@@ -46,9 +46,12 @@ def token_counts(docs: DataFrame) -> DataFrame:
     per_doc = tokenize(docs).groupBy("token", "doc_id").agg(
         F.count(F.lit(1)).alias("__c")
     )
+    # count("doc_id") (non-null values), not count(*): a NULL doc_id forms
+    # its own group here, but countDistinct — the semantics this two-level
+    # form replaces — ignored NULLs in n_docs
     return per_doc.groupBy("token").agg(
         F.sum("__c").alias("n"),
-        F.count(F.lit(1)).alias("n_docs"),
+        F.count("doc_id").alias("n_docs"),
     )
 
 

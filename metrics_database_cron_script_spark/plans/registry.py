@@ -33,11 +33,19 @@ ORACLES: dict[str, str] = {}
 # registry contract) and fixture dirs are immutable
 # (sources/tables.load_table). `clear_plan_cache` exists for tools that
 # break either assumption.
-_plan_cache: dict[tuple[str, str, str], DataFrame] = {}
+_plan_cache: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
-def clear_plan_cache() -> None:
-    _plan_cache.clear()
+def clear_plan_cache(sf_dir: str | None = None) -> None:
+    """Drop cached plans — all of them, or only those built over `sf_dir`.
+    Called by sources.tables.invalidate_caches so the two caches cannot
+    drift: a plan embeds the same frozen file listing the catalog does."""
+    if sf_dir is None:
+        _plan_cache.clear()
+        return
+    root = sf_dir.rstrip("/")
+    for k in [k for k in _plan_cache if k[3] == root]:
+        del _plan_cache[k]
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -49,7 +57,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             raise ValueError(f"duplicate query id {name!r}")
 
         def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-            key = (spark.sparkContext.applicationId, name, sf_dir.rstrip("/"))
+            # keyed on the SESSION (not just the app): two sessions of one
+            # SparkContext differ in conf/temp views, and a DataFrame
+            # executes under the session that built it
+            key = (
+                spark.sparkContext.applicationId,
+                id(spark),
+                name,
+                sf_dir.rstrip("/"),
+            )
             df = _plan_cache.get(key)
             if df is None:
                 df = fn(spark, sf_dir)

@@ -82,11 +82,29 @@ def read_mongo_incremental(
     try:
         return reader.load()
     except Exception as exc:  # pragma: no cover - environment-dependent
+        _raise_if_not_missing_connector(exc)
         raise NotImplementedError(
             "MongoDB source requires the mongo-spark-connector jar "
             "(org.mongodb.spark:mongo-spark-connector_2.13) on the cluster "
             "classpath; this image does not ship it."
         ) from exc
+
+
+def _raise_if_not_missing_connector(exc: Exception) -> None:
+    """Re-raise anything that is NOT the missing-jar failure: auth errors,
+    unreachable hosts, malformed pipelines, etc. must surface as themselves
+    — rewriting them as 'jar missing' sends debugging the wrong way."""
+    msg = str(exc)
+    if not any(
+        s in msg
+        for s in (
+            "Failed to find data source",
+            "Failed to find the data source",
+            "DATA_SOURCE_NOT_FOUND",
+            "ClassNotFoundException",
+        )
+    ):
+        raise exc
 
 
 def read_mongo_collection(
@@ -117,6 +135,7 @@ def read_mongo_collection(
     try:
         return reader.load()
     except Exception as exc:  # pragma: no cover - environment-dependent
+        _raise_if_not_missing_connector(exc)
         raise NotImplementedError(
             "MongoDB source requires the mongo-spark-connector jar "
             "(org.mongodb.spark:mongo-spark-connector_2.13) on the cluster "

@@ -53,22 +53,36 @@ def presplit(
         p = table_path(src_root, name)
         if os.path.isfile(p):
             st = os.stat(p)
-            fingerprint[name] = [st.st_size, int(st.st_mtime)]
+            # ns-resolution mtime: a same-size in-place rewrite within the
+            # same wall-clock second must still invalidate
+            fingerprint[name] = [st.st_size, st.st_mtime_ns]
     marker_path = os.path.join(dst_root, _MARKER)
     if os.path.isfile(marker_path):
         try:
             with open(marker_path) as f:
-                if json.load(f) == {"src": src_root, "files": fingerprint, "target": target_file_bytes, "max": max_files}:
-                    return dst_root
+                marker_ok = json.load(f) == {"src": src_root, "files": fingerprint, "target": target_file_bytes, "max": max_files}
         except (OSError, ValueError):
-            pass
+            marker_ok = False
+        # a marker hit is only valid if every fingerprinted table's output
+        # directory actually exists (someone may have deleted a dst table)
+        if marker_ok and all(
+            os.path.isdir(table_path(dst_root, name)) for name in fingerprint
+        ):
+            return dst_root
 
     os.makedirs(dst_root, exist_ok=True)
     for name in TABLES:
         src = table_path(src_root, name)
-        if not os.path.isfile(src):
-            continue
         dst = table_path(dst_root, name)  # <dst>/<name>.parquet/ directory
+        if not os.path.isfile(src):
+            # src table gone (or never existed): a leftover dst dir from a
+            # previous run must not outlive it — the oracle and Spark would
+            # keep serving rows for a table the source no longer has
+            if os.path.isdir(dst):
+                import shutil
+
+                shutil.rmtree(dst)
+            continue
         tbl = pq.read_table(src)
         n_rows = tbl.num_rows
         size = os.path.getsize(src)

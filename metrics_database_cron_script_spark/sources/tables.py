@@ -217,24 +217,32 @@ _table_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def invalidate_caches(sf_dir: str | None = None) -> None:
-    """Drop the catalog caches (resolved DataFrames, directory byte sizes,
-    shuffle sizing) for `sf_dir`, or everything when None.
+    """Drop EVERY cache derived from `sf_dir` (or everything when None):
+    the catalog's resolved DataFrames, directory byte sizes, shuffle/AQE
+    sizing, and the registry's built query plans (plans/registry.py) — a
+    cached query plan embeds the frozen file listing just like the catalog
+    entry does, so purging one without the other would still serve stale
+    reads for registered queries.
 
     `load_table` assumes fixture directories are IMMUTABLE for the life of
     the application — the parquet file listing is frozen at first load, so a
     tool that regenerates/overwrites a fixture dir in-process must call this
     first or later reads see stale files (FileNotFoundException or stale
     rows), and the byte-size-derived shuffle/AQE sizing stays frozen too."""
+    from metrics_database_cron_script_spark.plans import registry
+
     if sf_dir is None:
         _table_cache.clear()
         _dir_bytes_cache.clear()
         _sized_dirs.clear()
+        registry.clear_plan_cache()
         return
     root = sf_dir.rstrip("/")
     for k in [k for k in _table_cache if k[1] == root]:
         del _table_cache[k]
     _dir_bytes_cache.pop(root, None)
     _sized_dirs.pop(root, None)
+    registry.clear_plan_cache(root)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

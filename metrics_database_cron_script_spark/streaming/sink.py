@@ -91,11 +91,27 @@ def stream_rollup_maintenance(
         # query starts, before the first micro-batch, and REUSES it on
         # restart from the same checkpoint — so by batch time it always
         # exists, and a wiped/recreated checkpoint carries a fresh UUID.
+        # checkpointLocation accepts plain paths AND URIs (file:/, hdfs:/,
+        # s3a:/ …): local forms read directly, remote schemes go through
+        # the same Hadoop FileSystem Spark itself uses.
         import json
         import os as _os
+        from urllib.parse import urlparse
 
-        with open(_os.path.join(checkpoint_dir, "metadata")) as f:
-            return str(json.load(f)["id"])
+        parsed = urlparse(checkpoint_dir)
+        if parsed.scheme in ("", "file"):
+            local = parsed.path if parsed.scheme == "file" else checkpoint_dir
+            with open(_os.path.join(local, "metadata")) as f:
+                return str(json.load(f)["id"])
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "metadata")
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        stream = fs.open(jpath)
+        try:
+            data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return str(json.loads(data)["id"])
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         snap_full = read_or_empty(spark, state_path, schema)

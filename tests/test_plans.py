@@ -180,7 +180,10 @@ def test_aum_routing_has_no_window_exchange(spark):
     plan = _plan(QUERIES["r_aum_routing"](spark, SF_SMOKE))
     assert "Window" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 1, plan
-    assert "partial_min(CASE WHEN" in plan or "partial_min(if" in plan.lower() or "partial_min" in plan, plan
+    # the argmin must stay CONDITIONAL (batch rows only) — an unconditional
+    # min would silently treat pre-watermark history as first touches
+    assert "partial_min(CASE WHEN" in plan, plan
+    assert "partial_max(CASE WHEN" in plan, plan
 
 
 def test_upsert_snapshot_partial_aggregates_below_exchange(spark):

@@ -78,10 +78,12 @@ def test_plan_cache_reuses_and_clears(spark):
 
 
 def test_load_table_cache_invalidation(spark, tmp_path):
-    """invalidate_caches drops the frozen file listing so a rewritten
-    fixture dir is re-resolved instead of raising/staling."""
+    """invalidate_caches drops the frozen file listing AND the registry's
+    cached query plans, so an in-place fixture rewrite is actually
+    re-resolved — the stale-read failure mode both caches exist to avoid."""
     import shutil
 
+    from metrics_database_cron_script_spark.plans import QUERIES
     from metrics_database_cron_script_spark.sources.tables import (
         invalidate_caches,
         load_table,
@@ -92,9 +94,19 @@ def test_load_table_cache_invalidation(spark, tmp_path):
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         shutil.copy(f"{SF_SMOKE}/{t}.parquet", f"{d}/{t}.parquet")
-    n1 = load_table(spark, d, "region").count()
-    assert n1 > 0
-    # overwrite with a different fixture scale in-place
+    n1 = load_table(spark, d, "lineitem").count()
+    q1 = QUERIES["c_scan_project"](spark, d).count()  # scans lineitem
+    assert n1 > 0 and q1 == n1
+
+    # REWRITE the lineitem table in place with half the rows
+    src = pq.read_table(f"{SF_SMOKE}/lineitem.parquet")
+    half = src.slice(0, src.num_rows // 2)
+    pq.write_table(half, f"{d}/lineitem.parquet")
+
     invalidate_caches(d)
-    n2 = load_table(spark, d, "region").count()
-    assert n2 == n1
+    n2 = load_table(spark, d, "lineitem").count()
+    assert n2 == half.num_rows != n1
+    # the registered query over the same dir must also see the rewrite
+    # (plan cache purged alongside the catalog cache)
+    q2 = QUERIES["c_scan_project"](spark, d).count()
+    assert q2 != q1
