@@ -55,6 +55,12 @@ def bench_dir(src_sf_dir: str) -> str:
     if os.environ.get("SPARK_GRAFT_PRESPLIT", "") == "off":
         return src_sf_dir
     from metrics_database_cron_script_spark.sources.presplit import presplit
+    from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
+
+    # already multi-file (e.g. the synthetic sf1 built by gen_sfxl.py):
+    # nothing to split, read it as-is
+    if not any(os.path.isfile(table_path(src_sf_dir, t)) for t in TABLES):
+        return src_sf_dir
 
     tag = src_sf_dir.rstrip("/").rsplit("/", 1)[-1]
     dst = os.path.join(

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Synthesize a larger benchmark dataset from the sf0.1 fixtures.
+
+The driver ships sf up to 0.1 (~600 k lineitem rows) — small enough that
+local Spark latency is dominated by per-action fixed cost, which makes the
+DuckDB ratio uninformative about plan quality. This builds an N× replica
+dataset (default 10× ≈ "sf1": 6 M lineitem rows, 1 M events) so
+SCALING.md/bench_compare can show the regime where compute, not overhead,
+dominates — the trend that predicts cluster-scale behavior.
+
+Replication is KEY-CONSISTENT, not naive duplication:
+- every replica i offsets each table's synthetic keys by i·stride (stride =
+  a power of 10 above the base max), so foreign keys keep joining exactly
+  as in the base data and fan-ins/fan-outs per key stay realistic —
+  orders×10 join customers×10, not 10 copies piling on one key;
+- nation/region (fixed dimensions) are copied once;
+- document text is prefixed with a replica tag so near-dup structure stays
+  comparable instead of every doc gaining 9 exact clones;
+- embeddings and all measures/timestamps are copied verbatim (ties are
+  broken by id everywhere in the query contract).
+
+Output: `<out>/<table>.parquet/part-r{i:02d}.parquet` (already multi-file —
+bench_dir reads it directly). Usage:
+
+    python gen_sfxl.py [replicas] [src_sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# per-table key columns that must be offset per replica, keyed by the
+# logical entity so strides stay consistent ACROSS tables (FK integrity)
+ENTITY_KEYS = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "event": [("events", "event_id")],
+    "user": [("events", "user_id")],
+    "doc": [("documents", "doc_id")],
+    "vec": [("embeddings", "vec_id")],
+}
+COPY_ONCE = ("nation", "region")
+
+
+def _stride(max_val: int) -> int:
+    s = 10
+    while s <= max_val:
+        s *= 10
+    return s
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "sf1")
+    )
+    from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
+
+    base: dict[str, pa.Table] = {
+        t: pq.read_table(table_path(src, t)) for t in TABLES
+    }
+    # one stride per entity, from the max over every table carrying that key
+    strides: dict[str, int] = {}
+    for ent, cols in ENTITY_KEYS.items():
+        m = 0
+        for t, c in cols:
+            m = max(m, pc.max(base[t].column(c)).as_py() or 0)
+        strides[ent] = _stride(int(m))
+
+    offsets_by_table: dict[str, list[tuple[str, int]]] = {}
+    for ent, cols in ENTITY_KEYS.items():
+        for t, c in cols:
+            offsets_by_table.setdefault(t, []).append((c, strides[ent]))
+
+    for t in TABLES:
+        dst = table_path(out, t)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(dst):
+            os.remove(os.path.join(dst, f))
+        n_rep = 1 if t in COPY_ONCE else replicas
+        for i in range(n_rep):
+            tbl = base[t]
+            if i > 0:
+                for c, stride in offsets_by_table.get(t, []):
+                    col = tbl.column(c)
+                    tbl = tbl.set_column(
+                        tbl.schema.get_field_index(c),
+                        tbl.schema.field(c),
+                        pc.add(col, pa.scalar(i * stride, type=col.type)),
+                    )
+                if t == "documents":
+                    idx = tbl.schema.get_field_index("text")
+                    tagged = pc.binary_join_element_wise(
+                        pa.array([f"r{i} "] * tbl.num_rows), tbl.column("text").cast("string"), ""
+                    )
+                    tbl = tbl.set_column(idx, tbl.schema.field("text"), tagged.cast(tbl.schema.field("text").type))
+            # multiple row groups per file: Spark and DuckDB both
+            # parallelize within a parquet file at row-group granularity,
+            # so scan width is not capped at one thread per replica
+            pq.write_table(
+                tbl,
+                os.path.join(dst, f"part-r{i:02d}.parquet"),
+                row_group_size=max(50_000, -(-tbl.num_rows // 4)),
+            )
+        rows = sum(
+            pq.ParquetFile(os.path.join(dst, f)).metadata.num_rows
+            for f in os.listdir(dst)
+        )
+        print(f"{t}: {n_rep} replicas, {rows} rows")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -121,8 +121,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-# bytes of parquet per post-shuffle partition the sizing heuristic targets
-_SHUFFLE_TARGET_BYTES = 64 * 1024 * 1024
+# bytes of parquet per post-shuffle partition the sizing heuristic targets.
+# 16 MB compressed ≈ 64 MB in-memory — the INITIAL width; where AQE is on
+# (≥4 GiB gate below) its 64 MB advisory coalesces upward, which is the
+# recommended posture (start fine, coalesce at runtime). Swept locally at
+# the 170 MB synthetic sf1: 4-wide 1.63 s / 8-wide 1.22 s / 32-wide 1.57 s
+# on the q21 shape — memory-bus contention beats parallelism past ~10
+# local tasks, so the byte rule, not the core count, sets the width.
+_SHUFFLE_TARGET_BYTES = 16 * 1024 * 1024
 # dataset footprint below which AQE's per-stage re-planning round costs more
 # than it can recover (nothing to coalesce/skew-split at MB scale)
 _AQE_MIN_BYTES = 4 * 1024 * 1024 * 1024
