@@ -58,14 +58,9 @@ def _stride(max_val: int) -> int:
     return s
 
 
-def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = (
-        sys.argv[3]
-        if len(sys.argv) > 3
-        else os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "sf1")
-    )
+def replicate(src: str, out: str, replicas: int) -> dict[str, int]:
+    """Key-consistent N× replication (see module docstring). Returns the
+    per-table output row counts."""
     from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
 
     base: dict[str, pa.Table] = {
@@ -84,6 +79,7 @@ def main() -> None:
         for t, c in cols:
             offsets_by_table.setdefault(t, []).append((c, strides[ent]))
 
+    counts: dict[str, int] = {}
     for t in TABLES:
         dst = table_path(out, t)
         os.makedirs(dst, exist_ok=True)
@@ -114,11 +110,23 @@ def main() -> None:
                 os.path.join(dst, f"part-r{i:02d}.parquet"),
                 row_group_size=max(50_000, -(-tbl.num_rows // 4)),
             )
-        rows = sum(
+        counts[t] = sum(
             pq.ParquetFile(os.path.join(dst, f)).metadata.num_rows
             for f in os.listdir(dst)
         )
-        print(f"{t}: {n_rep} replicas, {rows} rows")
+    return counts
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "sf1")
+    )
+    for t, rows in replicate(src, out, replicas).items():
+        print(f"{t}: {rows} rows")
     print(f"wrote {out}")
 
 
