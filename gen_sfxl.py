@@ -97,11 +97,29 @@ def replicate(src: str, out: str, replicas: int) -> dict[str, int]:
                         pc.add(col, pa.scalar(i * stride, type=col.type)),
                     )
                 if t == "documents":
+                    tag = f"replica{i}:: "  # unlikely to prefix-collide with real text
                     idx = tbl.schema.get_field_index("text")
-                    tagged = pc.binary_join_element_wise(
-                        pa.array([f"r{i} "] * tbl.num_rows), tbl.column("text").cast("string"), ""
+                    col = tbl.column("text").cast("string")
+                    # scalar broadcast (no O(rows) Python list); NULL text
+                    # stays NULL rather than being silently dropped
+                    tagged = pc.if_else(
+                        pc.is_null(col),
+                        col,
+                        pc.binary_join_element_wise(pa.scalar(tag), col, ""),
                     )
                     tbl = tbl.set_column(idx, tbl.schema.field("text"), tagged.cast(tbl.schema.field("text").type))
+                    # keep the fixture invariant n_chars == len(text)
+                    nc_idx = tbl.schema.get_field_index("n_chars")
+                    nc = tbl.column("n_chars")
+                    tbl = tbl.set_column(
+                        nc_idx,
+                        tbl.schema.field("n_chars"),
+                        pc.if_else(
+                            pc.is_null(col),
+                            nc,
+                            pc.add(nc, pa.scalar(len(tag), type=nc.type)),
+                        ),
+                    )
             # multiple row groups per file: Spark and DuckDB both
             # parallelize within a parquet file at row-group granularity,
             # so scan width is not capped at one thread per replica

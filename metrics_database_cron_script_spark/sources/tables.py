@@ -159,11 +159,12 @@ def _dir_bytes(sf_dir: str) -> int:
 
 def _size_shuffle(spark: SparkSession, sf_dir: str) -> None:
     """Scale-aware shuffle sizing: pick `spark.sql.shuffle.partitions` from the
-    actual dataset footprint (~64 MB of input per partition), not Spark's
-    static 200 default. At fixture scale that is single-digit partitions
-    (per-task overhead dominates sub-MB partitions); at 100 TB the same rule
-    yields hundreds of thousands, capped so AQE coalescing still owns the
-    fine-grained sizing. Runs once per sf_dir; an explicit
+    actual dataset footprint (~16 MB of compressed input per partition — the
+    INITIAL width; AQE's 64 MB advisory coalesces upward where enabled), not
+    Spark's static 200 default. At fixture scale that is single-digit
+    partitions (per-task overhead dominates sub-MB partitions); at 100 TB the
+    same rule yields hundreds of thousands, capped so AQE coalescing still
+    owns the fine-grained sizing. Runs once per sf_dir; an explicit
     SPARK_GRAFT_SHUFFLE_PARTITIONS env pins the value instead."""
     import os
 

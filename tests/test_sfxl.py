@@ -4,8 +4,6 @@ inflate fan-in) and no broken FKs (which would drop rows)."""
 
 from __future__ import annotations
 
-import duckdb
-
 from tests.conftest import SF_SMOKE
 
 
