@@ -16,7 +16,11 @@ The reference keeps state in MongoDB: a single-row `lastUpdated` watermark
 
 All writers are directory-swap atomic: write to `<path>.tmp-<pid>`, then
 rename over the old directory — a crash mid-write leaves the previous
-committed state intact.
+committed state intact. These primitives assume the reference's own
+operating model: ONE writer (a daily cron). For concurrent writers use
+`versioned.VersionedSnapshot` — same keep-latest MERGE semantics under
+optimistic concurrency (exclusive-create commit log, conflict-detect,
+retry), the hand-rolled form of what Delta/Iceberg provide.
 """
 
 from __future__ import annotations
