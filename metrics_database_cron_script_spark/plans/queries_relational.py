@@ -3413,3 +3413,96 @@ def c_sequence_gaps(spark, sf_dir):
         F.col("next_id").alias("resumes_at"),
         (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
     )
+
+
+# ----------------------------------------------------------- graph analytics
+
+_PR_D = 0.85  # damping
+_PR_ITERS = 3  # fixed unroll — deterministic, SQL-oracle-able
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE oracle for the fixed-iteration PageRank below (DuckDB).
+    Simplified PageRank: dangling mass is NOT redistributed (suppliers have
+    no outgoing edges in the bipartite purchase graph) — both engines
+    implement the identical recurrence, so the choice is a documented
+    semantic, not an approximation error."""
+    d = _PR_D
+    its = []
+    for i in range(_PR_ITERS):
+        prev = f"it{i}"
+        its.append(f"""
+it{i + 1} AS (
+  SELECT n.node,
+         (1 - {d}) / (SELECT cnt FROM nn)
+         + {d} * COALESCE(SUM(p.rank * e.w / o.outw), 0.0) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  LEFT JOIN outdeg o ON o.node = e.src
+  GROUP BY n.node
+)""")
+    return f"""
+WITH raw AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM raw GROUP BY src, dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
+outdeg AS (SELECT src AS node, SUM(w) AS outw FROM edges GROUP BY src),
+it0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),{",".join(its)}
+SELECT node, ROUND(rank, 9) AS rank
+FROM it{_PR_ITERS}
+ORDER BY rank DESC, node
+LIMIT 20"""
+
+
+@query("c_graph_pagerank", oracle=_pagerank_oracle())
+def c_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the bipartite customer→supplier purchase
+    graph (edges = orders⋈lineitem, weight = purchase multiplicity) — the
+    iterative-algorithm pattern as a STATIC unroll: 3 join+agg rounds, each
+    one hash exchange on the node key, no driver-side loop state beyond the
+    plan. At 100 TB the same unroll runs with the edges table
+    hash-partitioned once on src (ReuseExchange shares it across rounds) and
+    checkpointing every ~5 rounds to cut lineage; convergence-driven variants
+    move the loop to the driver with the identical per-round plan.
+    Simplified recurrence (dangling mass not redistributed) — documented,
+    deterministic, matched exactly by the DuckDB oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = o.join(li, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("double").alias("w"))
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    n_nodes = nodes.count()  # scalar: graph size (node-count, not data-proportional rows)
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    base = (1.0 - _PR_D) / n_nodes
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    contrib_edges = edges.join(outdeg, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("share")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(contrib_edges, ranks["node"] == contrib_edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+        )
+        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (F.lit(base) + F.lit(_PR_D) * F.coalesce("inflow", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+    return (
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )

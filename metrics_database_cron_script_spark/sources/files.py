@@ -90,3 +90,37 @@ def read_jsonl(
     resolved = _resolve_schema(table, schema, permissive_corrupt_col)
     reader = spark.read.schema(resolved).options(**_mode_options(permissive_corrupt_col))
     return reader.json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """ORC columnar source (Spark-native, vectorized, predicate-pushdown like
+    parquet — the other at-rest format an existing lake may already hold).
+    Self-describing like parquet, so the declared schema acts as a CONTRACT
+    CHECK here rather than a parse spec: the resolved frame is projected to
+    the declared columns and cast to the declared types, failing analysis if
+    a column is missing. No corrupt-record mode: binary columnar formats
+    fail at the stripe level, not per-row."""
+    resolved = _resolve_schema(table, schema, None)
+    df = spark.read.orc(path)
+    missing = [f.name for f in resolved.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"ORC source {path} lacks declared columns {missing}")
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in resolved.fields]
+    )
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink, layout-symmetric with the parquet writers (same partitionBy
+    pruning story)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

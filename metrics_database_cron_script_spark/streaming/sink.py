@@ -43,6 +43,54 @@ def stream_to_idempotent_sink(
     return spark.read.parquet(sink_path).count()
 
 
+def stream_to_versioned_snapshot(
+    spark: SparkSession,
+    sf_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    order_cols: list[str] | None = None,
+    query_name: str = "stream_versioned",
+):
+    """Drain the events stream into a `versioned.VersionedSnapshot` via
+    keep-latest MERGE per micro-batch (R9 upsert on the streaming surface).
+
+    Exactly-once here needs NO epoch guard: keep-latest merge is IDEMPOTENT
+    (re-merging a replayed batch's rows reproduces the same winners), and
+    the OCC commit protocol makes each merge atomic — a foreachBatch retry
+    after a mid-merge crash simply re-runs the read-modify-write. Unlike
+    `stream_rollup_maintenance` (an aggregate merge, NOT idempotent, hence
+    its epoch/lineage machinery), this sink survives checkpoint wipes and
+    concurrent maintenance writers by construction.
+
+    Returns the final snapshot DataFrame."""
+    from metrics_database_cron_script_spark.versioned import VersionedSnapshot
+
+    cols = order_cols or ["ts", "event_id"]
+    table = VersionedSnapshot(spark, state_path)
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge_keep_latest(batch_df, key=key, order_cols=cols)
+
+    events = read_events_stream(spark, sf_dir)
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return table.read(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+
 def stream_rollup_maintenance(
     spark: SparkSession,
     sf_dir: str,

@@ -145,3 +145,37 @@ def test_read_jsonl_failfast_raises(spark, tmp_path):
     # error — otherwise a silent regression to PERMISSIVE would go unseen
     msg = str(ei.value)
     assert "Malformed" in msg or "FAILFAST" in msg, msg
+
+
+def test_orc_round_trip_matches_parquet_source(spark, tmp_path):
+    """ORC sink → ORC source round-trips the exact rows and declared types of
+    a fixture table (the second columnar at-rest format; pushdown/pruning
+    symmetric with parquet)."""
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.sources.files import read_orc, write_orc
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "customer")
+    path = str(tmp_path / "customer.orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, table="customer")
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    # contract check: a missing declared column fails loudly
+    import pytest
+    from pyspark.sql import functions as F
+
+    write_orc(src.drop("c_mktsegment"), str(tmp_path / "short.orc"))
+    with pytest.raises(ValueError, match="c_mktsegment"):
+        read_orc(spark, str(tmp_path / "short.orc"), table="customer")
+
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        read_orc(spark, path, table="customer")
+        .filter(F.col("c_custkey") == 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "c_custkey" in plan.split("PushedFilters", 1)[1][:200], plan

@@ -101,3 +101,36 @@ def test_stream_rollup_refuses_wiped_and_recreated_checkpoint(spark, tmp_path):
             spark, SF_SMOKE, state, ckpt, query_name="t_wiped_ckpt2"
         )
     assert "lineage" in str(ei.value) or "query id" in str(ei.value)
+
+
+def test_stream_to_versioned_snapshot_keep_latest_and_replay_safe(spark, tmp_path):
+    """The OCC keep-latest streaming sink must (a) converge to the batch
+    upsert_snapshot result, and (b) be replay-safe WITHOUT epoch guards: a
+    full re-stream under a FRESH checkpoint (everything re-delivered) leaves
+    the snapshot unchanged — merge idempotence, not bookkeeping."""
+    from metrics_database_cron_script_spark.operators.reference_ops import (
+        upsert_snapshot,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.sink import (
+        stream_to_versioned_snapshot,
+    )
+    from metrics_database_cron_script_spark.versioned import VersionedSnapshot
+
+    state = str(tmp_path / "snap")
+    got = stream_to_versioned_snapshot(
+        spark, SF_SMOKE, state, str(tmp_path / "ck1"), query_name="t_vsnap1"
+    )
+
+    def canon(df):
+        return sorted(map(tuple, df.select("user_id", "event_id").collect()))
+
+    want = canon(upsert_snapshot(load_table(spark, SF_SMOKE, "events")))
+    assert canon(got) == want
+
+    v_before = VersionedSnapshot(spark, state).version()
+    again = stream_to_versioned_snapshot(
+        spark, SF_SMOKE, state, str(tmp_path / "ck2"), query_name="t_vsnap2"
+    )
+    assert canon(again) == want  # replay merged, nothing duplicated/lost
+    assert VersionedSnapshot(spark, state).version() > v_before  # new commits, same content
