@@ -3426,7 +3426,11 @@ def _pagerank_oracle() -> str:
     Simplified PageRank: dangling mass is NOT redistributed (suppliers have
     no outgoing edges in the bipartite purchase graph) — both engines
     implement the identical recurrence, so the choice is a documented
-    semantic, not an approximation error."""
+    semantic, not an approximation error. Float discipline: both sides use
+    the literal 0.15/0.85 doubles and the same left-associated
+    rank * w / outw term (no algebraically-equal-but-FP-different
+    refactorings), and the result is rounded to 6 dp — sums of ≤ thousands
+    of ~1e-2 terms carry ≲1e-13 error, far inside the rounding grid."""
     d = _PR_D
     its = []
     for i in range(_PR_ITERS):
@@ -3434,8 +3438,8 @@ def _pagerank_oracle() -> str:
         its.append(f"""
 it{i + 1} AS (
   SELECT n.node,
-         (1 - {d}) / (SELECT cnt FROM nn)
-         + {d} * COALESCE(SUM(p.rank * e.w / o.outw), 0.0) AS rank
+         CAST({1 - d!r} AS DOUBLE) / (SELECT cnt FROM nn)
+         + CAST({d!r} AS DOUBLE) * COALESCE(SUM(p.rank * e.w / o.outw), 0.0) AS rank
   FROM nodes n
   LEFT JOIN edges e ON e.dst = n.node
   LEFT JOIN {prev} p ON p.node = e.src
@@ -3453,7 +3457,7 @@ nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM nodes),
 outdeg AS (SELECT src AS node, SUM(w) AS outw FROM edges GROUP BY src),
 it0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),{",".join(its)}
-SELECT node, ROUND(rank, 9) AS rank
+SELECT node, ROUND(rank, 6) AS rank
 FROM it{_PR_ITERS}
 ORDER BY rank DESC, node
 LIMIT 20"""
@@ -3481,28 +3485,37 @@ def c_graph_pagerank(spark, sf_dir):
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
-    n_nodes = nodes.count()  # scalar: graph size (node-count, not data-proportional rows)
+    # node count as a broadcast 1-row frame, NOT an eager .count(): query
+    # functions are lazy plan constructors (plan-only consumers — hygiene
+    # gate, docs — must not trigger a distributed job), and this is the
+    # registry-wide pattern for in-plan scalars (x_tfidf's doc count etc.)
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("cnt")))
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    base = (1.0 - _PR_D) / n_nodes
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    contrib_edges = edges.join(outdeg, "src").select(
-        "src", "dst", (F.col("w") / F.col("outw")).alias("share")
-    )
+    nodes_cnt = nodes.crossJoin(nn)
+    ranks = nodes_cnt.select("node", "cnt", (F.lit(1.0) / F.col("cnt")).alias("rank"))
+    # carry w and outw separately: the summed term must be the SAME
+    # left-associated rank * w / outw the oracle computes — precomputing
+    # share = w/outw is algebraically equal but FP-different
+    contrib_edges = edges.join(outdeg, "src").select("src", "dst", "w", "outw")
     for _ in range(_PR_ITERS):
         contrib = (
             ranks.join(contrib_edges, ranks["node"] == contrib_edges["src"])
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+            .agg(
+                F.sum(F.col("rank") * F.col("w") / F.col("outw")).alias("inflow")
+            )
         )
-        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+        ranks = nodes_cnt.join(contrib, nodes_cnt["node"] == contrib["dst"], "left").select(
             "node",
-            (F.lit(base) + F.lit(_PR_D) * F.coalesce("inflow", F.lit(0.0))).alias(
-                "rank"
-            ),
+            "cnt",
+            (
+                F.lit(1.0 - _PR_D) / F.col("cnt")
+                + F.lit(_PR_D) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
         )
     return (
-        ranks.select("node", F.round("rank", 9).alias("rank"))
+        ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )

@@ -101,20 +101,27 @@ def read_orc(
     """ORC columnar source (Spark-native, vectorized, predicate-pushdown like
     parquet — the other at-rest format an existing lake may already hold).
     Self-describing like parquet, so the declared schema acts as a CONTRACT
-    CHECK here rather than a parse spec: the resolved frame is projected to
-    the declared columns and cast to the declared types, failing analysis if
-    a column is missing. No corrupt-record mode: binary columnar formats
-    fail at the stripe level, not per-row."""
+    CHECK here rather than a parse spec: the file must carry every declared
+    column WITH its declared type — a silent cast would coerce type drift
+    (BIGINT delivered as DOUBLE truncates; strings nullify) instead of
+    surfacing it, which is the opposite of a contract. No corrupt-record
+    mode: binary columnar formats fail at the stripe level, not per-row."""
     resolved = _resolve_schema(table, schema, None)
     df = spark.read.orc(path)
-    missing = [f.name for f in resolved.fields if f.name not in df.columns]
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    missing = [f.name for f in resolved.fields if f.name not in actual]
     if missing:
         raise ValueError(f"ORC source {path} lacks declared columns {missing}")
-    from pyspark.sql import functions as F
-
-    return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in resolved.fields]
-    )
+    drifted = [
+        (f.name, str(actual[f.name]), str(f.dataType))
+        for f in resolved.fields
+        if actual[f.name] != f.dataType
+    ]
+    if drifted:
+        raise ValueError(
+            f"ORC source {path} type drift (column, found, declared): {drifted}"
+        )
+    return df.select(*[f.name for f in resolved.fields])
 
 
 def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

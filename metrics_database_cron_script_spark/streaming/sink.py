@@ -63,16 +63,29 @@ def stream_to_versioned_snapshot(
     its epoch/lineage machinery), this sink survives checkpoint wipes and
     concurrent maintenance writers by construction.
 
-    Returns the final snapshot DataFrame."""
+    Returns the final snapshot DataFrame (engine timestamp contract: the
+    snapshot stores and returns `ts` as TIMESTAMP_NTZ, like the batch
+    catalog — the stream carries LTZ only because `withWatermark` requires
+    it, and the two are wall-clock-identical under the pinned UTC session
+    timezone)."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.sources.tables import TABLES
     from metrics_database_cron_script_spark.versioned import VersionedSnapshot
 
     cols = order_cols or ["ts", "event_id"]
     table = VersionedSnapshot(spark, state_path)
+    # single source of truth for the snapshot schema: the catalog's declared
+    # events schema (sources/tables.py), not a second hand-written DDL
+    declared = TABLES["events"]
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.merge_keep_latest(batch_df, key=key, order_cols=cols)
+        normalized = batch_df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
+        )
+        table.merge_keep_latest(normalized, key=key, order_cols=cols)
 
     events = read_events_stream(spark, sf_dir)
     q = (
@@ -85,10 +98,7 @@ def stream_to_versioned_snapshot(
         q.processAllAvailable()
     finally:
         q.stop()
-    return table.read(
-        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
-        "value double, props string"
-    )
+    return table.read(declared)
 
 
 def stream_rollup_maintenance(

@@ -75,9 +75,10 @@ class VersionedSnapshot:
 
     # ---------------------------------------------------------------- reads
 
-    def read(self, schema: str | None = None) -> DataFrame:
+    def read(self, schema=None) -> DataFrame:
         """Snapshot-isolated read of the latest committed version; an empty
-        typed DataFrame for a never-committed table (requires `schema`)."""
+        typed DataFrame for a never-committed table (requires `schema` —
+        a DDL string or a StructType)."""
         v = self.version()
         if v < 0:
             if schema is None:

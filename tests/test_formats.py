@@ -179,3 +179,21 @@ def test_orc_round_trip_matches_parquet_source(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "c_custkey" in plan.split("PushedFilters", 1)[1][:200], plan
+
+
+def test_orc_type_drift_fails_loudly(spark, tmp_path):
+    """A delivery whose column type drifted must raise, not silently cast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.sources.files import read_orc, write_orc
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "customer").withColumn(
+        "c_custkey", F.col("c_custkey").cast("double")  # BIGINT -> DOUBLE drift
+    )
+    path = str(tmp_path / "drift.orc")
+    write_orc(src, path)
+    with pytest.raises(ValueError, match="type drift"):
+        read_orc(spark, path, table="customer")
