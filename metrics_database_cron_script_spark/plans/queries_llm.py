@@ -2798,3 +2798,84 @@ def x_rag_chunks(spark, sf_dir):
             F.md5(F.array_join(F.slice("w", F.col("i") * 16 + 1, F.lit(32)), " ")), 1, 16
         ).alias("chunk_hash"),
     )
+
+
+# --------------------------------------------------- LSH quality evaluation
+
+_MINHASH_RECALL_ORACLE = f"""
+WITH {_minhash_pair_cte('documents')},
+tinter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n
+  FROM psh sa
+  JOIN psh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+  JOIN documents da ON da.doc_id = sa.doc_id
+  JOIN documents db ON db.doc_id = sb.doc_id AND db.source = da.source
+  GROUP BY sa.doc_id, sb.doc_id
+), truth AS (
+  SELECT t.doc_a, t.doc_b
+  FROM tinter t
+  JOIN psizes za ON za.doc_id = t.doc_a
+  JOIN psizes zb ON zb.doc_id = t.doc_b
+  WHERE t.n * 1.0 / (za.sz + zb.sz - t.n) >= 0.8
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       ROUND(AVG(CASE WHEN c.doc_a IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS recall
+FROM truth t
+LEFT JOIN pcand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b"""
+
+
+@query("x_minhash_recall", oracle=_MINHASH_RECALL_ORACLE)
+def x_minhash_recall(spark, sf_dir):
+    """LSH parameter-quality evaluation: recall of the portable MinHash
+    banding (8 hashes, 4 bands of 2) against EXACT ground truth — all
+    same-source pairs with true word-shingle Jaccard ≥ 0.8. The theory says
+    P(candidate | s) = 1-(1-s^2)^4 ≈ 0.98 at s = 0.8; this measures it on
+    the actual corpus, which is how band/row counts get tuned before a
+    100 TB dedup run. Ground truth is source-blocked (the same block-square
+    bound every exact-pair query here uses: truth generation at full scale
+    runs on a sampled block, never all-pairs); the LSH candidate side is
+    the production unblocked path."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, hashed=False).persist()
+    src = docs.select("doc_id", "source")
+    sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        sa.join(sb, ["shingle"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .join(src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("src_a")), "a_id")
+        .join(src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("src_b")), "b_id")
+        .filter(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .filter(
+            F.col("n") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("n")) >= 0.8
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = D.minhash_near_dups_portable(docs).select(
+        F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
+    )
+    joined = truth.join(
+        cand,
+        (truth["doc_a"] == cand["c_a"]) & (truth["doc_b"] == cand["c_b"]),
+        "left",
+    )
+    caught = F.col("c_a").isNotNull()
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum(F.when(caught, 1).otherwise(0)).cast("long").alias("n_caught"),
+        F.round(F.avg(F.when(caught, 1.0).otherwise(0.0)), 6).alias("recall"),
+    )
