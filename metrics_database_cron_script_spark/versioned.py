@@ -59,9 +59,10 @@ class VersionedSnapshot:
         return os.path.join(self.log_dir, f"{version:020d}.commit")
 
     def version(self) -> int:
-        """Latest committed version, or -1 for an empty table. A marker only
-        counts with its data dir present (a deleted data dir is corruption —
-        surfaced on read, not silently skipped)."""
+        """Latest committed version, or -1 for an empty table. The commit
+        markers alone DEFINE the version sequence; a marker whose data dir
+        was deleted out-of-band is corruption and surfaces as a read error
+        on that version, never as a silent fallback to an older snapshot."""
         if not os.path.isdir(self.log_dir):
             return -1
         best = -1
@@ -73,12 +74,39 @@ class VersionedSnapshot:
                     continue
         return best
 
+    def history(self) -> list[int]:
+        """All committed versions, ascending — those still readable are the
+        ones `vacuum`'s retention window kept."""
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".commit"):
+                try:
+                    out.append(int(name[: -len(".commit")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
     # ---------------------------------------------------------------- reads
 
-    def read(self, schema=None) -> DataFrame:
-        """Snapshot-isolated read of the latest committed version; an empty
-        typed DataFrame for a never-committed table (requires `schema` —
-        a DDL string or a StructType)."""
+    def read(self, schema=None, version: int | None = None) -> DataFrame:
+        """Snapshot-isolated read — the latest committed version by default,
+        or time travel to an explicit `version` (must be committed and not
+        vacuumed). An empty typed DataFrame for a never-committed table
+        (requires `schema` — a DDL string or a StructType)."""
+        if version is not None:
+            if version not in self.history():
+                raise FileNotFoundError(
+                    f"versioned table {self.path} has no committed version "
+                    f"{version}; history: {self.history()}"
+                )
+            if not os.path.isdir(self._data_dir(version)):
+                raise FileNotFoundError(
+                    f"versioned table {self.path} version {version} was "
+                    "vacuumed (or its data dir was deleted out-of-band)"
+                )
+            return self.spark.read.parquet(self._data_dir(version))
         v = self.version()
         if v < 0:
             if schema is None:

@@ -138,3 +138,29 @@ def test_orphan_stage_invisible_and_vacuumed(spark, tmp_path):
     # next commit after vacuum continues the version sequence
     v = t.overwrite(_df(spark, [(1, dt.datetime(2024, 1, 9), 9.0)]))
     assert v == 3 and t.version() == 3
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    """read(version=k) returns the exact historical snapshot while it is
+    retained; vacuumed versions raise instead of silently redirecting."""
+    import datetime as dt
+
+    import pytest
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    for day, val in [(1, 1.0), (2, 2.0), (3, 3.0)]:
+        t.overwrite(_df(spark, [(1, dt.datetime(2024, 1, day), val)]))
+    assert t.history() == [0, 1, 2]
+
+    assert _rows(t.read(version=0)) == [(1, "2024-01-01 00:00:00", 1.0)]
+    assert _rows(t.read(version=1)) == [(1, "2024-01-02 00:00:00", 2.0)]
+    assert _rows(t.read()) == [(1, "2024-01-03 00:00:00", 3.0)]
+
+    with pytest.raises(FileNotFoundError, match="no committed version 9"):
+        t.read(version=9)
+
+    t.vacuum(keep=1)
+    assert t.history() == [0, 1, 2]  # the log is permanent; data dirs are not
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.read(version=0)
+    assert _rows(t.read(version=2)) == [(1, "2024-01-03 00:00:00", 3.0)]
