@@ -483,15 +483,26 @@ def minhash_signatures_portable(shingles: DataFrame, num_hashes: int = 8) -> Dat
 
 
 def minhash_near_dups_portable(
-    docs: DataFrame, num_hashes: int = 8, band_size: int = 2
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingles: DataFrame | None = None,
+    verify: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline on portable hashes: shingle (raw word
     3-gram strings) → 8-hash signature → 4 bands of 2 → candidate pairs →
     exact Jaccard verification. Same shape as `minhash_near_dups` (one
     shingle shuffle, bucket equi-joins, verification only on candidates) —
     but every intermediate is reproducible in DuckDB SQL, so the whole
-    pipeline is value-hash-checked, not rows-only."""
-    shingles = word_shingles(docs, hashed=False).persist()
+    pipeline is value-hash-checked, not rows-only.
+
+    `shingles` lets a caller that already built (and persisted) the
+    word-shingle relation share it instead of paying the tokenize/shingle
+    shuffle twice; `verify=False` stops at the raw candidate pairs
+    (doc_a, doc_b) — what banding-quality measurements like
+    x_minhash_recall consume."""
+    if shingles is None:
+        shingles = word_shingles(docs, hashed=False).persist()
     sigs = minhash_signatures_portable(shingles, num_hashes)
     n_bands = num_hashes // band_size
     band_structs = [
@@ -514,6 +525,8 @@ def minhash_near_dups_portable(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if not verify:
+        return pairs
     return verified_jaccard(shingles, pairs)
 
 

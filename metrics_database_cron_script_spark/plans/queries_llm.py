@@ -2838,15 +2838,16 @@ def x_minhash_recall(spark, sf_dir):
     the production unblocked path."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.word_shingles(docs, hashed=False).persist()
+    # bake the block INTO the join key: joining on (shingle, source) bounds
+    # the self-join at block-square — a post-join source filter would first
+    # materialize every cross-source pair of a hot shingle
     src = docs.select("doc_id", "source")
-    sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    blocked = sh.join(src, "doc_id")
+    sa = blocked.select(F.col("doc_id").alias("a_id"), "shingle", "source")
+    sb = blocked.select(F.col("doc_id").alias("b_id"), "shingle", "source")
     inter = (
-        sa.join(sb, ["shingle"])
+        sa.join(sb, ["shingle", "source"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .join(src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("src_a")), "a_id")
-        .join(src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("src_b")), "b_id")
-        .filter(F.col("src_a") == F.col("src_b"))
         .groupBy(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -2865,7 +2866,11 @@ def x_minhash_recall(spark, sf_dir):
         )
         .select("doc_a", "doc_b")
     )
-    cand = D.minhash_near_dups_portable(docs).select(
+    # reuse the persisted shingle relation (no second tokenize/shingle
+    # shuffle) and stop at the RAW banding candidates — recall measures the
+    # banding, so the verification join's jaccard column would be computed
+    # only to be dropped
+    cand = D.minhash_near_dups_portable(docs, shingles=sh, verify=False).select(
         F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
     )
     joined = truth.join(

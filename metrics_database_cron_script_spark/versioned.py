@@ -63,16 +63,7 @@ class VersionedSnapshot:
         markers alone DEFINE the version sequence; a marker whose data dir
         was deleted out-of-band is corruption and surfaces as a read error
         on that version, never as a silent fallback to an older snapshot."""
-        if not os.path.isdir(self.log_dir):
-            return -1
-        best = -1
-        for name in os.listdir(self.log_dir):
-            if name.endswith(".commit"):
-                try:
-                    best = max(best, int(name[: -len(".commit")]))
-                except ValueError:
-                    continue
-        return best
+        return max(self.history(), default=-1)
 
     def history(self) -> list[int]:
         """All committed versions, ascending — those still readable are the
@@ -96,10 +87,11 @@ class VersionedSnapshot:
         vacuumed). An empty typed DataFrame for a never-committed table
         (requires `schema` — a DDL string or a StructType)."""
         if version is not None:
-            if version not in self.history():
+            hist = self.history()
+            if version not in hist:
                 raise FileNotFoundError(
                     f"versioned table {self.path} has no committed version "
-                    f"{version}; history: {self.history()}"
+                    f"{version}; history: {hist}"
                 )
             if not os.path.isdir(self._data_dir(version)):
                 raise FileNotFoundError(
@@ -209,14 +201,7 @@ class VersionedSnapshot:
         removed = []
         if not os.path.isdir(self.path):
             return removed
-        committed = set()
-        if os.path.isdir(self.log_dir):
-            for name in os.listdir(self.log_dir):
-                if name.endswith(".commit"):
-                    try:
-                        committed.add(int(name[: -len(".commit")]))
-                    except ValueError:
-                        continue
+        committed = set(self.history())
         for name in os.listdir(self.path):
             if not name.startswith("_v"):
                 continue

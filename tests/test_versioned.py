@@ -145,7 +145,7 @@ def test_time_travel_and_history(spark, tmp_path):
     retained; vacuumed versions raise instead of silently redirecting."""
     import datetime as dt
 
-    import pytest
+
 
     t = VersionedSnapshot(spark, str(tmp_path / "snap"))
     for day, val in [(1, 1.0), (2, 2.0), (3, 3.0)]:
