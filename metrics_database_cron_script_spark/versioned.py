@@ -9,35 +9,73 @@ exactly one winner per version.
 
 Layout:
 
-    <path>/_log/<version 20d>.commit   -- zero-byte marker, O_CREAT|O_EXCL
-    <path>/_v<version 20d>/            -- immutable parquet snapshot
+    <path>/_log/<version 20d>.commit   -- marker; its CONTENT is the name of
+                                          the winning data dir (legacy empty
+                                          markers mean `_v<version 20d>`)
+    <path>/_v<version 20d>-<uuid8>/    -- immutable parquet snapshot, staged
+                                          under a name UNIQUE to one writer
 
 Protocol (writer):
-  1. observe committed version v (max marker with an existing data dir);
-  2. write the new snapshot to `_v{v+1}` (crash here leaves an ORPHAN dir —
-     invisible to readers, reaped by `vacuum`);
-  3. exclusive-create `_log/{v+1}.commit`. Exactly one concurrent writer
-     succeeds; the loser raises `ConcurrentWriteError` (or retries its whole
-     read-modify-write in `merge_keep_latest`).
+  1. observe committed version v (max marker);
+  2. write the new snapshot to a dir name no other writer can collide with:
+     `_v{v+1:020d}-{uuid}`. A crash here leaves an ORPHAN dir — invisible to
+     readers (no marker references it), reaped by `vacuum`, and NEVER able to
+     wedge later writers (no shared staging slot exists);
+  3. atomically publish `_log/{v+1}.commit` whose content names the staged
+     dir. Publication is exclusive: the content is written to a private temp
+     file which is then `os.link`ed to the marker path — link(2) fails with
+     EEXIST if any racer already committed, and succeeds with the full
+     content in place (no half-written marker window). Exactly one concurrent
+     writer wins; the loser removes ONLY ITS OWN staged dir and raises
+     `ConcurrentWriteError` (or retries its whole read-modify-write in
+     `merge_keep_latest*`). No writer ever touches a path another writer
+     created, so a loser's cleanup cannot delete a winner's data.
 
 The commit marker is created ONLY AFTER its data dir is fully written, so a
 marker implies readable data; a data dir without a marker is an aborted
-write. O_EXCL is atomic on POSIX and HDFS; on S3-class stores the same slot
-needs a conditional PUT / DynamoDB mutex — exactly Delta's deployment
-matrix. Readers never block writers and vice versa (snapshot isolation:
-a reader resolves a version once and reads an immutable directory).
+write. link(2)/O_EXCL are atomic on POSIX and HDFS; on S3-class stores the
+same slot needs a conditional PUT / DynamoDB mutex — exactly Delta's
+deployment matrix. Readers never block writers and vice versa (snapshot
+isolation: a reader resolves a version once and reads an immutable
+directory).
+
+`merge_keep_latest_partitioned` is the O(delta) upgrade of the keep-latest
+MERGE: only partitions present in the batch are rewritten; every untouched
+partition of the previous snapshot is carried into the new version by
+HARDLINK (byte-identical, no data copy, old-version vacuum safe because the
+inodes stay alive through the new version's links). On an object store the
+same carry-forward would be a manifest entry instead of a link — the commit
+marker already is that manifest's root.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer raced for."""
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Recreate `src`'s tree under `dst` with hardlinks (copy on EXDEV).
+    Byte-identity of the carried files is by construction: a hardlink IS the
+    same inode."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for name in files:
+            s = os.path.join(root, name)
+            d = os.path.join(out, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
 
 class VersionedSnapshot:
@@ -52,11 +90,24 @@ class VersionedSnapshot:
 
     # ------------------------------------------------------------- versions
 
-    def _data_dir(self, version: int) -> str:
+    def _legacy_data_dir(self, version: int) -> str:
         return os.path.join(self.path, f"_v{version:020d}")
+
+    # kept under the old name for callers/tests that simulate legacy layouts
+    _data_dir = _legacy_data_dir
 
     def _marker(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:020d}.commit")
+
+    def _resolve_data_dir(self, version: int) -> str:
+        """Data dir a committed marker points at. Empty marker content is the
+        pre-unique-staging layout (`_v{version}`)."""
+        try:
+            with open(self._marker(version)) as f:
+                name = f.read().strip()
+        except OSError:
+            name = ""
+        return os.path.join(self.path, name) if name else self._legacy_data_dir(version)
 
     def version(self) -> int:
         """Latest committed version, or -1 for an empty table. The commit
@@ -93,12 +144,12 @@ class VersionedSnapshot:
                     f"versioned table {self.path} has no committed version "
                     f"{version}; history: {hist}"
                 )
-            if not os.path.isdir(self._data_dir(version)):
+            if not os.path.isdir(self._resolve_data_dir(version)):
                 raise FileNotFoundError(
                     f"versioned table {self.path} version {version} was "
                     "vacuumed (or its data dir was deleted out-of-band)"
                 )
-            return self.spark.read.parquet(self._data_dir(version))
+            return self.spark.read.parquet(self._resolve_data_dir(version))
         v = self.version()
         if v < 0:
             if schema is None:
@@ -107,9 +158,40 @@ class VersionedSnapshot:
                     "and no bootstrap schema was given"
                 )
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self._data_dir(v))
+        return self.spark.read.parquet(self._resolve_data_dir(v))
 
     # --------------------------------------------------------------- writes
+
+    def _stage_dir(self, version: int) -> str:
+        """A staging path no concurrent writer can collide with."""
+        return os.path.join(
+            self.path, f"_v{version:020d}-{uuid.uuid4().hex[:12]}"
+        )
+
+    def _publish(self, version: int, data_dir: str) -> None:
+        """Atomically commit `data_dir` (already fully written) as `version`.
+        Loser cleans up ONLY its own staged dir and raises."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(data_dir))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # link(2): exclusive create WITH content already in place — a
+            # reader can never observe a half-written marker.
+            os.link(tmp, self._marker(version))
+        except FileExistsError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.path}: version {version} was committed by another "
+                "writer — re-read and retry"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def overwrite(self, df: DataFrame, expected_version: int | None = None) -> int:
         """Commit `df` as the next version. `expected_version` (from
@@ -124,27 +206,9 @@ class VersionedSnapshot:
                 f"{observed} — another writer committed; re-read and retry"
             )
         target = observed + 1
-        data = self._data_dir(target)
-        if os.path.isdir(data):
-            # a racer (or a crashed past attempt) already staged this slot;
-            # stage under a unique suffix then rename into place is NOT safe
-            # for directories cross-writer — simplest correct move is to
-            # treat the slot as contended
-            raise ConcurrentWriteError(
-                f"{self.path}: version {target} data dir already staged by "
-                "another writer — re-read and retry"
-            )
+        data = self._stage_dir(target)
         df.write.mode("overwrite").parquet(data)
-        os.makedirs(self.log_dir, exist_ok=True)
-        try:
-            fd = os.open(self._marker(target), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-        except FileExistsError:
-            shutil.rmtree(data, ignore_errors=True)  # lost the race: clean our stage
-            raise ConcurrentWriteError(
-                f"{self.path}: version {target} was committed by another "
-                "writer — re-read and retry"
-            ) from None
+        self._publish(target, data)
         return target
 
     def merge_keep_latest(
@@ -157,7 +221,12 @@ class VersionedSnapshot:
         """R9 keep-latest MERGE under OCC: read the snapshot, union the
         batch, keep the max-`order_cols` row per `key`, commit conditionally;
         on a lost race re-read (now INCLUDING the winner's rows) and retry —
-        no update is ever silently dropped. Returns the committed version."""
+        no update is ever silently dropped. Returns the committed version.
+
+        Rewrites the WHOLE snapshot per commit — right for small dimension /
+        stats tables (the reference's case). For a large fact table use
+        `merge_keep_latest_partitioned`, which rewrites only the partitions
+        the batch touches."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -189,30 +258,123 @@ class VersionedSnapshot:
                 continue
         raise last_err  # type: ignore[misc]
 
+    def merge_keep_latest_partitioned(
+        self,
+        new: DataFrame,
+        key: str,
+        order_cols: list[str],
+        partition_col: str,
+        max_retries: int = 5,
+    ) -> int:
+        """Partition-pruned keep-latest MERGE: O(partitions touched by the
+        batch), not O(table). The snapshot is stored partitioned by
+        `partition_col`; only partitions with batch rows are re-deduped and
+        rewritten, every other partition of the previous version is carried
+        forward by hardlink — byte-identical, no data read or copied.
+
+        REQUIRES `key` → `partition_col` to be a functional dependency (a
+        key never moves between partitions — e.g. key=(user_id, day),
+        partition_col=day), the same contract as Delta's replaceWhere-style
+        MERGE. If a key did move, its old-partition row would survive
+        untouched.
+
+        OCC semantics are identical to `merge_keep_latest`: conditional
+        commit on the version observed at read time, full re-read + retry on
+        a lost race."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        prefix = f"{partition_col}="
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            v = self.version()
+            target_stage = self._stage_dir(v + 1)
+            old_dir = self._resolve_data_dir(v) if v >= 0 else None
+            old_partitioned = old_dir is not None and any(
+                n.startswith(prefix) for n in os.listdir(old_dir)
+            )
+            if v >= 0:
+                base = self.read()
+                if old_partitioned:
+                    # prune the base scan to touched partitions only —
+                    # partition_col is directory-encoded, so this filter is
+                    # partition pruning at the source, not a full scan
+                    # (filter BEFORE the type re-align cast below, or the
+                    # cast expression would defeat pruning)
+                    touched = [
+                        r[0]
+                        for r in new.select(partition_col).distinct().collect()
+                    ]
+                    base = base.filter(F.col(partition_col).isin(touched))
+                # partition directories round-trip through Spark's partition
+                # type inference (day=2024-01-01 comes back as DATE); re-align
+                # to the batch's declared type so unionByName stays exact
+                base = base.withColumn(
+                    partition_col,
+                    F.col(partition_col).cast(new.schema[partition_col].dataType),
+                )
+                # else: previous version predates partitioning — fall back to
+                # a full rewrite this once; subsequent commits are pruned
+                merged = base.unionByName(new, allowMissingColumns=True)
+            else:
+                merged = new
+            w = Window.partitionBy(key).orderBy(
+                *[F.col(c).desc() for c in order_cols]
+            )
+            latest = (
+                merged.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            latest.write.mode("overwrite").partitionBy(partition_col).parquet(
+                target_stage
+            )
+            if old_partitioned:
+                # carry forward: any old partition dir Spark did NOT rewrite
+                # (i.e. absent from the stage) is linked over unchanged.
+                # Touched partitions always appear in the stage because
+                # keep-latest never produces an empty touched partition.
+                for name in os.listdir(old_dir):
+                    if not name.startswith(prefix):
+                        continue
+                    dst = os.path.join(target_stage, name)
+                    if not os.path.exists(dst):
+                        _link_tree(os.path.join(old_dir, name), dst)
+            try:
+                self._publish(v + 1, target_stage)
+                return v + 1
+            except ConcurrentWriteError as e:
+                last_err = e
+                continue
+        raise last_err  # type: ignore[misc]
+
     # ----------------------------------------------------------- maintenance
 
     def vacuum(self, keep: int = 2) -> list[str]:
         """Drop data dirs of superseded versions (keeping the latest `keep`)
-        and ORPHAN data dirs (staged by crashed/defeated writers, no commit
-        marker). Returns the removed paths. Safe against readers of retained
-        versions; like Delta's VACUUM, a reader pinned to an ancient version
-        can lose it — `keep` is the retention window."""
+        and ORPHAN data dirs (staged by crashed/defeated writers — no commit
+        marker references them). Returns the removed paths. Hardlink
+        carry-forward makes this safe for retained versions: removing a
+        superseded version's dir only unlinks ITS names; inodes shared with
+        a retained version survive. Like Delta's VACUUM, a reader pinned to
+        an ancient version can lose it — `keep` is the retention window.
+        Orphan reaping assumes no writer is mid-stage while vacuum runs (run
+        it from the same maintenance schedule as compaction)."""
         current = self.version()
         removed = []
         if not os.path.isdir(self.path):
             return removed
-        committed = set(self.history())
+        retained = {
+            os.path.basename(self._resolve_data_dir(v))
+            for v in self.history()
+            if v > current - keep
+        }
         for name in os.listdir(self.path):
             if not name.startswith("_v"):
                 continue
-            try:
-                v = int(name[2:])
-            except ValueError:
+            if name in retained:
                 continue
-            orphan = v not in committed
-            superseded = v <= current - keep
-            if orphan or superseded:
-                p = os.path.join(self.path, name)
-                shutil.rmtree(p, ignore_errors=True)
-                removed.append(p)
+            p = os.path.join(self.path, name)
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
         return removed

@@ -49,32 +49,83 @@ def test_stale_expected_version_raises(spark, tmp_path):
     assert t.read().count() == 1
 
 
-def test_lost_race_on_marker_is_detected_and_stage_cleaned(spark, tmp_path):
-    """Simulate the narrowest race: both writers observed v, writer A creates
-    the marker first (simulated by pre-creating it), writer B must raise on
-    its exclusive-create and remove its staged data dir."""
+def test_lost_race_full_staging_does_not_clobber_winner(spark, tmp_path):
+    """The FULL race, data staging included: both writers observed v and both
+    stage real data; writer A commits (stage + marker) while B is between its
+    stage write and its marker attempt. B must lose, B's cleanup must remove
+    ONLY B's own staged dir, and A's committed data must remain readable —
+    the scenario a shared `_v{v+1}` staging slot corrupts (loser's rmtree
+    deleting the winner's committed dir)."""
+    import datetime as dt
+
+    path = str(tmp_path / "snap")
+    t = VersionedSnapshot(spark, path)
+    t.overwrite(_df(spark, [(1, dt.datetime(2024, 1, 1), 1.0)]))  # v0
+    v = t.version()
+
+    class Racer(VersionedSnapshot):
+        """Writer A performs its ENTIRE commit right before B's publish."""
+
+        def _publish(self, version, data_dir):
+            if version == v + 1 and not os.path.exists(self._marker(version)):
+                VersionedSnapshot(self.spark, self.path).overwrite(
+                    _df(self.spark, [(5, dt.datetime(2024, 3, 1), 5.0)])
+                )
+            return super()._publish(version, data_dir)
+
+    b = Racer(spark, path)
+    with pytest.raises(ConcurrentWriteError):
+        b.overwrite(_df(spark, [(9, dt.datetime(2024, 2, 1), 9.0)]), expected_version=v)
+    # the winner's commit survived B's loss-cleanup intact and readable
+    assert t.version() == v + 1
+    assert _rows(t.read()) == [(5, "2024-03-01 00:00:00", 5.0)]
+    # B's own staged dir is gone: the only _v dirs left are marker-referenced
+    referenced = {os.path.basename(t._resolve_data_dir(k)) for k in t.history()}
+    staged = {n for n in os.listdir(path) if n.startswith("_v")}
+    assert staged == referenced
+
+
+def test_crashed_stage_never_wedges_later_writers(spark, tmp_path):
+    """A crashed writer's orphan staged dir (data written, no marker) must
+    not block subsequent commits: unique staging means the next writer
+    succeeds on its FIRST attempt, no retry or manual vacuum needed."""
     import datetime as dt
 
     t = VersionedSnapshot(spark, str(tmp_path / "snap"))
     t.overwrite(_df(spark, [(1, dt.datetime(2024, 1, 1), 1.0)]))  # v0
-    v = t.version()
+    # crashed writer: staged data for v1 under its unique dir, never marked
+    orphan = t._stage_dir(1)
+    _df(spark, [(7, dt.datetime(2024, 9, 9), 7.0)]).write.parquet(orphan)
 
-    # interpose: stage B's data first (as overwrite would), then let A win
-    class Racer(VersionedSnapshot):
-        def _marker(self, version):
-            m = super()._marker(version)
-            if version == v + 1 and not os.path.exists(m):
-                # writer A sneaks in right before B's exclusive create
-                os.makedirs(os.path.dirname(m), exist_ok=True)
-                with open(m, "x"):
-                    pass
-            return m
+    v = t.overwrite(
+        _df(spark, [(2, dt.datetime(2024, 1, 2), 2.0)]), expected_version=0
+    )
+    assert v == 1
+    assert _rows(t.read()) == [(2, "2024-01-02 00:00:00", 2.0)]
+    assert os.path.isdir(orphan)  # untouched until vacuum
+    assert orphan in t.vacuum(keep=2)
 
-    b = Racer(spark, str(tmp_path / "snap"))
-    with pytest.raises(ConcurrentWriteError):
-        b.overwrite(_df(spark, [(9, dt.datetime(2024, 2, 1), 9.0)]), expected_version=v)
-    # B's staged dir was cleaned up (no orphan for the committed slot)
-    assert not os.path.isdir(b._data_dir(v + 1)) or t.version() == v + 1
+
+def test_legacy_empty_marker_layout_still_readable(spark, tmp_path):
+    """Tables committed by the pre-unique-staging layout (empty marker,
+    data at `_v{version}`) keep working: read, version, and the next commit
+    continuing the sequence."""
+    import datetime as dt
+
+    path = str(tmp_path / "snap")
+    t = VersionedSnapshot(spark, path)
+    # construct the legacy layout by hand
+    _df(spark, [(1, dt.datetime(2024, 1, 1), 1.0)]).write.parquet(
+        t._legacy_data_dir(0)
+    )
+    os.makedirs(t.log_dir, exist_ok=True)
+    with open(t._marker(0), "x"):
+        pass  # legacy zero-byte marker
+    assert t.version() == 0
+    assert _rows(t.read()) == [(1, "2024-01-01 00:00:00", 1.0)]
+    v = t.overwrite(_df(spark, [(1, dt.datetime(2024, 1, 2), 2.0)]))
+    assert v == 1
+    assert _rows(t.read()) == [(1, "2024-01-02 00:00:00", 2.0)]
 
 
 def test_merge_keep_latest_retries_and_loses_no_update(spark, tmp_path):
@@ -131,8 +182,9 @@ def test_orphan_stage_invisible_and_vacuumed(spark, tmp_path):
 
     removed = t.vacuum(keep=1)
     assert t._data_dir(3) in removed  # orphan reaped
-    assert t._data_dir(0) in removed and t._data_dir(1) in removed  # superseded
-    assert os.path.isdir(t._data_dir(2))  # current retained
+    assert t._resolve_data_dir(0) in removed  # superseded
+    assert t._resolve_data_dir(1) in removed
+    assert os.path.isdir(t._resolve_data_dir(2))  # current retained
     assert _rows(t.read()) == [(1, "2024-01-03 00:00:00", 3.0)]
 
     # next commit after vacuum continues the version sequence
@@ -164,3 +216,140 @@ def test_time_travel_and_history(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         t.read(version=0)
     assert _rows(t.read(version=2)) == [(1, "2024-01-03 00:00:00", 3.0)]
+
+
+# ---------------------------------------------------------------------------
+# partition-pruned MERGE
+
+
+PSCHEMA = "user_id long, day string, value double"
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, PSCHEMA)
+
+
+def _prows(df):
+    # str() the partition column: Spark's partition inference reads
+    # day=2024-01-01 back as a DATE, which stringifies to the same literal
+    return sorted((r["user_id"], str(r["day"]), r["value"]) for r in df.collect())
+
+
+def _part_files(data_dir, part_name):
+    """{relative file path: (inode, size)} for one partition subdir."""
+    out = {}
+    root = os.path.join(data_dir, part_name)
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_ino, st.st_size)
+    return out
+
+
+def test_partitioned_merge_prunes_and_carries_byte_identical(spark, tmp_path):
+    """A batch touching one partition must rewrite ONLY that partition: the
+    untouched partitions of the new version are the previous version's files
+    carried by hardlink — same inodes, hence byte-identical by construction —
+    and the merged result is still exact keep-latest."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    base = [
+        (1, "2024-01-01", 1.0),
+        (2, "2024-01-02", 2.0),
+        (3, "2024-01-03", 3.0),
+    ]
+    v0 = t.merge_keep_latest_partitioned(
+        _pdf(spark, base), key="user_id", order_cols=["value"], partition_col="day"
+    )
+    assert v0 == 0
+
+    batch = [(2, "2024-01-02", 20.0), (4, "2024-01-02", 4.0)]
+    v1 = t.merge_keep_latest_partitioned(
+        _pdf(spark, batch), key="user_id", order_cols=["value"], partition_col="day"
+    )
+    assert v1 == 1
+    assert _prows(t.read()) == [
+        (1, "2024-01-01", 1.0),
+        (2, "2024-01-02", 20.0),  # keep-latest replaced
+        (3, "2024-01-03", 3.0),
+        (4, "2024-01-02", 4.0),  # new key in touched partition
+    ]
+    # time travel still sees the pre-merge snapshot
+    assert _prows(t.read(version=0)) == sorted(base)
+
+    d0, d1 = t._resolve_data_dir(0), t._resolve_data_dir(1)
+    for untouched in ("day=2024-01-01", "day=2024-01-03"):
+        f0, f1 = _part_files(d0, untouched), _part_files(d1, untouched)
+        assert f0 == f1 and f0  # same names, same inodes => byte-identical
+    # the touched partition was genuinely rewritten (no shared inodes)
+    t0 = {ino for ino, _ in _part_files(d0, "day=2024-01-02").values()}
+    t1 = {ino for ino, _ in _part_files(d1, "day=2024-01-02").values()}
+    assert not (t0 & t1)
+
+    # vacuuming the old version must not damage the carried partitions
+    t.vacuum(keep=1)
+    assert _prows(t.read()) == [
+        (1, "2024-01-01", 1.0),
+        (2, "2024-01-02", 20.0),
+        (3, "2024-01-03", 3.0),
+        (4, "2024-01-02", 4.0),
+    ]
+
+
+def test_partitioned_merge_occ_concurrent_writer(spark, tmp_path):
+    """A racer committing mid-merge must cost the loser a retry, not an
+    update: both writers' rows appear in the final snapshot."""
+    path = str(tmp_path / "snap")
+    t = VersionedSnapshot(spark, path)
+    t.merge_keep_latest_partitioned(
+        _pdf(spark, [(1, "2024-01-01", 1.0)]),
+        key="user_id", order_cols=["value"], partition_col="day",
+    )
+
+    fired = {"done": False}
+
+    class SneakyRace(VersionedSnapshot):
+        def _publish(self, version, data_dir):
+            if not fired["done"]:
+                fired["done"] = True
+                VersionedSnapshot(self.spark, self.path).merge_keep_latest_partitioned(
+                    _pdf(self.spark, [(2, "2024-01-02", 2.0)]),
+                    key="user_id", order_cols=["value"], partition_col="day",
+                )
+            return super()._publish(version, data_dir)
+
+    b = SneakyRace(spark, path)
+    b.merge_keep_latest_partitioned(
+        _pdf(spark, [(1, "2024-01-01", 10.0)]),
+        key="user_id", order_cols=["value"], partition_col="day",
+    )
+    assert fired["done"]
+    assert _prows(t.read()) == [
+        (1, "2024-01-01", 10.0),  # loser retried, update kept
+        (2, "2024-01-02", 2.0),  # racer's interleaved commit not lost
+    ]
+
+
+def test_partitioned_merge_upgrades_unpartitioned_base(spark, tmp_path):
+    """First partitioned merge over a snapshot written unpartitioned (plain
+    `overwrite`) falls back to one full rewrite — nothing is dropped — and
+    subsequent merges prune."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.overwrite(_pdf(spark, [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)]))
+    t.merge_keep_latest_partitioned(
+        _pdf(spark, [(3, "2024-01-03", 3.0)]),
+        key="user_id", order_cols=["value"], partition_col="day",
+    )
+    assert _prows(t.read()) == [
+        (1, "2024-01-01", 1.0),
+        (2, "2024-01-02", 2.0),
+        (3, "2024-01-03", 3.0),
+    ]
+    # now partition-encoded: next merge carries untouched days by hardlink
+    d1 = t._resolve_data_dir(t.version())
+    t.merge_keep_latest_partitioned(
+        _pdf(spark, [(1, "2024-01-01", 11.0)]),
+        key="user_id", order_cols=["value"], partition_col="day",
+    )
+    d2 = t._resolve_data_dir(t.version())
+    assert _part_files(d1, "day=2024-01-02") == _part_files(d2, "day=2024-01-02")
