@@ -1177,8 +1177,13 @@ def x_bigram_pmi(spark, sf_dir):
     return (
         bi.withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("g"), F.lit(" "), F.lit(2)))
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        # unigram totals are VOCABULARY-sized — sub-linear but unbounded
+        # growth with the corpus, so no pinned broadcast: under the
+        # auto-threshold they broadcast anyway, beyond it the planner
+        # degrades to a shuffle join (the 1-row corpus totals below stay
+        # hinted — genuinely bounded).
+        .join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(uni_n))
         .crossJoin(F.broadcast(bi_n_all))
         .select(

@@ -119,7 +119,7 @@ def c_tpch_q2_shape(spark, sf_dir):
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    pairs = shipped.join(F.broadcast(eu_supp), shipped["l_suppkey"] == eu_supp["s_suppkey"])
+    pairs = shipped.join(eu_supp, shipped["l_suppkey"] == eu_supp["s_suppkey"])
     w = Window.partitionBy("l_partkey")
     best = pairs.withColumn("min_bal", F.min("s_acctbal").over(w)).filter(
         F.col("s_acctbal") == F.col("min_bal")
@@ -207,10 +207,10 @@ def c_tpch_q5_shape(spark, sf_dir):
         "s_suppkey", "s_nationkey", "n_name"
     )
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .join(
-            F.broadcast(sn),
+            sn,
             (sn["s_suppkey"] == li["l_suppkey"]) & (sn["s_nationkey"] == c["c_nationkey"]),
         )
         .groupBy("n_name")
@@ -296,9 +296,9 @@ def c_tpch_q8_shape(spark, sf_dir):
     )
     vol = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(cust_nation), o["o_custkey"] == cust_nation["c_custkey"])
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])
+        .join(cust_nation, o["o_custkey"] == cust_nation["c_custkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(supp_nation, li["l_suppkey"] == supp_nation["s_suppkey"])
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
@@ -352,15 +352,16 @@ def c_tpch_q9_shape(spark, sf_dir):
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
-    # Flat chain of INDEPENDENT broadcasts (p, s, n, o build concurrently on
-    # the broadcast-exchange pool) instead of pre-joining supplier⋈nation
-    # into a derived dim — a nested broadcast serializes its builds (n must
-    # finish before s⋈n can even start). Catalyst collapses the whole chain
-    # into one fact-scan stage either way; nation reaches the agg through
-    # supplier's s_nationkey.
+    # Flat chain instead of pre-joining supplier⋈nation into a derived dim:
+    # Catalyst collapses the whole chain into one fact-scan stage, and
+    # nation reaches the agg through supplier's s_nationkey. part/supplier
+    # carry NO broadcast hint — they grow with scale factor, so the build
+    # strategy must stay stats-driven (auto-broadcast under the threshold at
+    # fixture scale, graceful shuffle beyond it; only constant-cardinality
+    # nation keeps a pinned hint).
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
@@ -400,7 +401,7 @@ def c_tpch_q11_shape(spark, sf_dir):
     )
     sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select("s_suppkey")
     val = (
-        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        li.join(sn, li["l_suppkey"] == sn["s_suppkey"])
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
     )
@@ -487,7 +488,7 @@ def c_tpch_q15_shape(spark, sf_dir):
     return (
         revenue.join(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("best"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -524,8 +525,8 @@ def c_tpch_q16_shape(spark, sf_dir):
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .select(
@@ -562,8 +563,8 @@ def c_tpch_q17_shape(spark, sf_dir):
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(avg_qty), li["l_partkey"] == F.col("ap_partkey"))
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(avg_qty, li["l_partkey"] == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
@@ -603,7 +604,7 @@ def c_tpch_q19_shape(spark, sf_dir):
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
@@ -645,7 +646,7 @@ def c_tpch_q20_shape(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     heavy = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 50)
@@ -764,7 +765,7 @@ def c_tpch_q21_shape(spark, sf_dir):
         & (li["l_suppkey"] == supp_stats["ss_suppkey"]),
     ).filter((F.col("nsupp") >= 2) & (li["l_shipdate"] >= F.col("other_max")))
     return (
-        qualified.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        qualified.join(s, li["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
