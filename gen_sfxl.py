@@ -19,10 +19,19 @@ Replication is KEY-CONSISTENT, not naive duplication:
 - embeddings and all measures/timestamps are copied verbatim (ties are
   broken by id everywhere in the query contract).
 
+Optional DELIBERATE SKEW (`--skew-mod M`): in every replica i>0, rows whose
+BASE key satisfies `key % M == 0` keep a single global hot key instead of
+the replica-offset one — `events.user_id` collapses onto the hottest user
+and `lineitem.l_orderkey` onto one order. FK integrity holds (the hot key
+exists in replica 0), so joins stay correct while one join key carries
+~1/M of the whole fact side: the shape AQE's skew-join splitting exists
+for, at a footprint (≥4 GiB at 256 replicas) that crosses the engine's
+AQE gate.
+
 Output: `<out>/<table>.parquet/part-r{i:02d}.parquet` (already multi-file —
 bench_dir reads it directly). Usage:
 
-    python gen_sfxl.py [replicas] [src_sf_dir] [out_dir]
+    python gen_sfxl.py [replicas] [src_sf_dir] [out_dir] [--skew-mod M]
 """
 
 from __future__ import annotations
@@ -58,7 +67,14 @@ def _stride(max_val: int) -> int:
     return s
 
 
-def replicate(src: str, out: str, replicas: int) -> dict[str, int]:
+# (table, key column) -> hot-key selector: which rows of replicas >0 keep a
+# single global hot key when --skew-mod is set
+SKEW_KEYS = [("events", "user_id"), ("lineitem", "l_orderkey")]
+
+
+def replicate(
+    src: str, out: str, replicas: int, skew_mod: int | None = None
+) -> dict[str, int]:
     """Key-consistent N× replication (see module docstring). Returns the
     per-table output row counts."""
     from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
@@ -66,6 +82,16 @@ def replicate(src: str, out: str, replicas: int) -> dict[str, int]:
     base: dict[str, pa.Table] = {
         t: pq.read_table(table_path(src, t)) for t in TABLES
     }
+    skew: dict[str, tuple[str, object, object]] = {}
+    if skew_mod:
+        for t, c in SKEW_KEYS:
+            col = base[t].column(c)
+            # hot key = the minimum base key (guaranteed to exist in
+            # replica 0, so FK joins stay satisfiable)
+            hot = pc.min(col)
+            assert skew_mod & (skew_mod - 1) == 0, "--skew-mod must be a power of 2"
+            mask = pc.equal(pc.bit_wise_and(col.cast("int64"), skew_mod - 1), 0)
+            skew[t] = (c, mask, hot)
     # one stride per entity, from the max over every table carrying that key
     strides: dict[str, int] = {}
     for ent, cols in ENTITY_KEYS.items():
@@ -91,10 +117,15 @@ def replicate(src: str, out: str, replicas: int) -> dict[str, int]:
             if i > 0:
                 for c, stride in offsets_by_table.get(t, []):
                     col = tbl.column(c)
+                    shifted = pc.add(col, pa.scalar(i * stride, type=col.type))
+                    if t in skew and skew[t][0] == c:
+                        # selected rows collapse onto the global hot key
+                        _c, mask, hot = skew[t]
+                        shifted = pc.if_else(mask, hot.cast(col.type), shifted)
                     tbl = tbl.set_column(
                         tbl.schema.get_field_index(c),
                         tbl.schema.field(c),
-                        pc.add(col, pa.scalar(i * stride, type=col.type)),
+                        shifted,
                     )
                 if t == "documents":
                     tag = f"replica{i}:: "  # unlikely to prefix-collide with real text
@@ -136,14 +167,20 @@ def replicate(src: str, out: str, replicas: int) -> dict[str, int]:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = list(sys.argv[1:])
+    skew_mod = None
+    if "--skew-mod" in args:
+        i = args.index("--skew-mod")
+        skew_mod = int(args[i + 1])
+        del args[i : i + 2]
+    replicas = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     out = (
-        sys.argv[3]
-        if len(sys.argv) > 3
+        args[2]
+        if len(args) > 2
         else os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "sf1")
     )
-    for t, rows in replicate(src, out, replicas).items():
+    for t, rows in replicate(src, out, replicas, skew_mod=skew_mod).items():
         print(f"{t}: {rows} rows")
     print(f"wrote {out}")
 

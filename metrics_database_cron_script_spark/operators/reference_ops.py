@@ -114,7 +114,9 @@ def first_touch(events: DataFrame) -> DataFrame:
     )
 
 
-def aum_routing(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+def aum_routing(
+    events: DataFrame, watermark: str = WATERMARK, money: str = "double"
+) -> DataFrame:
     """P5: the nominations/AUM routing matrix (updatescript.py:154-218),
     loop-carried state rewritten as window functions (SURVEY.md §8.P5).
 
@@ -133,8 +135,17 @@ def aum_routing(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
       Δ < 0 → AUM(stake if first-touch else Δ)
 
     Output: one row per (event, sink) with the routed volume.
+
+    `money="decimal"` runs the identical routing in DecimalType(38,18):
+    at 100 TB the AUM deltas are long exact-sum chains, the first place
+    float accumulation drifts (SURVEY.md §7 flag) — same plan, exact
+    arithmetic (oracled as `r_aum_routing_decimal`).
     """
     tx = tx_view(events)
+    if money == "decimal":
+        tx = tx.withColumn("stake", F.col("stake").cast(MONEY_DECIMAL)).withColumn(
+            "alreadyBonded", F.col("alreadyBonded").cast(MONEY_DECIMAL)
+        )
     wm = F.lit(watermark).cast("timestamp")
     batch = tx.filter((F.col("ts") > wm) & F.col("successful"))
     # Per-user state (seen-pre flag + batch-first key) in ONE grouped pass

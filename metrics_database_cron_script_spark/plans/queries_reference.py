@@ -4,6 +4,8 @@ oracle encoding the identical §8 formula."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from metrics_database_cron_script_spark.operators import reference_ops as R
 from metrics_database_cron_script_spark.plans.registry import query
 from metrics_database_cron_script_spark.sources import load_table
@@ -138,6 +140,57 @@ FROM flagged WHERE delta <> 0 OR first_touch""",
 )
 def r_aum_routing(spark, sf_dir):
     return R.aum_routing(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_aum_routing_decimal",
+    oracle=f"""
+WITH {_TX_CTE.strip()},
+batch AS (
+  -- DECIMAL(37,18), not (38,18): DuckDB widens subtraction by one digit
+  -- and falls back to DOUBLE past precision 38, which would silently undo
+  -- the exact-arithmetic mode; 37+1 stays decimal. The VARCHAR hop matches
+  -- Spark's double->decimal semantics (BigDecimal.valueOf: shortest
+  -- round-trip decimal string), where a direct double->decimal cast in
+  -- DuckDB would expand the exact binary value (54.62 ->
+  -- 54.6200000000000045...) and drift the deltas.
+  SELECT * REPLACE (CAST(CAST(stake AS VARCHAR) AS DECIMAL(37,18)) AS stake,
+                    CAST(CAST(alreadyBonded AS VARCHAR) AS DECIMAL(37,18)) AS alreadyBonded)
+  FROM tx WHERE ts > TIMESTAMP '{WM}' AND successful
+),
+seen_pre AS (
+  SELECT DISTINCT user_id FROM tx WHERE ts <= TIMESTAMP '{WM}' AND successful
+),
+flagged AS (
+  SELECT b.*, b.stake - b.alreadyBonded AS delta,
+         (s.user_id IS NULL)
+           AND (row_number() OVER (PARTITION BY b.user_id ORDER BY b.ts, b.event_id) = 1)
+           AS first_touch
+  FROM batch b LEFT JOIN seen_pre s USING (user_id)
+)
+SELECT event_id, chain, 'nominations' AS sink,
+       CAST(CASE WHEN delta = 0 THEN stake ELSE delta END AS DOUBLE) AS volume
+FROM flagged WHERE delta = 0 OR (delta > 0 AND chain = 'kusama')
+UNION ALL
+SELECT event_id, chain, 'amountstaked' AS sink, CAST(delta AS DOUBLE) AS volume
+FROM flagged WHERE delta > 0 AND chain = 'polkadot'
+UNION ALL
+SELECT event_id, chain, 'aum' AS sink,
+       CAST(CASE WHEN first_touch THEN stake ELSE delta END AS DOUBLE) AS volume
+FROM flagged WHERE delta <> 0 OR first_touch""",
+)
+def r_aum_routing_decimal(spark, sf_dir):
+    """R23 routing with exact DecimalType(38,18) money math — the identical
+    single-pass fused-state plan, arithmetic mode swapped (SURVEY.md §4.3:
+    at 100 TB the AUM delta chains are the first float casualty). Both
+    sides compute delta/volume in DECIMAL(38,18) and cast only the OUTPUT
+    to double — decimal render scales differ across engines (Spark keeps
+    scale-17 trailing zeros, DuckDB's pandas surface floats), so the
+    comparable surface is the rounded-to-nearest double of the same exact
+    decimal; the decimal schema itself is pinned in test_money_modes."""
+    return R.aum_routing(load_table(spark, sf_dir, "events"), money="decimal").withColumn(
+        "volume", F.col("volume").cast("double")
+    )
 
 
 @query(

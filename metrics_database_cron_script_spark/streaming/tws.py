@@ -76,6 +76,31 @@ def _processor():
     return RunningTotals()
 
 
+def run_running_totals_best(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_totals"
+) -> tuple[DataFrame, str]:
+    """Environment-dispatched running totals: the `transformWithState`
+    operator where its python runtime can start, else the
+    `applyInPandasWithState` implementation (streaming/stateful.py) — the
+    two produce identical per-user accumulators, so which engine path ran
+    is an environment fact, not a semantic one. Returns (result, path)
+    with path in {"transformWithState", "applyInPandasWithState"} so
+    callers/tests can assert the dispatch instead of skipping."""
+    if tws_available():
+        return (
+            run_tws_running_totals(spark, sf_dir, query_name),
+            "transformWithState",
+        )
+    from metrics_database_cron_script_spark.streaming.stateful import (
+        run_stateful_running_totals,
+    )
+
+    return (
+        run_stateful_running_totals(spark, sf_dir, query_name),
+        "applyInPandasWithState",
+    )
+
+
 def run_tws_running_totals(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_tws"
 ) -> DataFrame:

@@ -32,6 +32,34 @@ def test_decimal_money_mode_schema_and_agreement(spark):
     assert s1 == s2
 
 
+def test_decimal_routing_mode_schema_and_agreement(spark):
+    """R23 routing in decimal mode: identical row set, volumes exact
+    DecimalType — delta chains are where float drift first shows at scale
+    (the oracled comparison surface is r_aum_routing_decimal; here we pin
+    the internal decimal schema and double-mode agreement)."""
+    from metrics_database_cron_script_spark.operators.reference_ops import aum_routing
+    from metrics_database_cron_script_spark.sources import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    dbl = aum_routing(events)
+    dec = aum_routing(events, money="decimal")
+    assert isinstance(dbl.schema["volume"].dataType, T.DoubleType)
+    assert isinstance(dec.schema["volume"].dataType, T.DecimalType)
+
+    key = ["event_id", "sink"]
+    joined = dbl.select(*key, F.col("volume").alias("d")).join(
+        dec.select(*key, F.col("volume").cast("double").alias("x")), key
+    )
+    assert joined.count() == dbl.count()  # same routed row set
+    assert joined.filter(F.abs(F.col("d") - F.col("x")) > 1e-6).count() == 0
+
+    # exactness: the decimal AUM sum is reorder-invariant
+    aum = dec.filter(F.col("sink") == "aum")
+    s1 = aum.agg(F.sum("volume")).collect()[0][0]
+    s2 = aum.orderBy(F.col("event_id").desc()).agg(F.sum("volume")).collect()[0][0]
+    assert s1 == s2
+
+
 def test_update_prices_with_rest_source(spark, tmp_path):
     """P1 via the REST point source: injected fetcher → {date, price} dim →
     idempotent append (reference R6, updatescript.py:39-43)."""

@@ -25,29 +25,31 @@ def test_stateful_running_totals_matches_batch(spark):
     assert got == want and len(got) > 0
 
 
-def test_tws_running_totals_matches_batch(spark):
-    """transformWithStateInPandas running totals must equal the batch
-    groupBy — skipped where the TWS python runtime can't start (no
-    protobuf in this container; see streaming/tws.py gate)."""
+def test_running_totals_dispatch_matches_batch(spark):
+    """The stateful running-totals surface must produce batch-groupBy
+    totals on WHICHEVER engine path the environment supports — the
+    transformWithStateInPandas runtime where protobuf is present, else the
+    applyInPandasWithState implementation. No skip: the dispatch itself is
+    asserted, and on a protobuf-less container the direct TWS entry point
+    must refuse with actionable guidance rather than dying in the python
+    worker."""
     import pytest
-
-    from metrics_database_cron_script_spark.streaming.tws import (
-        run_tws_running_totals,
-        tws_available,
-    )
-
-    if not tws_available():
-        pytest.skip("google.protobuf not installed — TWS driver worker cannot start")
 
     from pyspark.sql import functions as F
 
     from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.tws import (
+        run_running_totals_best,
+        run_tws_running_totals,
+        tws_available,
+    )
     from tests.conftest import SF_SMOKE
 
-    got = {
-        r["user_id"]: (r["n"], r["total"])
-        for r in run_tws_running_totals(spark, SF_SMOKE, "t_tws").collect()
-    }
+    result, path = run_running_totals_best(spark, SF_SMOKE, "t_tws_best")
+    assert path == (
+        "transformWithState" if tws_available() else "applyInPandasWithState"
+    )
+    got = {r["user_id"]: (r["n"], round(r["total"], 6)) for r in result.collect()}
     want = {
         r["user_id"]: (r["n"], round(r["total"], 6))
         for r in load_table(spark, SF_SMOKE, "events")
@@ -55,4 +57,8 @@ def test_tws_running_totals_matches_batch(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
         .collect()
     }
-    assert got == want
+    assert got == want and len(got) > 0
+
+    if not tws_available():
+        with pytest.raises(ImportError, match="google.protobuf"):
+            run_tws_running_totals(spark, SF_SMOKE, "t_tws_direct")
