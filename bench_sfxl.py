@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""AQE-on evidence at a ≥4 GiB footprint with a deliberately skewed key.
+
+Every other committed bench artifact runs below the engine's 4 GiB AQE
+gate (sources/tables.py), so the 100 TB claims that lean on AQE — skew
+splits, runtime coalescing — had argument but no measurement. This script
+runs against the `gen_sfxl.py --skew-mod` dataset (default
+.bench_cache/sfxl: 256× sf0.1 ≈ 4.6 GiB, 1/16 of replica rows collapsed
+onto one hot l_orderkey / user_id — measured: 1/32 puts the hot shuffle
+partition at 214 MB, 9.6× the median but still under the 256 MB
+production default `skewedPartitionThresholdInBytes`, so the split
+correctly does NOT fire; 1/16 crosses it), which crosses the gate, and
+records:
+
+- that the gate actually enabled AQE (no env override — the data did it);
+- per-query Spark vs DuckDB wall time (same parquet, ratio column);
+- for the skew-sensitive shapes, whether the FINAL adaptive plan contains
+  a skew-split (`skew=true`) and AQE shuffle reads, at PRODUCTION-DEFAULT
+  skew thresholds (256 MB / 5× median — nothing tuned down);
+- a direct full-width fact join on the hot key as the canonical skew
+  probe (the narrow bench queries project the hot partition below the
+  256 MB default threshold; the probe carries all lineitem columns).
+
+Output: one JSON line (committed as BENCH_COMPARE_SFXL.json).
+
+    python bench_sfxl.py [sfxl_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import run_query  # noqa: E402
+
+QUERIES_SFXL = [
+    "c_inner_join",
+    "c_hash_agg",
+    "c_topk_per_group",
+    "r_aum_routing",
+    "x_text_tokens",
+    "c_tpch_q1_shape",
+    "c_tpch_q9_shape",
+    "c_tpch_q21_shape",
+]
+# queries whose join keys carry the injected skew — their final adaptive
+# plans are inspected for runtime skew handling
+SKEW_SENSITIVE = {"r_aum_routing", "c_tpch_q21_shape"}
+
+
+def _final_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> None:
+    sfxl = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "sfxl"
+        )
+    )
+    skew_mod = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    # a 32-thread local executor over ≥4 GiB needs a real heap: the default
+    # 8 g gave each task ~140 MB of execution memory — the q9 shuffle-hash
+    # build alone (per-partition hash of orders, grown 4× by AQE's 64 MB
+    # coalescing advisory) needs ~64-140 MB per task × 32 concurrent tasks.
+    # 32 g ≈ 1 GB/core, the low end of any production executor sizing.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    from metrics_database_cron_script_spark import get_spark
+    from metrics_database_cron_script_spark.oracle import duckdb_connect
+    from metrics_database_cron_script_spark.plans import ORACLES, QUERIES
+    from metrics_database_cron_script_spark.sources.tables import load_table
+
+    spark = get_spark("bench_sfxl")
+
+    # warm codegen at smoke scale, then confirm the data-driven AQE gate
+    for name in QUERIES_SFXL:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    load_table(spark, sfxl, "lineitem")  # triggers _size_shuffle for sfxl
+    aqe_enabled = spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    out: dict[str, dict] = {}
+    skew_evidence: dict[str, dict] = {}
+    agg_s = agg_d = 0.0
+    con = duckdb_connect(sfxl)
+    for name in QUERIES_SFXL:
+        r = run_query(spark, QUERIES[name], sfxl, runs=2)
+        entry: dict = {
+            "spark_s": r["s"],
+            "spark_max_s": r["max_s"],
+            "spark_jobs": r["jobs"],
+        }
+        if name in ORACLES:
+            best_d = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(ORACLES[name]).fetchall()
+                best_d = min(best_d, time.perf_counter() - t0)
+            entry["duckdb_s"] = round(best_d, 3)
+            entry["ratio"] = round(r["s"] / best_d, 2) if best_d > 0 else None
+            agg_s += r["s"]
+            agg_d += best_d
+        else:
+            entry["duckdb_s"] = entry["ratio"] = None
+        if name in SKEW_SENSITIVE:
+            df = QUERIES[name](spark, sfxl)
+            # drain THIS DataFrame's own query execution (count() would
+            # finalize a sibling plan), without collecting rows
+            df._jdf.queryExecution().toRdd().count()
+            plan = _final_plan(df)
+            skew_evidence[name] = {
+                "skew_split": "skew=true" in plan,
+                "aqe_shuffle_reads": plan.count("AQEShuffleRead"),
+            }
+        out[name] = entry
+
+    # canonical skew probe: full-width fact join on the hot orderkey at
+    # production-default thresholds
+    li = load_table(spark, sfxl, "lineitem")
+    o = load_table(spark, sfxl, "orders").hint("shuffle_hash")
+    probe = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    t0 = time.perf_counter()
+    n = probe._jdf.queryExecution().toRdd().count()  # drains probe's own plan
+    probe_s = time.perf_counter() - t0
+    plan = _final_plan(probe)
+    skew_evidence["hot_orderkey_fact_join"] = {
+        "rows": n,
+        "spark_s": round(probe_s, 3),
+        "skew_split": "skew=true" in plan,
+        "aqe_shuffle_reads": plan.count("AQEShuffleRead"),
+    }
+
+    print(
+        json.dumps(
+            {
+                "metric": "spark_vs_duckdb_sfxl",
+                "sf_dir": sfxl,
+                "bytes": sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _d, fs in os.walk(sfxl)
+                    for f in fs
+                ),
+                "aqe_enabled_by_gate": aqe_enabled,
+                "shuffle_partitions": shuffle_parts,
+                "skew": {"mod": skew_mod, "keys": ["events.user_id", "lineitem.l_orderkey"]},
+                "aggregate_ratio": round(agg_s / agg_d, 2) if agg_d else None,
+                "queries": out,
+                "skew_evidence": skew_evidence,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,35 +42,70 @@ def presplit(
     row-preserving parquet slices under `dst_sf_dir`. Idempotent: a marker
     records the source files' (size, mtime); a matching marker skips the
     rewrite, a stale one triggers it. Returns `dst_sf_dir`."""
-    import pyarrow.parquet as pq
-
     from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
 
     src_root = src_sf_dir.rstrip("/")
     dst_root = dst_sf_dir.rstrip("/")
-    fingerprint = {}
-    for name in TABLES:
-        p = table_path(src_root, name)
-        if os.path.isfile(p):
-            st = os.stat(p)
-            # ns-resolution mtime: a same-size in-place rewrite within the
-            # same wall-clock second must still invalidate
-            fingerprint[name] = [st.st_size, st.st_mtime_ns]
+
+    def _fingerprint():
+        fp = {}
+        for name in TABLES:
+            p = table_path(src_root, name)
+            if os.path.isfile(p):
+                st = os.stat(p)
+                # ns-resolution mtime: a same-size in-place rewrite within
+                # the same wall-clock second must still invalidate
+                fp[name] = [st.st_size, st.st_mtime_ns]
+        return fp
+
     marker_path = os.path.join(dst_root, _MARKER)
-    if os.path.isfile(marker_path):
+
+    def _marker_hit(fp):
+        if not os.path.isfile(marker_path):
+            return False
         try:
             with open(marker_path) as f:
-                marker_ok = json.load(f) == {"src": src_root, "files": fingerprint, "target": target_file_bytes, "max": max_files}
+                marker_ok = json.load(f) == {"src": src_root, "files": fp, "target": target_file_bytes, "max": max_files}
         except (OSError, ValueError):
             marker_ok = False
         # a marker hit is only valid if every fingerprinted table's output
         # directory actually exists (someone may have deleted a dst table)
-        if marker_ok and all(
-            os.path.isdir(table_path(dst_root, name)) for name in fingerprint
-        ):
-            return dst_root
+        return marker_ok and all(
+            os.path.isdir(table_path(dst_root, name)) for name in fp
+        )
 
+    fingerprint = _fingerprint()
+    if _marker_hit(fingerprint):
+        return dst_root
+
+    # Cross-process exclusion: two bench processes sharing .bench_cache must
+    # not interleave rmtree/write/marker (the loser could validate a
+    # half-rewritten dir). An exclusive flock serializes rewriters; the
+    # blocked process re-checks the marker after the winner finishes and
+    # usually returns without rewriting. Readers that bypass presplit()
+    # entirely are not protected — every engine/oracle entry point resolves
+    # the dir through this call.
     os.makedirs(dst_root, exist_ok=True)
+    import fcntl
+
+    lock = open(os.path.join(dst_root, ".presplit.lock"), "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        fingerprint = _fingerprint()  # src may have changed while we waited
+        if _marker_hit(fingerprint):
+            return dst_root
+        _rewrite(src_root, dst_root, fingerprint, target_file_bytes, max_files, marker_path)
+        return dst_root
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+
+
+def _rewrite(src_root, dst_root, fingerprint, target_file_bytes, max_files, marker_path):
+    import pyarrow.parquet as pq
+
+    from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
+
     for name in TABLES:
         src = table_path(src_root, name)
         dst = table_path(dst_root, name)  # <dst>/<name>.parquet/ directory
@@ -102,4 +137,3 @@ def presplit(
             i += 1
     with open(marker_path, "w") as f:
         json.dump({"src": src_root, "files": fingerprint, "target": target_file_bytes, "max": max_files}, f)
-    return dst_root

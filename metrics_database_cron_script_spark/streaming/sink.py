@@ -177,7 +177,18 @@ def stream_rollup_maintenance(
             F.max("epoch").alias("e"), F.max("lineage").alias("l")
         ).collect()[0]
         qid = _query_id()
-        if head["l"] is not None and head["l"] != qid:
+        # Migration: state written before the lineage guard switched from
+        # checkpoint PATH to query UUID stores the path. With the original
+        # checkpoint still in place that state is intact — accept the legacy
+        # value once; the merge below rewrites lineage to the query id, so
+        # the next batch compares UUIDs again. (A recreated checkpoint at
+        # the same path carries a fresh UUID *in its metadata*, which the
+        # epoch guard can't see under path-lineage — but a recreated
+        # checkpoint also replays from scratch, and the epoch monotonicity
+        # check below rejects the replayed epochs, so the legacy window is
+        # no weaker than the code that wrote that state.)
+        legacy = head["l"] == checkpoint_dir
+        if head["l"] is not None and head["l"] != qid and not legacy:
             raise ValueError(
                 f"rollup state at {state_path} was built under streaming "
                 f"query lineage {head['l']!r}; this run's checkpoint "

@@ -103,6 +103,57 @@ def test_stream_rollup_refuses_wiped_and_recreated_checkpoint(spark, tmp_path):
     assert "lineage" in str(ei.value) or "query id" in str(ei.value)
 
 
+def test_stream_rollup_accepts_legacy_path_lineage_once(spark, tmp_path):
+    """Migration path: state written by the pre-UUID guard stores the
+    checkpoint PATH in `lineage`. Restarting over its original (path-equal)
+    checkpoint must be ACCEPTED — refusing would force a full state rebuild
+    for every pre-existing deployment — while remaining exactly-once (the
+    epoch guard still rejects the replayed epochs). A wiped checkpoint at a
+    DIFFERENT path still refuses."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.reference_ops import daily_rollup
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.state import atomic_overwrite
+    from metrics_database_cron_script_spark.streaming.sink import (
+        stream_rollup_maintenance,
+    )
+
+    state = str(tmp_path / "rollup.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    stream_rollup_maintenance(spark, SF_SMOKE, state, ckpt, query_name="t_legacy1")
+
+    # simulate legacy state: lineage column holds the checkpoint PATH
+    legacy = spark.read.parquet(state).withColumn("lineage", F.lit(ckpt))
+    atomic_overwrite(legacy.localCheckpoint(eager=True), state)
+
+    # recreated checkpoint at the SAME path (the legacy world's lineage key):
+    # accepted, and the epoch guard keeps the replay from double-merging
+    shutil.rmtree(ckpt)
+    got = stream_rollup_maintenance(
+        spark, SF_SMOKE, state, ckpt, query_name="t_legacy2"
+    )
+    want = sorted(
+        (str(r["day"]), r["n"], round(r["sum_value"], 6))
+        for r in daily_rollup(load_table(spark, SF_SMOKE, "events")).collect()
+    )
+    assert sorted(
+        (str(r["day"]), r["n"], round(r["sum_value"], 6)) for r in got.collect()
+    ) == want
+
+    # a different checkpoint path matches neither the UUID nor the legacy
+    # path value -> still refused loudly
+    with pytest.raises(Exception) as ei:
+        stream_rollup_maintenance(
+            spark, SF_SMOKE, state, str(tmp_path / "other_ckpt"),
+            query_name="t_legacy3",
+        )
+    assert "lineage" in str(ei.value) or "query id" in str(ei.value)
+
+
 def test_stream_to_versioned_snapshot_keep_latest_and_replay_safe(spark, tmp_path):
     """The OCC keep-latest streaming sink must (a) converge to the batch
     upsert_snapshot result, and (b) be replay-safe WITHOUT epoch guards: a
