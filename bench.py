@@ -79,6 +79,7 @@ def run_query(spark, fn, sf_dir: str, runs: int = 3) -> dict:
     attributable)."""
     times = []
     jobs = 0
+    tasks = 0
     for i in range(runs):
         group = f"bench-{id(fn)}-{i}"
         spark.sparkContext.setJobGroup(group, "bench")
@@ -87,15 +88,31 @@ def run_query(spark, fn, sf_dir: str, runs: int = 3) -> dict:
         times.append(time.perf_counter() - t0)
         assert n >= 0
         try:
-            jobs = len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+            tracker = spark.sparkContext.statusTracker()
+            job_ids = tracker.getJobIdsForGroup(group)
+            jobs = len(job_ids)
+            # total task launches of this run — the other half of the
+            # fixed-cost floor (each task pays scheduling + launch even if
+            # its work is microseconds)
+            tasks = 0
+            for jid in job_ids:
+                jinfo = tracker.getJobInfo(jid)
+                if jinfo is None:
+                    continue
+                for sid in jinfo.stageIds:
+                    sinfo = tracker.getStageInfo(sid)
+                    if sinfo is not None:
+                        tasks += sinfo.numTasks
         except Exception:
             jobs = -1
+            tasks = -1
         finally:
             spark.sparkContext.setJobGroup("", "")
     return {
         "s": round(min(times), 3),
         "max_s": round(max(times), 3),
         "jobs": jobs,
+        "tasks": tasks,
     }
 
 

@@ -34,6 +34,38 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()  # JIT/page-cache warm at target sf
 
+    # Per-job fixed cost measured IN THIS SESSION: the cheapest possible
+    # action (1-row range → count) still pays Catalyst on a 1-node plan,
+    # DAGScheduler submit/teardown, task launch, and result fetch. The plan
+    # is built ONCE (mirroring the registry's prepared-plan cache, so plan
+    # CONSTRUCTION py4j chatter is excluded, exactly as for the measured
+    # queries); median of 15 actions — the irreducible floor a local Spark
+    # job pays that DuckDB (in-process, no scheduler) does not.
+    # numPartitions=1: the default 32-slice range would charge 32 task
+    # launches to the "floor" while the measured queries run far fewer
+    # tasks — one slice keeps the floor CONSERVATIVE (a single-task job);
+    # any real query's jobs are at least this expensive.
+    one = spark.range(0, 1, 1, 1)
+    one.count()  # warm codegen for the probe shape
+    floor_runs = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        one.count()
+        floor_runs.append(time.perf_counter() - t0)
+    floor_job_s = sorted(floor_runs)[len(floor_runs) // 2]
+    # Per-task fixed cost: same probe widened to 32 slices — the extra
+    # wall time over the 1-slice job, divided by the extra task launches.
+    wide = spark.range(0, 1, 1, 32)
+    wide.count()
+    wide_runs = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        wide.count()
+        wide_runs.append(time.perf_counter() - t0)
+    floor_task_s = max(
+        0.0, (sorted(wide_runs)[len(wide_runs) // 2] - floor_job_s) / 31
+    )
+
     con = duckdb_connect(sf_dir)
     out = {}
     agg_s = agg_d = 0.0
@@ -48,12 +80,26 @@ def main() -> None:
                 best_d = min(best_d, time.perf_counter() - t0)
             agg_s += best_s
             agg_d += best_d
+            # irreducible fixed-cost floor: this query's plan executes as
+            # `spark_jobs` Spark jobs (broadcast builds + the result job —
+            # plan-structural) launching `spark_tasks` tasks in total; each
+            # job and each task pays the fixed cost measured by the probes
+            # above. When the DuckDB denominator sits below that floor, the
+            # ratio measures scheduler fixed cost, not plan quality —
+            # `floor_bound` makes that claim driver-verifiable per query
+            # (re-run the probes, recount jobs/tasks via statusTracker).
+            floor_s = round(
+                r["jobs"] * floor_job_s + max(r["tasks"], 0) * floor_task_s, 3
+            )
             out[name] = {
                 "spark_s": best_s,
                 "spark_max_s": r["max_s"],
                 "spark_jobs": r["jobs"],
+                "spark_tasks": r["tasks"],
                 "duckdb_s": round(best_d, 3),
                 "ratio": round(best_s / best_d, 1) if best_d > 0 else None,
+                "floor_s": floor_s,
+                "floor_bound": bool(best_d <= floor_s),
             }
         else:
             out[name] = {
@@ -70,6 +116,8 @@ def main() -> None:
                 "sf": sf_dir,
                 "layout": "presplit" if sf_dir != src_dir else "raw",
                 "aggregate_ratio": round(agg_s / agg_d, 2) if agg_d > 0 else None,
+                "floor_job_s": round(floor_job_s, 4),
+                "floor_task_s": round(floor_task_s, 5),
                 "queries": out,
             }
         )
