@@ -550,6 +550,16 @@ def x_embed_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb, _queries_table(spark, sf_dir), k=5)
 
 
+@query("x_embed_pq_topk", oracle=None)  # KMeans codebooks engine-private → rows-only
+def x_embed_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: m-byte codes scanned in place of full
+    vectors, ADC proxy shortlist, exact re-rank on the shortlist only —
+    the billion-vector memory-bandwidth layout (recall vs brute force
+    asserted in tests/test_pq_topk.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, _queries_table(spark, sf_dir), k=5)
+
+
 def _dedup_pipeline_oracle() -> str:
     return (
         r"""

@@ -51,9 +51,19 @@ def stream_to_versioned_snapshot(
     key: str = "user_id",
     order_cols: list[str] | None = None,
     query_name: str = "stream_versioned",
+    n_buckets: int | None = None,
 ):
     """Drain the events stream into a `versioned.VersionedSnapshot` via
     keep-latest MERGE per micro-batch (R9 upsert on the streaming surface).
+
+    `n_buckets` switches the store to HASH-BUCKET partitioning
+    (`__bucket = pmod(xxhash64(key), n_buckets)` — functionally dependent
+    on the key, as the partitioned MERGE requires) and each micro-batch
+    commit to `merge_keep_latest_partitioned`: only buckets containing
+    batch keys are re-deduped and rewritten, the rest carry forward by
+    hardlink. At 100 TB this is the difference between a micro-batch
+    commit costing O(snapshot) and O(batch-touched shards) — the same
+    sharded-dimension-store layout a keyed state backend uses.
 
     Exactly-once here needs NO epoch guard: keep-latest merge is IDEMPOTENT
     (re-merging a replayed batch's rows reproduces the same winners), and
@@ -85,7 +95,15 @@ def stream_to_versioned_snapshot(
         normalized = batch_df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
         )
-        table.merge_keep_latest(normalized, key=key, order_cols=cols)
+        if n_buckets:
+            bucketed = normalized.withColumn(
+                "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+            )
+            table.merge_keep_latest_partitioned(
+                bucketed, key=key, order_cols=cols, partition_col="__bucket"
+            )
+        else:
+            table.merge_keep_latest(normalized, key=key, order_cols=cols)
 
     events = read_events_stream(spark, sf_dir)
     q = (
@@ -98,7 +116,8 @@ def stream_to_versioned_snapshot(
         q.processAllAvailable()
     finally:
         q.stop()
-    return table.read(declared)
+    out = table.read(declared)
+    return out.drop("__bucket") if n_buckets else out
 
 
 def stream_rollup_maintenance(

@@ -350,6 +350,70 @@ class VersionedSnapshot:
 
     # ----------------------------------------------------------- maintenance
 
+    def compact_partitions(
+        self,
+        partition_col: str,
+        partitions: list | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Small-file compaction as a NORMAL versioned commit: rewrite the
+        selected partitions (default: all with more than one data file)
+        each into a single file via coalesce(1)-per-partition, carry every
+        other partition forward by hardlink, publish under OCC. Readers
+        never see a half-compacted table (snapshot isolation), a racing
+        writer costs a retry exactly like any other commit, and time travel
+        to pre-compaction versions keeps working until `vacuum` reaps them.
+        Row content is untouched — only the file layout changes. Returns
+        the committed version."""
+        prefix = f"{partition_col}="
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            v = self.version()
+            if v < 0:
+                raise FileNotFoundError(f"{self.path}: nothing to compact")
+            old_dir = self._resolve_data_dir(v)
+            part_dirs = [n for n in os.listdir(old_dir) if n.startswith(prefix)]
+            if not part_dirs:
+                raise ValueError(
+                    f"{self.path}: version {v} is not partitioned by "
+                    f"{partition_col!r}"
+                )
+            if partitions is not None:
+                wanted = {f"{partition_col}={p}" for p in partitions}
+                targets = [n for n in part_dirs if n in wanted]
+            else:
+                targets = [
+                    n
+                    for n in part_dirs
+                    if sum(
+                        f.endswith(".parquet")
+                        for f in os.listdir(os.path.join(old_dir, n))
+                    )
+                    > 1
+                ]
+            stage = self._stage_dir(v + 1)
+            os.makedirs(stage, exist_ok=True)
+            for name in part_dirs:
+                if name in targets:
+                    # per-partition single-file rewrite: the read is pruned
+                    # to one directory, the write is one task
+                    self.spark.read.parquet(
+                        os.path.join(old_dir, name)
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        os.path.join(stage, name)
+                    )
+                else:
+                    _link_tree(
+                        os.path.join(old_dir, name), os.path.join(stage, name)
+                    )
+            try:
+                self._publish(v + 1, stage)
+                return v + 1
+            except ConcurrentWriteError as e:
+                last_err = e
+                continue
+        raise last_err  # type: ignore[misc]
+
     def vacuum(self, keep: int = 2) -> list[str]:
         """Drop data dirs of superseded versions (keeping the latest `keep`)
         and ORPHAN data dirs (staged by crashed/defeated writers — no commit

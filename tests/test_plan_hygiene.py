@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "x_drift_psi": 1,            # broadcast 1-row split sizes
     "x_embed_ivf_topk": 1,       # broadcast tiny centroid frame
     "x_embed_outliers": 1,       # broadcast 1-row moment scalars
+    "x_embed_pq_topk": 1,        # broadcast constant probe sample x corpus codes
     "x_embed_sq_topk": 1,        # broadcast 1-row quantization range
     "x_filter_cascade": 1,       # broadcast 1-row cascade counters
     "x_mixture_weights": 1,      # broadcast 1-row corpus size
@@ -87,6 +88,8 @@ BROADCAST_GROWING_ALLOWED = {
     "x_embed_ivf_topk": 1,       # K-centroid frame (K constant)
     "x_embed_lsh_topk": 1,       # constant-size probe sample
     "x_embed_outliers": 1,       # 1-row moment scalars
+    "x_embed_pq_topk": 2,        # constant-size probe sample: ADC proxy pass
+                                 # + the shortlist's exact re-rank join
     "x_embed_sq_topk": 1,        # constant-size probe sample
     "x_filter_cascade": 1,       # 1-row cascade counters
     "x_knn_label_majority": 2,   # probe sample, two consumers

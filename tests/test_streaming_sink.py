@@ -185,3 +185,37 @@ def test_stream_to_versioned_snapshot_keep_latest_and_replay_safe(spark, tmp_pat
     )
     assert canon(again) == want  # replay merged, nothing duplicated/lost
     assert VersionedSnapshot(spark, state).version() > v_before  # new commits, same content
+
+
+def test_stream_to_versioned_snapshot_bucketed_is_o_delta(spark, tmp_path):
+    """n_buckets switches the snapshot to hash-bucket partitioning: same
+    keep-latest result, key-bucket FD by construction, and the store is
+    physically bucket-partitioned so a small batch's commit rewrites only
+    its buckets (carry-forward mechanics proven in test_versioned)."""
+    import os
+
+    from metrics_database_cron_script_spark.operators.reference_ops import (
+        upsert_snapshot,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.sink import (
+        stream_to_versioned_snapshot,
+    )
+    from metrics_database_cron_script_spark.versioned import VersionedSnapshot
+
+    state = str(tmp_path / "bsnap")
+    got = stream_to_versioned_snapshot(
+        spark, SF_SMOKE, state, str(tmp_path / "bck"),
+        query_name="t_vsnap_b", n_buckets=8,
+    )
+
+    def canon(df):
+        return sorted(map(tuple, df.select("user_id", "event_id").collect()))
+
+    want = canon(upsert_snapshot(load_table(spark, SF_SMOKE, "events")))
+    assert canon(got) == want
+    assert "__bucket" not in got.columns  # partition col is an internal detail
+    t = VersionedSnapshot(spark, state)
+    d = t._resolve_data_dir(t.version())
+    buckets = {n for n in os.listdir(d) if n.startswith("__bucket=")}
+    assert len(buckets) > 1  # physically bucket-partitioned store

@@ -330,6 +330,58 @@ def test_partitioned_merge_occ_concurrent_writer(spark, tmp_path):
     ]
 
 
+def test_compact_partitions_is_a_versioned_commit(spark, tmp_path):
+    """Compaction must reduce file counts in multi-file partitions, carry
+    single-file partitions by hardlink, change NO row, and commit as a new
+    version (old version still time-travelable)."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    # build a snapshot where day=2024-01-01 has several small files: the
+    # dedupe window hashes users across shuffle tasks and each task writes
+    # its own file into the day directory — pin 4 non-adaptive shuffle
+    # partitions for the setup merge so the fragmentation is deterministic
+    many = spark.createDataFrame(
+        [(i, "2024-01-01", float(i)) for i in range(20)], PSCHEMA
+    )
+    old_conf = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+    }
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        t.merge_keep_latest_partitioned(
+            many, key="user_id", order_cols=["value"], partition_col="day"
+        )
+        t.merge_keep_latest_partitioned(
+            _pdf(spark, [(100, "2024-01-02", 1.0)]),
+            key="user_id", order_cols=["value"], partition_col="day",
+        )
+    finally:
+        for k, v in old_conf.items():
+            spark.conf.set(k, v)
+    v_before = t.version()
+    before_rows = _prows(t.read())
+    d_before = t._resolve_data_dir(v_before)
+
+    def n_files(d, part):
+        return sum(
+            f.endswith(".parquet") for f in os.listdir(os.path.join(d, part))
+        )
+
+    assert n_files(d_before, "day=2024-01-01") > 1
+
+    v_after = t.compact_partitions("day")
+    assert v_after == v_before + 1
+    d_after = t._resolve_data_dir(v_after)
+    assert n_files(d_after, "day=2024-01-01") == 1  # compacted
+    # single-file partition carried by hardlink (same inodes)
+    assert _part_files(d_before, "day=2024-01-02") == _part_files(
+        d_after, "day=2024-01-02"
+    )
+    assert _prows(t.read()) == before_rows  # content untouched
+    assert _prows(t.read(version=v_before)) == before_rows  # time travel
+
+
 def test_partitioned_merge_upgrades_unpartitioned_base(spark, tmp_path):
     """First partitioned merge over a snapshot written unpartitioned (plain
     `overwrite`) falls back to one full rewrite — nothing is dropped — and
