@@ -93,13 +93,20 @@ def run_query(spark, fn, sf_dir: str, runs: int = 3) -> dict:
             jobs = len(job_ids)
             # total task launches of this run — the other half of the
             # fixed-cost floor (each task pays scheduling + launch even if
-            # its work is microseconds)
+            # its work is microseconds). Deduped by STAGE id: under AQE a
+            # downstream job's stageIds lists upstream already-executed
+            # stages too, and counting them once per referencing job would
+            # inflate the floor ~2×.
+            seen_stages: set[int] = set()
             tasks = 0
             for jid in job_ids:
                 jinfo = tracker.getJobInfo(jid)
                 if jinfo is None:
                     continue
                 for sid in jinfo.stageIds:
+                    if sid in seen_stages:
+                        continue
+                    seen_stages.add(sid)
                     sinfo = tracker.getStageInfo(sid)
                     if sinfo is not None:
                         tasks += sinfo.numTasks

@@ -88,9 +88,16 @@ def main() -> None:
             # ratio measures scheduler fixed cost, not plan quality —
             # `floor_bound` makes that claim driver-verifiable per query
             # (re-run the probes, recount jobs/tasks via statusTracker).
-            floor_s = round(
-                r["jobs"] * floor_job_s + max(r["tasks"], 0) * floor_task_s, 3
-            )
+            # jobs/tasks carry a -1 sentinel when statusTracker failed —
+            # an unknown floor must read as "no floor claim", never as a
+            # negative bound
+            if r["jobs"] < 0:
+                floor_s = None
+            else:
+                floor_s = round(
+                    r["jobs"] * floor_job_s + max(r["tasks"], 0) * floor_task_s,
+                    3,
+                )
             out[name] = {
                 "spark_s": best_s,
                 "spark_max_s": r["max_s"],
@@ -99,7 +106,9 @@ def main() -> None:
                 "duckdb_s": round(best_d, 3),
                 "ratio": round(best_s / best_d, 1) if best_d > 0 else None,
                 "floor_s": floor_s,
-                "floor_bound": bool(best_d <= floor_s),
+                "floor_bound": (
+                    bool(best_d <= floor_s) if floor_s is not None else None
+                ),
             }
         else:
             out[name] = {

@@ -47,35 +47,40 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = _Z_BITS) -> DataFra
     curve immune to value skew — a heavy-tailed distribution still spreads
     uniformly across the Z domain.
 
-    Scale shape: the 2^bits-1 bucket boundaries per column come from ONE
-    `approxQuantile` pass (Greenwald-Khanna partials, fixed-size driver
-    result — the same class as a broadcast build); the rank itself is then
-    a pure per-row expression over the broadcast boundary array (count of
-    boundaries ≤ value). No global window, no extra shuffle — a global
-    `percent_rank` would funnel the whole table through ONE partition,
-    which is exactly the kind of plan this module exists to avoid."""
+    Scale shape: the 2^bits-1 bucket boundaries for ALL columns come from
+    ONE multi-column `approxQuantile` pass (Greenwald-Khanna partials,
+    fixed-size driver result — the same class as a broadcast build); the
+    rank itself is then a pure per-row expression over the broadcast
+    boundary array (count of boundaries ≤ value). No global window, no
+    extra shuffle — a global `percent_rank` would funnel the whole table
+    through ONE partition, which is exactly the kind of plan this module
+    exists to avoid."""
     if not 2 <= len(cols) <= 3:
         raise ValueError("zorder needs 2-3 columns; 1 column is a plain sort")
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    num_names = [f"__n{i}" for i in range(len(cols))]
     out = df
+    for c, num_name in zip(cols, num_names):
+        out = out.withColumn(num_name, F.col(c).cast("double"))
+    # one input scan for every column's boundaries
+    all_bounds = out.stat.approxQuantile(num_names, probs, 0.001)
+
+    def _rank_fn(n):
+        # factory, not a default-arg lambda: pyspark's HOF lambdas must
+        # declare exactly the arity of the callback
+        return lambda acc, b: acc + F.when(F.col(n) >= b, 1).otherwise(0)
+
     rank_cols = []
-    for i, c in enumerate(cols):
-        as_num = F.col(c).cast("double")
-        num_name = f"__n{i}"
-        out = out.withColumn(num_name, as_num)
-        bounds = out.stat.approxQuantile(num_name, probs, 0.001)
-        # strictly increasing boundary list (ties collapse under skew —
-        # harmless: equal boundaries just merge buckets)
+    for i, (num_name, bounds) in enumerate(zip(num_names, all_bounds)):
+        # boundary ties under skew are harmless: equal boundaries merge
+        # buckets
         lit_bounds = F.array(*[F.lit(float(b)) for b in bounds])
-        rank = F.aggregate(
-            lit_bounds,
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col(num_name) >= b, 1).otherwise(0),
-        )
+        rank = F.aggregate(lit_bounds, F.lit(0), _rank_fn(num_name))
         rname = f"__r{i}"
-        out = out.withColumn(rname, rank.cast("long")).drop(num_name)
+        out = out.withColumn(rname, rank.cast("long"))
         rank_cols.append(rname)
+    out = out.drop(*num_names)
     n = len(cols)
     # interleave: bit b of rank i lands at position b*n + i
     parts = []

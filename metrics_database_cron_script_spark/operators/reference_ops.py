@@ -136,15 +136,20 @@ def aum_routing(
 
     Output: one row per (event, sink) with the routed volume.
 
-    `money="decimal"` runs the identical routing in DecimalType(38,18):
+    `money="decimal"` runs the identical routing in DecimalType(28,18):
     at 100 TB the AUM deltas are long exact-sum chains, the first place
     float accumulation drifts (SURVEY.md §7 flag) — same plan, exact
-    arithmetic (oracled as `r_aum_routing_decimal`).
+    arithmetic (oracled as `r_aum_routing_decimal`). Precision 28, not the
+    MONEY_DECIMAL 38: Spark demotes a (38,18)−(38,18) subtraction to
+    scale 17 (precision cap), silently shaving the 18th fractional digit;
+    (28,18) operands leave headroom so every delta keeps scale 18 exactly
+    — and DuckDB's matching cast then produces bit-identical doubles.
     """
     tx = tx_view(events)
     if money == "decimal":
-        tx = tx.withColumn("stake", F.col("stake").cast(MONEY_DECIMAL)).withColumn(
-            "alreadyBonded", F.col("alreadyBonded").cast(MONEY_DECIMAL)
+        routing_decimal = "decimal(28,18)"
+        tx = tx.withColumn("stake", F.col("stake").cast(routing_decimal)).withColumn(
+            "alreadyBonded", F.col("alreadyBonded").cast(routing_decimal)
         )
     wm = F.lit(watermark).cast("timestamp")
     batch = tx.filter((F.col("ts") > wm) & F.col("successful"))

@@ -147,15 +147,17 @@ def r_aum_routing(spark, sf_dir):
     oracle=f"""
 WITH {_TX_CTE.strip()},
 batch AS (
-  -- DECIMAL(37,18), not (38,18): DuckDB widens subtraction by one digit
-  -- and falls back to DOUBLE past precision 38, which would silently undo
-  -- the exact-arithmetic mode; 37+1 stays decimal. The VARCHAR hop matches
+  -- DECIMAL(28,18) mirrors the Spark side exactly: with (38,18) operands
+  -- Spark demotes the subtraction to scale 17 (precision cap) while
+  -- DuckDB falls back to DOUBLE (its widened precision exceeds 38) —
+  -- both silently undo the exact-arithmetic mode; (28,18) keeps scale 18
+  -- through the arithmetic in BOTH engines. The VARCHAR hop matches
   -- Spark's double->decimal semantics (BigDecimal.valueOf: shortest
   -- round-trip decimal string), where a direct double->decimal cast in
   -- DuckDB would expand the exact binary value (54.62 ->
   -- 54.6200000000000045...) and drift the deltas.
-  SELECT * REPLACE (CAST(CAST(stake AS VARCHAR) AS DECIMAL(37,18)) AS stake,
-                    CAST(CAST(alreadyBonded AS VARCHAR) AS DECIMAL(37,18)) AS alreadyBonded)
+  SELECT * REPLACE (CAST(CAST(stake AS VARCHAR) AS DECIMAL(28,18)) AS stake,
+                    CAST(CAST(alreadyBonded AS VARCHAR) AS DECIMAL(28,18)) AS alreadyBonded)
   FROM tx WHERE ts > TIMESTAMP '{WM}' AND successful
 ),
 seen_pre AS (
@@ -180,11 +182,13 @@ SELECT event_id, chain, 'aum' AS sink,
 FROM flagged WHERE delta <> 0 OR first_touch""",
 )
 def r_aum_routing_decimal(spark, sf_dir):
-    """R23 routing with exact DecimalType(38,18) money math — the identical
+    """R23 routing with exact DecimalType(28,18) money math — the identical
     single-pass fused-state plan, arithmetic mode swapped (SURVEY.md §4.3:
     at 100 TB the AUM delta chains are the first float casualty). Both
-    sides compute delta/volume in DECIMAL(38,18) and cast only the OUTPUT
-    to double — decimal render scales differ across engines (Spark keeps
+    sides compute delta/volume in DECIMAL(28,18) — the precision headroom
+    that keeps scale 18 through subtraction in BOTH engines (38,18 would
+    demote to scale 17 in Spark and to DOUBLE in DuckDB) — and cast only
+    the OUTPUT to double — decimal render scales differ across engines (Spark keeps
     scale-17 trailing zeros, DuckDB's pandas surface floats), so the
     comparable surface is the rounded-to-nearest double of the same exact
     decimal; the decimal schema itself is pinned in test_money_modes."""

@@ -96,11 +96,16 @@ def stream_to_versioned_snapshot(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in declared.fields]
         )
         if n_buckets:
-            bucketed = normalized.withColumn(
-                "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
-            )
+            bucket_expr = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+            bucketed = normalized.withColumn("__bucket", bucket_expr)
             table.merge_keep_latest_partitioned(
-                bucketed, key=key, order_cols=cols, partition_col="__bucket"
+                bucketed,
+                key=key,
+                order_cols=cols,
+                partition_col="__bucket",
+                # lets an existing UNpartitioned snapshot upgrade in place:
+                # the same derivation assigns old rows their bucket
+                derive=bucket_expr,
             )
         else:
             table.merge_keep_latest(normalized, key=key, order_cols=cols)

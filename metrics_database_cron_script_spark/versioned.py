@@ -265,6 +265,7 @@ class VersionedSnapshot:
         order_cols: list[str],
         partition_col: str,
         max_retries: int = 5,
+        derive=None,
     ) -> int:
         """Partition-pruned keep-latest MERGE: O(partitions touched by the
         batch), not O(table). The snapshot is stored partitioned by
@@ -300,18 +301,48 @@ class VersionedSnapshot:
                     # partition_col is directory-encoded, so this filter is
                     # partition pruning at the source, not a full scan
                     # (filter BEFORE the type re-align cast below, or the
-                    # cast expression would defeat pruning)
+                    # cast expression would defeat pruning). NULL partition
+                    # values need the explicit isNull branch: isin() with a
+                    # None element evaluates NULL and would silently DROP
+                    # every previously-committed null-partition row while
+                    # the batch recreates that directory — a lost-update.
                     touched = [
                         r[0]
                         for r in new.select(partition_col).distinct().collect()
                     ]
-                    base = base.filter(F.col(partition_col).isin(touched))
+                    non_null = [t for t in touched if t is not None]
+                    cond = (
+                        F.col(partition_col).isin(non_null)
+                        if non_null
+                        else F.lit(False)
+                    )
+                    if len(non_null) != len(touched):
+                        cond = cond | F.col(partition_col).isNull()
+                    base = base.filter(cond)
+                if partition_col not in base.columns:
+                    # unpartitioned previous version that never carried the
+                    # column (e.g. upgrading a plain snapshot to a derived
+                    # hash-bucket layout): silently unioning would park every
+                    # surviving base row in the NULL partition — permanently
+                    # violating the key→partition dependency. Require the
+                    # caller's derivation instead.
+                    if derive is None:
+                        raise ValueError(
+                            f"{self.path}: previous version has no "
+                            f"{partition_col!r} column; pass `derive=` (the "
+                            "expression that computes it from each row) to "
+                            "upgrade an unpartitioned snapshot"
+                        )
+                    base = base.withColumn(partition_col, derive)
                 # partition directories round-trip through Spark's partition
-                # type inference (day=2024-01-01 comes back as DATE); re-align
-                # to the batch's declared type so unionByName stays exact
+                # type inference (day=2024-01-01 comes back as DATE);
+                # re-align to the batch's declared type so unionByName
+                # stays exact
                 base = base.withColumn(
                     partition_col,
-                    F.col(partition_col).cast(new.schema[partition_col].dataType),
+                    F.col(partition_col).cast(
+                        new.schema[partition_col].dataType
+                    ),
                 )
                 # else: previous version predates partitioning — fall back to
                 # a full rewrite this once; subsequent commits are pruned

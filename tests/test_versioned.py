@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from metrics_database_cron_script_spark.versioned import (
     ConcurrentWriteError,
@@ -328,6 +329,53 @@ def test_partitioned_merge_occ_concurrent_writer(spark, tmp_path):
         (1, "2024-01-01", 10.0),  # loser retried, update kept
         (2, "2024-01-02", 2.0),  # racer's interleaved commit not lost
     ]
+
+
+def test_partitioned_merge_keeps_null_partition_rows(spark, tmp_path):
+    """NULL partition values must survive a later batch that also carries a
+    NULL-partition row: isin([None]) evaluates NULL and would silently drop
+    every previously-committed null-partition row (found in round-4
+    review)."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.merge_keep_latest_partitioned(
+        _pdf(spark, [(1, None, 1.0), (2, "2024-01-02", 2.0)]),
+        key="user_id", order_cols=["value"], partition_col="day",
+    )
+    t.merge_keep_latest_partitioned(
+        _pdf(spark, [(3, None, 3.0)]),  # touches ONLY the null partition
+        key="user_id", order_cols=["value"], partition_col="day",
+    )
+    assert _prows(t.read()) == [
+        (1, "None", 1.0),  # earlier null-partition row NOT lost
+        (2, "2024-01-02", 2.0),
+        (3, "None", 3.0),
+    ]
+
+
+def test_partitioned_merge_requires_derive_for_columnless_base(spark, tmp_path):
+    """Upgrading a snapshot whose schema never had the partition column:
+    without `derive` the merge must refuse loudly (silently unioning would
+    park every old row in the NULL partition); with `derive` the old rows
+    get their computed partition and nothing is lost."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "user_id long, value double")
+    )
+    batch = spark.createDataFrame(
+        [(3, 30.0)], "user_id long, value double"
+    ).withColumn("bucket", F.pmod(F.col("user_id"), F.lit(2)))
+    with pytest.raises(ValueError, match="derive"):
+        t.merge_keep_latest_partitioned(
+            batch, key="user_id", order_cols=["value"], partition_col="bucket"
+        )
+    t.merge_keep_latest_partitioned(
+        batch, key="user_id", order_cols=["value"], partition_col="bucket",
+        derive=F.pmod(F.col("user_id"), F.lit(2)),
+    )
+    got = sorted(
+        (r["user_id"], r["value"], int(r["bucket"])) for r in t.read().collect()
+    )
+    assert got == [(1, 10.0, 1), (2, 20.0, 0), (3, 30.0, 1)]
 
 
 def test_compact_partitions_is_a_versioned_commit(spark, tmp_path):
