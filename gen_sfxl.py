@@ -175,10 +175,16 @@ def main() -> None:
         del args[i : i + 2]
     replicas = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    # skewed runs default to their OWN directory: defaulting to sf1 would
+    # silently overwrite the uniform replicas BENCH_COMPARE_SF1.json is
+    # measured on with deliberately skewed data
+    default_name = "sfxl" if skew_mod else "sf1"
     out = (
         args[2]
         if len(args) > 2
-        else os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "sf1")
+        else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_cache", default_name
+        )
     )
     for t, rows in replicate(src, out, replicas, skew_mod=skew_mod).items():
         print(f"{t}: {rows} rows")

@@ -478,32 +478,58 @@ def semdedup(corpus: DataFrame, threshold: float = 0.3) -> DataFrame:
 
 
 def pq_codebooks(
-    corpus: DataFrame, m: int = 8, codes: int = 16, seed: int = 42
+    corpus: DataFrame,
+    m: int = 8,
+    codes: int = 16,
+    seed: int = 42,
+    sample_target: int = 100_000,
 ) -> list[list[list[float]]]:
     """Train per-subspace PQ codebooks (Jégou et al. 2011, 'Product
     Quantization for Nearest Neighbor Search'): split the `dim`-d embedding
     into `m` contiguous sub-vectors and k-means each subspace into `codes`
     centroids. MLlib KMeans with a fixed seed → replayable. Returns
     m × codes × (dim/m) floats — a few KB, driver-held, broadcast as plan
-    literals. At 100 TB the fit runs on a sample; the codebook size is
-    independent of corpus size."""
+    literals.
+
+    Scale shape: ALL m fits train on one deterministic hash-mod sample of
+    ~`sample_target` vectors (`xxhash64(vec_id) % mod == 0` — replayable,
+    unlike fraction-sampling whose output depends on partition layout),
+    materialized ONCE and cached; the full corpus is scanned exactly once
+    (the sizing count) regardless of m. Codebook quality needs thousands
+    of points per subspace, not the corpus — the standard billion-vector
+    training recipe."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(corpus.select("embedding").first()[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    books = []
-    for j in range(m):
-        sl = corpus.select(
-            array_to_vector(
-                F.slice(F.col("embedding"), j * sub + 1, sub).cast("array<double>")
-            ).alias("__vec")
+    n = corpus.count()
+    mod = max(1, n // sample_target)
+    sample = corpus.select("vec_id", "embedding")
+    if mod > 1:
+        sample = sample.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0
         )
-        km = KMeans(k=codes, seed=seed + j, featuresCol="__vec", predictionCol="__c")
-        model = km.fit(sl)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    sample = sample.select("embedding").persist()
+    try:
+        dim = len(sample.first()[0])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        books = []
+        for j in range(m):
+            sl = sample.select(
+                array_to_vector(
+                    F.slice(F.col("embedding"), j * sub + 1, sub).cast(
+                        "array<double>"
+                    )
+                ).alias("__vec")
+            )
+            km = KMeans(
+                k=codes, seed=seed + j, featuresCol="__vec", predictionCol="__c"
+            )
+            model = km.fit(sl)
+            books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    finally:
+        sample.unpersist()
     return books
 
 

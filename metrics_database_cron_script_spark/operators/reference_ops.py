@@ -66,6 +66,8 @@ def tx_enrich(events: DataFrame, money: str = "double") -> DataFrame:
     plan in DecimalType(38,18) — the exact-arithmetic production mode
     (SURVEY.md §4.3).
     """
+    if money not in ("double", "decimal"):
+        raise ValueError(f"money mode must be 'double' or 'decimal', got {money!r}")
     tx = tx_view(incremental_scan(events))
     price = daily_price_dim(events)
     if money == "decimal":
@@ -145,6 +147,8 @@ def aum_routing(
     (28,18) operands leave headroom so every delta keeps scale 18 exactly
     — and DuckDB's matching cast then produces bit-identical doubles.
     """
+    if money not in ("double", "decimal"):
+        raise ValueError(f"money mode must be 'double' or 'decimal', got {money!r}")
     tx = tx_view(events)
     if money == "decimal":
         routing_decimal = "decimal(28,18)"

@@ -106,6 +106,16 @@ def _rewrite(src_root, dst_root, fingerprint, target_file_bytes, max_files, mark
 
     from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
 
+    # Invalidate FIRST: while tables below are being rmtree'd/rewritten the
+    # old marker could still match the unchanged src fingerprint, so a
+    # concurrent (or post-crash) fast-path check would validate a
+    # half-rewritten dir. With the marker gone, every other path falls
+    # through to the flock and waits (or, after a crash, rebuilds).
+    try:
+        os.unlink(marker_path)
+    except FileNotFoundError:
+        pass
+
     for name in TABLES:
         src = table_path(src_root, name)
         dst = table_path(dst_root, name)  # <dst>/<name>.parquet/ directory

@@ -121,8 +121,10 @@ def stream_to_versioned_snapshot(
         q.processAllAvailable()
     finally:
         q.stop()
-    out = table.read(declared)
-    return out.drop("__bucket") if n_buckets else out
+    # drop unconditionally (no-op when absent): a previously BUCKETED state
+    # read back by an unbucketed run would otherwise leak the internal
+    # __bucket partition column into the declared-schema return contract
+    return table.read(declared).drop("__bucket")
 
 
 def stream_rollup_maintenance(
