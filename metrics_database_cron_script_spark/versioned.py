@@ -445,6 +445,43 @@ class VersionedSnapshot:
                 continue
         raise last_err  # type: ignore[misc]
 
+    def optimize(
+        self,
+        cluster_cols: list[str],
+        n_files: int = 8,
+        zorder: bool = False,
+        max_retries: int = 5,
+    ) -> int:
+        """OPTIMIZE [ZORDER BY]: rewrite the current snapshot through
+        `operators.layout.clustered_write` as a NORMAL versioned commit —
+        rows untouched, file layout re-clustered so parquet min/max
+        envelopes become prunable along `cluster_cols` (every clustered
+        column at once with `zorder=True`). Same OCC semantics as every
+        other commit: readers keep snapshot isolation, a racing writer
+        costs a retry, pre-optimize versions stay time-travelable until
+        vacuumed. This is Delta's OPTIMIZE ZORDER reduced to the same
+        primitives as the rest of this module."""
+        from metrics_database_cron_script_spark.operators.layout import (
+            clustered_write,
+        )
+
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            v = self.version()
+            if v < 0:
+                raise FileNotFoundError(f"{self.path}: nothing to optimize")
+            stage = self._stage_dir(v + 1)
+            clustered_write(
+                self.read(), stage, cluster_cols, n_files=n_files, zorder=zorder
+            )
+            try:
+                self._publish(v + 1, stage)
+                return v + 1
+            except ConcurrentWriteError as e:
+                last_err = e
+                continue
+        raise last_err  # type: ignore[misc]
+
     def vacuum(self, keep: int = 2) -> list[str]:
         """Drop data dirs of superseded versions (keeping the latest `keep`)
         and ORPHAN data dirs (staged by crashed/defeated writers — no commit

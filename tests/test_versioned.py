@@ -430,6 +430,32 @@ def test_compact_partitions_is_a_versioned_commit(spark, tmp_path):
     assert _prows(t.read(version=v_before)) == before_rows  # time travel
 
 
+def test_optimize_zorder_is_a_versioned_commit(spark, tmp_path):
+    """OPTIMIZE ZORDER: same rows, new version, prunable file envelopes on
+    both cluster columns; the pre-optimize version stays time-travelable."""
+    from metrics_database_cron_script_spark.operators.layout import (
+        pruning_fraction,
+    )
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    rows = [(i, f"2024-01-{(i % 9) + 1:02d}", float((i * 37) % 1000)) for i in range(4000)]
+    t.overwrite(spark.createDataFrame(rows, PSCHEMA))
+    before = _prows(t.read())
+    v0 = t.version()
+
+    v1 = t.optimize(["value", "user_id"], n_files=16, zorder=True)
+    assert v1 == v0 + 1
+    assert _prows(t.read()) == before  # content untouched
+    assert _prows(t.read(version=v0)) == before  # time travel intact
+
+    d = t._resolve_data_dir(v1)
+    v_lo, v_hi = 400.0, 450.0
+    assert pruning_fraction(d, "value", v_lo, v_hi) >= 0.25
+    assert pruning_fraction(d, "user_id", 1000, 1200) >= 0.25
+    # the un-optimized version's layout prunes nothing (arrival order)
+    assert pruning_fraction(t._resolve_data_dir(v0), "value", v_lo, v_hi) == 0.0
+
+
 def test_partitioned_merge_upgrades_unpartitioned_base(spark, tmp_path):
     """First partitioned merge over a snapshot written unpartitioned (plain
     `overwrite`) falls back to one full rewrite — nothing is dropped — and
