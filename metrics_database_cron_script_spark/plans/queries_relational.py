@@ -3519,3 +3519,241 @@ def c_graph_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+# ------------------------------------------------------- SCD2 / graph extras
+
+# SCD2 gate fixtures: dimension history compressed from events BEFORE the
+# last fixture day, change batch = each user's latest event ON that day.
+_SCD2_CUTOFF = "2024-01-30 00:00:00"
+_SCD2_NEXT = "2024-01-31 00:00:00"
+
+_SCD2_DIM_CTES = f"""
+seq AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE ts < TIMESTAMP '{_SCD2_CUTOFF}'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grp AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM seq
+), runs AS (
+  SELECT user_id, state, g, MIN(ts) AS valid_from
+  FROM grp GROUP BY user_id, state, g
+), dim AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           IS NULL AS is_current
+  FROM runs
+)"""
+
+
+def _scd2_dim(ev):
+    """SCD2 dimension snapshot from pre-cutoff events: each user's
+    consecutive same-state runs become validity intervals (chg flag →
+    running group id → per-run min ts → lead for the exclusive end); the
+    open-ended run is the current row."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.filter(
+        F.col("ts") < F.lit(_SCD2_CUTOFF).cast("timestamp")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+    ).withColumn(
+        "chg",
+        F.when(~F.lag("state").over(w).eqNullSafe(F.col("state")), 1).otherwise(0),
+    )
+    grp = seq.withColumn(
+        "g", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = grp.groupBy("user_id", "state", "g").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wi = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(wi))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("g")
+    )
+
+
+def _scd2_changes(ev):
+    """Change batch: each user's LATEST cutoff-day event (row_number desc on
+    (ts, event_id)) — the ≤1-row-per-key contract scd2_apply requires."""
+    day = ev.filter(
+        (F.col("ts") >= F.lit(_SCD2_CUTOFF).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SCD2_NEXT).cast("timestamp"))
+    )
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        day.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("eff_ts"),
+        )
+    )
+
+
+@query(
+    "c_scd2_merge",
+    oracle=f"""
+WITH {_SCD2_DIM_CTES.strip()},
+chg AS (
+  SELECT user_id, event_type AS state, ts AS eff_ts
+  FROM (SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts >= TIMESTAMP '{_SCD2_CUTOFF}'
+          AND ts < TIMESTAMP '{_SCD2_NEXT}') t
+  WHERE rn = 1
+),
+hist AS (
+  SELECT user_id, state, valid_from, valid_to, is_current
+  FROM dim WHERE NOT is_current
+),
+cur AS (SELECT user_id, state, valid_from FROM dim WHERE is_current)
+SELECT * FROM hist
+UNION ALL  -- current rows carried (no change, or a no-op change)
+SELECT c.user_id, c.state, c.valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+       TRUE AS is_current
+FROM cur c LEFT JOIN chg b USING (user_id)
+WHERE b.user_id IS NULL OR b.state = c.state
+UNION ALL  -- closed out by a real change
+SELECT c.user_id, c.state, c.valid_from, b.eff_ts, FALSE
+FROM cur c JOIN chg b USING (user_id) WHERE b.state <> c.state
+UNION ALL  -- opened: changed keys and brand-new keys
+SELECT b.user_id, b.state, b.eff_ts, CAST(NULL AS TIMESTAMP), TRUE
+FROM chg b LEFT JOIN cur c USING (user_id)
+WHERE c.user_id IS NULL OR b.state <> c.state""",
+)
+def c_scd2_merge(spark, sf_dir):
+    """SCD Type-2 merge (operators/scd2.py): the warehouse keep-history
+    upsert — the reference's replace_one upsert (R9, updatescript.py:131)
+    upgraded to close-and-open validity intervals. History passes through
+    untouched, the current slice full-outer-joins the day's change batch on
+    the business key (one key shuffle; no broadcast hint — stats decide),
+    and an array+explode emits 0–2 rows per key so changed keys produce
+    both the closed-out old version and the new open one in a single
+    pass."""
+    from metrics_database_cron_script_spark.operators.scd2 import scd2_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_apply(
+        _scd2_dim(ev), _scd2_changes(ev), keys=["user_id"], attrs=["state"]
+    )
+
+
+@query(
+    "c_scd2_lookup",
+    oracle=f"""
+WITH {_SCD2_DIM_CTES.strip()},
+probes AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '{_SCD2_CUTOFF}' AND ts < TIMESTAMP '{_SCD2_NEXT}'
+)
+SELECT p.event_id, p.user_id, p.ts, d.state, d.valid_from AS state_since
+FROM probes p LEFT JOIN dim d
+  ON d.user_id = p.user_id AND d.valid_from <= p.ts
+QUALIFY row_number() OVER (PARTITION BY p.event_id
+                           ORDER BY d.valid_from DESC) = 1""",
+)
+def c_scd2_lookup(spark, sf_dir):
+    """Point-in-time dimension lookup against the SCD2 history: cutoff-day
+    purchases resolve the state that was valid at their timestamp. Because
+    validity intervals tile each user's timeline, 'the run with the
+    greatest valid_from ≤ ts' IS the containing interval — so this rides
+    the grouped as-of operator (co-group by user + pd.merge_asof per key,
+    operators/asof.py), the scale path for per-entity dimension histories
+    too big to broadcast. Users with no pre-cutoff history resolve NULL."""
+    from metrics_database_cron_script_spark.operators.asof import (
+        asof_join_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit(_SCD2_CUTOFF).cast("timestamp"))
+        & (F.col("ts") < F.lit(_SCD2_NEXT).cast("timestamp"))
+    ).select("event_id", "user_id", "ts")
+    dim = _scd2_dim(ev).select(
+        "user_id", "valid_from", "state", F.col("valid_from").alias("state_since")
+    )
+    return asof_join_grouped(
+        probes,
+        dim,
+        by="user_id",
+        probe_key="ts",
+        dim_key="valid_from",
+        value_cols=["state", "state_since"],
+    )
+
+
+@query(
+    "c_graph_triangles",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT (SELECT COUNT(DISTINCT u)
+        FROM (SELECT u FROM pairs UNION ALL SELECT v FROM pairs) t(u))
+         AS n_nodes,
+       (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT COUNT(*) FROM pairs e1
+          JOIN pairs e2 ON e2.u = e1.v
+          JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""",
+)
+def c_graph_triangles(spark, sf_dir):
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order). The standard distributed shape: orient every edge low-id →
+    high-id and dedup (kills both duplicate counting and 2-cycles), build
+    wedges with one equi-join (e2.u = e1.v ⇒ u < v < w strictly ordered,
+    so each triangle is generated exactly once), close them against the
+    edge set with a second equi-join. All three passes are shuffle
+    hash/merge joins on edge endpoints — no cartesian, no broadcast of
+    anything fact-sized; Catalyst reuses the deduped pair exchange across
+    the three consumers. Wedge skew (hot parts) is AQE-split territory at
+    scale, same as the sfxl evidence run."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    n_nodes = (
+        pairs.select(F.col("u").alias("n"))
+        .union(pairs.select(F.col("v").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    n_triangles = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return n_nodes.crossJoin(n_edges).crossJoin(n_triangles)

@@ -416,3 +416,33 @@ def s_stream_exec_session(spark, sf_dir):
     return run_streaming_session(
         spark, sf_dir, query_name=f"s_exec_sess_{uuid.uuid4().hex[:8]}"
     )
+
+
+@query(
+    "s_stream_exec_interval_join",
+    oracle="""
+SELECT a.event_id AS first_id, b.event_id AS next_id, a.user_id
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE""",
+)
+def s_stream_exec_interval_join(spark, sf_dir):
+    """Third genuinely-STREAM-EXECUTED gate entry, and the first stream-
+    STREAM one: a watermarked interval self-join (event → same-user
+    follow-ups within 10 minutes) running as a real Structured Streaming
+    query in append mode (streaming/structured.py
+    run_streaming_interval_self_join — both sides watermarked so join
+    state is bounded), drained to a memory sink and hash-checked against
+    the batch interval-join SQL. Deterministic because inner-join matches
+    are emitted as found within the drain; the watermark only bounds
+    state."""
+    import uuid
+
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_interval_self_join,
+    )
+
+    return run_streaming_interval_self_join(
+        spark, sf_dir, query_name=f"s_exec_ssj_{uuid.uuid4().hex[:8]}"
+    )
