@@ -3757,3 +3757,32 @@ def c_graph_triangles(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return n_nodes.crossJoin(n_edges).crossJoin(n_triangles)
+
+
+@query("c_hll_daily_merge")
+def c_hll_daily_merge(spark, sf_dir):
+    """Mergeable distinct-count sketches — the pre-aggregation pattern that
+    makes distinct counting O(1) per query at 100 TB: one DataSketches HLL
+    sketch per day (`hll_sketch_agg`, partial-aggregated map-side like any
+    agg), then any date range's distinct count is a cheap `hll_union_agg`
+    over day-cardinality sketches instead of a rescan. Emits the unioned
+    estimate beside the direct single-pass estimate — identical by
+    construction (test_sketches.py pins union == direct, and both within
+    HLL error of exact). Rows-only: sketch internals are engine-private
+    (same reason as c_approx_count_distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")), 1).alias(
+            "est_union"
+        ),
+    )
+    direct = ev.agg(
+        F.round(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")), 1).alias(
+            "est_direct"
+        )
+    )
+    return merged.crossJoin(direct)

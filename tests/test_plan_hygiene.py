@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "c_funnel": 2,               # broadcast 1-row step totals, two stages
     "c_graph_pagerank": 4,       # broadcast 1-row node count: init + 3 unrolled iterations
     "c_graph_triangles": 2,      # broadcast 1-row node/edge/triangle counts joined
+    "c_hll_daily_merge": 1,      # broadcast 1-row direct-estimate frame
     "c_rfm_segmentation": 1,     # broadcast 1-row quantile thresholds
     "c_segment_overlap": 2,      # broadcast 1-row sizes for two segments
     "c_sliding_distinct_users": 1,  # broadcast 1-row day span

@@ -479,3 +479,97 @@ def test_partitioned_merge_upgrades_unpartitioned_base(spark, tmp_path):
     )
     d2 = t._resolve_data_dir(t.version())
     assert _part_files(d1, "day=2024-01-02") == _part_files(d2, "day=2024-01-02")
+
+
+# ----------------------------------------------------------- change data feed
+
+
+def test_changes_unkeyed_insert_delete(spark, tmp_path):
+    import datetime as dt
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    d1, d2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    t.overwrite(_df(spark, [(1, d1, 1.0), (2, d1, 2.0), (3, d1, 3.0)]))
+    t.overwrite(_df(spark, [(1, d1, 1.0), (2, d2, 2.5), (4, d1, 4.0)]))
+    feed = sorted(
+        (r["user_id"], r["value"], r["_change_type"])
+        for r in t.changes(0, 1).collect()
+    )
+    assert feed == [
+        (2, 2.0, "delete"),
+        (2, 2.5, "insert"),
+        (3, 3.0, "delete"),
+        (4, 4.0, "insert"),
+    ]
+
+
+def test_changes_keyed_update_images(spark, tmp_path):
+    import datetime as dt
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    d1, d2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    t.overwrite(_df(spark, [(1, d1, 1.0), (2, d1, 2.0), (3, d1, 3.0)]))
+    t.overwrite(_df(spark, [(1, d1, 1.0), (2, d2, 2.5), (4, d1, 4.0)]))
+    feed = sorted(
+        (r["user_id"], r["value"], r["_change_type"])
+        for r in t.changes(0, keys=["user_id"]).collect()
+    )
+    # unchanged key 1 emits nothing; key 2 emits both images
+    assert feed == [
+        (2, 2.0, "update_preimage"),
+        (2, 2.5, "update_postimage"),
+        (3, 3.0, "delete"),
+        (4, 4.0, "insert"),
+    ]
+
+
+def test_changes_prunes_untouched_partitions(spark, tmp_path):
+    """After a partition-pruned MERGE, the feed must READ only the touched
+    partition: untouched partitions are inode-identical (hardlink carry-
+    forward) and are pruned before any scan — asserted via inputFiles()."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    base = [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0), (3, "2024-01-03", 3.0)]
+    t.merge_keep_latest_partitioned(
+        _pdf(spark, base), key="user_id", order_cols=["value"], partition_col="day"
+    )
+    batch = [(2, "2024-01-02", 20.0), (4, "2024-01-02", 4.0)]
+    t.merge_keep_latest_partitioned(
+        _pdf(spark, batch), key="user_id", order_cols=["value"], partition_col="day"
+    )
+
+    feed = t.changes(0, 1, keys=["user_id"])
+    got = sorted(
+        (r["user_id"], str(r["day"]), r["value"], r["_change_type"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (2, "2024-01-02", 2.0, "update_preimage"),
+        (2, "2024-01-02", 20.0, "update_postimage"),
+        (4, "2024-01-02", 4.0, "insert"),
+    ]
+    read_files = feed.inputFiles()
+    assert read_files and all("day=2024-01-02" in f for f in read_files)
+
+
+def test_changes_identical_versions_empty_with_schema(spark, tmp_path):
+    import datetime as dt
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.overwrite(_df(spark, [(1, dt.datetime(2024, 1, 1), 1.0)]))
+    feed = t.changes(0, 0)
+    assert feed.count() == 0
+    assert feed.columns == ["user_id", "ts", "value", "_change_type"]
+
+
+def test_changes_validates_versions(spark, tmp_path):
+    import datetime as dt
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.overwrite(_df(spark, [(1, dt.datetime(2024, 1, 1), 1.0)]))
+    with pytest.raises(FileNotFoundError):
+        t.changes(0, 7)
+    for _ in range(3):
+        t.overwrite(_df(spark, [(1, dt.datetime(2024, 1, 2), 2.0)]))
+    t.vacuum(keep=1)
+    with pytest.raises(FileNotFoundError):
+        t.changes(0)
