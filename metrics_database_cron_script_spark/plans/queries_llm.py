@@ -2899,3 +2899,50 @@ def x_minhash_recall(spark, sf_dir):
         F.sum(F.when(caught, 1).otherwise(0)).cast("long").alias("n_caught"),
         F.round(F.avg(F.when(caught, 1.0).otherwise(0.0)), 6).alias("recall"),
     )
+
+
+# x_ann_recall composes the two registered ANN oracles (exact brute force
+# vs fixed-hyperplane LSH) — read them back from the registry so the
+# instrument can never drift from the queries it measures.
+from metrics_database_cron_script_spark.plans.registry import ORACLES as _ORACLES
+
+
+@query(
+    "x_ann_recall",
+    oracle=f"""
+WITH exact AS ({_ORACLES["x_embed_cosine_topk"]}),
+approx AS ({_ORACLES["x_embed_lsh_topk"]}),
+h AS (
+  SELECT COUNT(*) AS n_hit FROM exact e
+  WHERE EXISTS (SELECT 1 FROM approx a
+                WHERE a.q_id = e.q_id AND a.vec_id = e.vec_id)
+),
+t AS (SELECT COUNT(DISTINCT q_id) AS n_queries, COUNT(*) AS n_exact FROM exact)
+SELECT n_queries, n_exact, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall_at_k
+FROM t, h""",
+)
+def x_ann_recall(spark, sf_dir):
+    """ANN parameter-quality instrument, the x_minhash_recall twin for the
+    embedding family: recall@k of the hyperplane-LSH index against the
+    exact brute-force top-k, per the SAME registered plans (left-semi on
+    (q_id, vec_id) — a truth hit iff the index surfaced that neighbor).
+    This is the measurement a real corpus needs before committing
+    num_bits/num_tables at scale; fully SQL-oracled because both inputs
+    are. Cost rides the two underlying plans (probe-broadcast scans);
+    the recall join itself is top-k-cardinality."""
+    exact = x_embed_cosine_topk(spark, sf_dir)
+    approx = x_embed_lsh_topk(spark, sf_dir)
+    hits = exact.join(approx, ["q_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = exact.agg(
+        F.count_distinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    return tot.crossJoin(hits).select(
+        "n_queries",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_k"),
+    )

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "c_tpch_q22_shape": 1,       # broadcast 1-row avg acctbal
     "s_dedup_watermark": 1,      # broadcast 1-row watermark scalar
     "s_late_data": 1,            # broadcast 1-row watermark scalar
+    "x_ann_recall": 1,           # broadcast 1-row hit-count frame
     "x_bigram_pmi": 2,           # broadcast 1-row corpus totals, two passes
     "x_bm25": 1,                 # broadcast 1-row avgdl scalar
     "x_cooccurrence_lift": 1,    # broadcast 1-row corpus totals
@@ -90,6 +91,7 @@ BROADCAST_GROWING_ALLOWED = {
     "x_embed_ivf_topk": 1,       # K-centroid frame (K constant)
     "x_embed_lsh_topk": 1,       # constant-size probe sample
     "x_embed_outliers": 1,       # 1-row moment scalars
+    "x_ann_recall": 1,           # constant-size probe sample via the LSH sub-plan
     "x_embed_pq_topk": 2,        # constant-size probe sample: ADC proxy pass
                                  # + the shortlist's exact re-rank join
     "x_embed_sq_topk": 1,        # constant-size probe sample
