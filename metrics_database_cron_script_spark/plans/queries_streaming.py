@@ -446,3 +446,32 @@ def s_stream_exec_interval_join(spark, sf_dir):
     return run_streaming_interval_self_join(
         spark, sf_dir, query_name=f"s_exec_ssj_{uuid.uuid4().hex[:8]}"
     )
+
+
+@query(
+    "s_stream_exec_dedup",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n
+FROM events GROUP BY event_type""",
+)
+def s_stream_exec_dedup(spark, sf_dir):
+    """Fourth STREAM-EXECUTED gate entry: watermarked streaming
+    dropDuplicates on (user_id, event_type) — dedup state that actually
+    fires (the fixture has ~67 events per user across 5 types), unlike the
+    event-id key where the fixture is already unique. The surviving row
+    per pair is arrival-order-dependent, so the oracle checks the
+    deterministic readout: per-type survivor counts = COUNT(DISTINCT
+    user_id). Complete-mode drain to a memory sink
+    (streaming/structured.py run_streaming_dedup)."""
+    import uuid
+
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_dedup,
+    )
+
+    return run_streaming_dedup(
+        spark,
+        sf_dir,
+        query_name=f"s_exec_dedup_{uuid.uuid4().hex[:8]}",
+        subset=["user_id", "event_type"],
+    )

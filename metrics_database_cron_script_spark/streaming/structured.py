@@ -85,12 +85,19 @@ def run_streaming_dedup(
     sf_dir: str,
     watermark: str = "1 day",
     query_name: str = "stream_dedup",
+    subset: list[str] | None = None,
 ) -> DataFrame:
-    """Streaming exactly-once idempotency: dropDuplicates on the event id
-    within the watermark horizon — the streaming analog of the reference's
-    per-row `find_one({"_id"})` insert guard (R14, updatescript.py:62)."""
+    """Streaming exactly-once idempotency: dropDuplicates on `subset`
+    (default the event id) within the watermark horizon — the streaming
+    analog of the reference's per-row `find_one({"_id"})` insert guard
+    (R14, updatescript.py:62). A coarser subset (e.g. (user_id,
+    event_type)) turns this into first-touch dedup where duplicates
+    genuinely exist; the per-type survivor COUNT stays deterministic even
+    though which row survives is arrival-order-dependent."""
     events = read_events_stream(spark, sf_dir)
-    deduped = events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    deduped = events.withWatermark("ts", watermark).dropDuplicates(
+        subset or ["event_id"]
+    )
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     q = (
         counted.writeStream.outputMode("complete")
