@@ -2022,6 +2022,56 @@ def x_incremental_dedup(spark, sf_dir):
 
 
 @query(
+    "x_bloom_dedup",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM documents
+), existing AS (
+  SELECT DISTINCT nt FROM norm WHERE doc_id < 250
+), batch AS (
+  SELECT * FROM norm WHERE doc_id >= 250
+)
+SELECT b.doc_id, b.source
+FROM batch b
+LEFT JOIN existing e ON b.nt = e.nt
+WHERE e.nt IS NULL
+QUALIFY row_number() OVER (PARTITION BY b.nt ORDER BY b.doc_id) = 1""",
+)
+def x_bloom_dedup(spark, sf_dir):
+    """`x_incremental_dedup` re-planned for the 100 TB seen-set: a Bloom
+    sketch of the existing corpus's normalized-text keys prunes the batch
+    BEFORE the exact anti-join backstop (functions/bloom.py), so the join
+    only sees true duplicates plus an fpp sliver of the batch while the
+    result — and therefore the SQL oracle — is identical to the plain
+    anti-join. Sketch sizing reads the seen-key count (one aggregate job
+    here; a production cron reads it from snapshot stats, e.g.
+    VersionedSnapshot history). Reference anchor: R14's idempotent insert
+    (updatescript.py:62), scaled."""
+    from pyspark.sql import Window
+
+    from metrics_database_cron_script_spark.functions.bloom import (
+        bloom_pruned_anti_join,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n = d.select("doc_id", "source", norm.alias("nt"))
+    existing = n.filter(F.col("doc_id") < 250).select("nt").distinct()
+    batch = n.filter(F.col("doc_id") >= 250)
+    new_rows = bloom_pruned_anti_join(
+        batch, existing, "nt", expected_items=existing.count(), fpp=0.01
+    )
+    w = Window.partitionBy("nt").orderBy("doc_id")
+    return (
+        new_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source")
+    )
+
+
+@query(
     "x_source_kl",
     oracle="""
 WITH tok AS (
