@@ -22,7 +22,7 @@ from __future__ import annotations
 import datetime
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metrics_database_cron_script_spark import state as ST
@@ -56,7 +56,9 @@ def update_tx_enriched(
     """P2: watermark scan → anti-join dedup → broadcast price join → dollar
     CASE → append (updatescript.py:57-108). Price rows come from the P1
     state table, as in the reference (step 2 depends on step 1)."""
+    obs_in, obs_out = Observation(), Observation()
     tx = R.tx_view(events.filter(F.col("ts") > F.lit(watermark)))
+    tx = tx.observe(obs_in, F.count(F.lit(1)).alias("n"))
     price = spark.read.parquet(_sink(state_dir, "prices"))
     joined = tx.join(F.broadcast(price), F.to_date(tx["ts"]) == price["date"], "inner")
     dollar = (
@@ -69,14 +71,23 @@ def update_tx_enriched(
         "alreadyBonded", "price", dollar.alias("txDollarValue"),
     )
     # Invariant I3: the reference crashes on a missing price day; we assert
-    # no row was silently lost by the inner join instead.
-    n_in = tx.count()
-    n_out = enriched.count()
+    # no row was silently lost by the inner join instead. Both counts ride
+    # the append's write action as observed metrics (pre-join vs post-join
+    # nodes of the SAME plan) — zero extra jobs, where count()-ing each side
+    # would execute the scan and the join twice more. The check consequently
+    # fires AFTER the (idempotent, keyed) append: the rows written are
+    # individually valid — the violation signals MISSING source rows — and a
+    # replay after fixing the price dim appends exactly the missing ones.
+    enriched = enriched.observe(obs_out, F.count(F.lit(1)).alias("n"))
+    appended = ST.idempotent_append(
+        enriched, _sink(state_dir, "tx_enriched"), key="event_id"
+    )
+    n_in, n_out = int(obs_in.get["n"]), int(obs_out.get["n"])
     if n_in != n_out:
         raise AssertionError(
             f"price dim incomplete: {n_in - n_out} tx rows on days without a price"
         )
-    return ST.idempotent_append(enriched, _sink(state_dir, "tx_enriched"), key="event_id")
+    return appended
 
 
 def update_stats(spark: SparkSession, events: DataFrame, state_dir: str,

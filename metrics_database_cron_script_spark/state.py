@@ -30,7 +30,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -92,23 +92,29 @@ def idempotent_append(
     the sink. Returns the number of rows appended. The existing-keys side is
     a single-column scan (column pruning) — broadcastable while small,
     shuffle-hash at scale. `partition_by` lays the sink out for partition
-    pruning (the SURVEY §7.0 fact layout: chain + day)."""
+    pruning (the SURVEY §7.0 fact layout: chain + day).
+
+    The appended-row count comes from `df.observe` riding the write action
+    itself — ONE pass computes and persists the batch, where a
+    count-then-write would run the anti-join twice (a full second scan of
+    the batch at 100 TB). An all-zero replay therefore still executes the
+    write (at most a schema-only empty file in the sink — harmless to the
+    anti-join and to readers); crash mid-write leaves only fresh keyed rows
+    behind, which the next replay's anti-join skips, so idempotency and
+    exactly-once row content are unaffected."""
     spark = new.sparkSession
     if _exists(path):
         existing = spark.read.parquet(path).select(key)
         fresh = new.join(existing, key, "left_anti")
     else:
         fresh = new
-    # Materialize the count before writing so the append is all-or-nothing
-    # per batch (fresh is recomputed for the write — acceptable double-scan
-    # at micro-batch sizes; cache() it for very large batches).
-    n = fresh.count()
-    if n:
-        writer = fresh.write.mode("append")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
-    return n
+    obs = Observation()
+    fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = fresh.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return int(obs.get["n"])
 
 
 def snapshot_overwrite(
