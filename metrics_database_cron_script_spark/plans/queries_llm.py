@@ -2049,8 +2049,6 @@ def x_bloom_dedup(spark, sf_dir):
     here; a production cron reads it from snapshot stats, e.g.
     VersionedSnapshot history). Reference anchor: R14's idempotent insert
     (updatescript.py:62), scaled."""
-    from pyspark.sql import Window
-
     from metrics_database_cron_script_spark.functions.bloom import (
         bloom_pruned_anti_join,
     )
