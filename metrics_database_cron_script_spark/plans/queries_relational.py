@@ -3786,3 +3786,102 @@ def c_hll_daily_merge(spark, sf_dir):
         )
     )
     return merged.crossJoin(direct)
+
+
+@query(
+    "c_histogram_quantile_merge",
+    oracle="""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, value FROM events),
+b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ev),
+binned AS (
+  SELECT day,
+         LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 256)) AS INT), 255)
+           AS bin,
+         lo, hi
+  FROM ev CROSS JOIN b
+),
+daily AS (SELECT day, bin, lo, hi, COUNT(*) AS c FROM binned
+          GROUP BY day, bin, lo, hi),
+merged AS (SELECT bin, lo, hi, SUM(c) AS c FROM daily GROUP BY bin, lo, hi),
+direct AS (SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin),
+cum AS (SELECT bin, lo, hi, c, SUM(c) OVER (ORDER BY bin) AS cum,
+               SUM(c) OVER () AS total
+        FROM merged),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5),(0.9),(0.99)) t(q)),
+pick AS (SELECT q, MIN(bin) AS bin
+         FROM cum CROSS JOIN qs WHERE cum >= q * total GROUP BY q),
+est AS (SELECT p.q,
+               ROUND(c2.lo + (c2.hi - c2.lo) / 256 *
+                     (c2.bin + (p.q * c2.total - (c2.cum - c2.c)) / c2.c),
+                     6) AS est
+        FROM pick p JOIN cum c2 ON c2.bin = p.bin),
+eq AS (SELECT BOOL_AND(m.c = d.c) AS merged_eq_direct
+       FROM merged m JOIN direct d ON m.bin = d.bin)
+SELECT q, est, merged_eq_direct FROM est CROSS JOIN eq""",
+)
+def c_histogram_quantile_merge(spark, sf_dir):
+    """Mergeable QUANTILE rollup — the percentile analog of
+    `c_hll_daily_merge`'s pre-aggregation pattern: one fixed-width
+    256-bin histogram per day (bin counts are the sketch state), any date
+    range's percentile then comes from vector-ADDING day histograms and
+    interpolating within the covering bin — O(days*256) rows merged
+    instead of a 100 TB re-scan, and unlike HLL/KLL internals the merge
+    is exact integer addition, so the whole estimator is deterministic
+    and fully SQL-oracled. Emits p50/p90/p99 from the merged rollup plus
+    a pinned merged==direct equality bit (vector addition commutes with
+    the global histogram by construction). The global 256-row cumulative
+    window and the 1-row bounds/equality cross joins are
+    bounded-cardinality by construction. Assumes hi > lo (non-constant
+    values); a production build would epsilon-guard the width."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    nb = 256
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(nb)
+    binned = ev.crossJoin(bounds).select(
+        "day",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(nb - 1),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    daily = binned.groupBy("day", "bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("c")
+    )  # the mergeable per-day sketch state
+    merged = daily.groupBy("bin", "lo", "hi").agg(F.sum("c").alias("c"))
+    direct = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cum = merged.select(
+        "bin", "lo", "hi", "c",
+        F.sum("c").over(Window.orderBy("bin")).alias("cum"),
+        F.sum("c").over(Window.partitionBy(F.lit(1))).alias("total"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    pick = (
+        cum.crossJoin(qs)
+        .filter(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = pick.join(cum, "bin").select(
+        "q",
+        F.round(
+            F.col("lo")
+            + (F.col("hi") - F.col("lo"))
+            / F.lit(nb)
+            * (
+                F.col("bin")
+                + (F.col("q") * F.col("total") - (F.col("cum") - F.col("c")))
+                / F.col("c")
+            ),
+            6,
+        ).alias("est"),
+    )
+    eqv = (
+        merged.select("bin", F.col("c").alias("mc"))
+        .join(direct, "bin")
+        .agg(F.bool_and(F.col("mc") == F.col("c")).alias("merged_eq_direct"))
+    )
+    return est.crossJoin(eqv)

@@ -475,3 +475,34 @@ def s_stream_exec_dedup(spark, sf_dir):
         query_name=f"s_exec_dedup_{uuid.uuid4().hex[:8]}",
         subset=["user_id", "event_type"],
     )
+
+
+@query(
+    "s_stream_exec_enrich",
+    oracle="""
+WITH dim AS (
+  SELECT CAST(ts AS DATE) AS date, ROUND(AVG(value), 6) AS price
+  FROM events GROUP BY 1
+)
+SELECT d.date, COUNT(*) AS n, ROUND(SUM(e.value), 2) AS total
+FROM events e JOIN dim d ON CAST(e.ts AS DATE) = d.date
+GROUP BY d.date""",
+)
+def s_stream_exec_enrich(spark, sf_dir):
+    """Fifth STREAM-EXECUTED gate entry, covering the stream-STATIC join:
+    the P2 enrichment (tx stream ⋈ broadcast price dim,
+    updatescript.py:64-82) running as a real Structured Streaming query —
+    the static dim is re-resolved per micro-batch, which is how a
+    slowly-changing dimension joins a live stream without restarts
+    (streaming/structured.py run_streaming_enrichment). Complete-mode
+    per-day rollup drain: every stream row joins exactly one price-day
+    row, so the readout is deterministic and fully SQL-oracled."""
+    import uuid
+
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_enrichment,
+    )
+
+    return run_streaming_enrichment(
+        spark, sf_dir, query_name=f"s_exec_enrich_{uuid.uuid4().hex[:8]}"
+    )

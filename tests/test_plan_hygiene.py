@@ -32,6 +32,9 @@ BNLJ_ALLOWED = {
     "c_funnel": 2,               # broadcast 1-row step totals, two stages
     "c_graph_pagerank": 4,       # broadcast 1-row node count: init + 3 unrolled iterations
     "c_graph_triangles": 2,      # broadcast 1-row node/edge/triangle counts joined
+    "c_histogram_quantile_merge": 4,  # 1-row bounds frame (x2: merged+direct
+    #   consumers each re-instantiate it), 3-row quantile literals, 1-row
+    #   merged==direct equality bit — all bounded-cardinality by construction
     "c_hll_daily_merge": 1,      # broadcast 1-row direct-estimate frame
     "c_rfm_segmentation": 1,     # broadcast 1-row quantile thresholds
     "c_segment_overlap": 2,      # broadcast 1-row sizes for two segments

@@ -18,3 +18,30 @@ def test_union_of_daily_sketches_equals_direct(spark):
 
     exact = load_table(spark, SF_CORRECT, "events").select("user_id").distinct().count()
     assert abs(row["est_union"] - exact) / exact < 0.05
+
+
+def test_histogram_quantile_merge_exact_and_bounded(spark):
+    """The histogram rollup's defining guarantees: merged day histograms
+    equal the direct global histogram EXACTLY (integer vector addition),
+    and each interpolated percentile sits within one bin width of the
+    true percentile (the estimator's worst case by construction)."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.plans import QUERIES
+    from metrics_database_cron_script_spark.sources import load_table
+
+    rows = {
+        r["q"]: r
+        for r in QUERIES["c_histogram_quantile_merge"](spark, SF_CORRECT).collect()
+    }
+    assert set(rows) == {0.5, 0.9, 0.99}
+    assert all(r["merged_eq_direct"] for r in rows.values())
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    bin_w = (hi - lo) / 256
+    exact = ev.agg(
+        *[F.expr(f"percentile(value, {q})").alias(str(q)) for q in rows]
+    ).collect()[0]
+    for q, r in rows.items():
+        assert abs(r["est"] - exact[str(q)]) <= bin_w, (q, r["est"], exact[str(q)])
