@@ -482,6 +482,64 @@ def minhash_signatures_portable(shingles: DataFrame, num_hashes: int = 8) -> Dat
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_bands_portable(
+    sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Signature frame → (doc_id, band, band_sig) LSH index rows: the
+    num_hashes/band_size bands of concatenated minhash hex. This IS the
+    persisted structure an incremental corpus keeps — band rows append per
+    batch and never need recomputation for already-indexed docs."""
+    n_bands = num_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
+
+
+def minhash_probe_index_portable(
+    corpus_docs: DataFrame,
+    batch_docs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental near-dup — the production daily shape: probe the
+    corpus's LSH band index with a NEW batch instead of re-running
+    all-pairs LSH over corpus+batch. Candidates are (corpus doc_a, batch
+    doc_b) band collisions; verification (exact Jaccard) touches only
+    candidates' shingles. The corpus side here is built in-plan from the
+    corpus docs for oracle checkability; a real pipeline reads the
+    persisted band rows (`lsh_bands_portable` output) and per-doc shingle
+    sets from state, so each batch costs O(batch + collisions) — the
+    signature/banding work for already-indexed docs is never repeated.
+    Result ≡ the cross-split subset of the full all-pairs pipeline."""
+    corpus_sh = word_shingles(corpus_docs, hashed=False).persist()
+    batch_sh = word_shingles(batch_docs, hashed=False).persist()
+    index = lsh_bands_portable(
+        minhash_signatures_portable(corpus_sh, num_hashes), num_hashes, band_size
+    )
+    probes = lsh_bands_portable(
+        minhash_signatures_portable(batch_sh, num_hashes), num_hashes, band_size
+    )
+    pairs = (
+        index.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+        .join(
+            probes.select(F.col("doc_id").alias("doc_b"), "band", "band_sig"),
+            ["band", "band_sig"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verified_jaccard(corpus_sh.unionByName(batch_sh), pairs)
+
+
 def minhash_near_dups_portable(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -503,20 +561,9 @@ def minhash_near_dups_portable(
     x_minhash_recall consume."""
     if shingles is None:
         shingles = word_shingles(docs, hashed=False).persist()
-    sigs = minhash_signatures_portable(shingles, num_hashes)
-    n_bands = num_hashes // band_size
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-            ).alias("band_sig"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", "bs.band", "bs.band_sig")
+    banded = lsh_bands_portable(
+        minhash_signatures_portable(shingles, num_hashes), num_hashes, band_size
+    )
     a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     pairs = (

@@ -1602,6 +1602,50 @@ def x_winsorize(spark, sf_dir):
 
 
 @query(
+    "x_unicode_nfc",
+    oracle="""
+WITH d AS (
+  SELECT source, replace(text, 'a', 'a' || chr(769)) AS derived FROM documents
+), n AS (
+  SELECT source, derived, nfc_normalize(derived) AS norm FROM d
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(length(derived)) AS BIGINT) AS chars_decomposed,
+       CAST(SUM(length(norm)) AS BIGINT) AS chars_nfc,
+       CAST(SUM(CASE WHEN norm <> derived THEN 1 ELSE 0 END) AS BIGINT)
+         AS changed_docs
+FROM n GROUP BY source""",
+)
+def x_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization audit — the canonicalization pass a
+    multilingual corpus needs before exact/near dedup (decomposed and
+    precomposed forms hash differently but render identically). The
+    fixture is ASCII, so a decomposed form is derived deterministically
+    in-plan (every 'a' → 'a' + U+0301) on BOTH engines; the normalize
+    itself is an Arrow-vectorized pandas UDF (`Series.str.normalize` —
+    Python is unavoidable here: Spark has no NFC builtin) checked
+    code-point-for-code-point against DuckDB's nfc_normalize. Per-source
+    readout: doc count, decomposed vs NFC code-point totals, changed-doc
+    count."""
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark can't resolve 'pd.Series' from a function-local import
+    nfc = F.pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.regexp_replace("text", "a", "a\u0301").alias("derived")
+    )
+    n = d.withColumn("norm", nfc("derived"))
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("derived")).alias("chars_decomposed"),
+        F.sum(F.length("norm")).alias("chars_nfc"),
+        F.sum(
+            F.when(F.col("norm") != F.col("derived"), 1).otherwise(0)
+        ).alias("changed_docs"),
+    )
+
+
+@query(
     "x_standardize",
     oracle="""
 WITH stats AS (
@@ -2066,6 +2110,36 @@ def x_bloom_dedup(spark, sf_dir):
         new_rows.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("doc_id", "source")
+    )
+
+
+@query(
+    "x_incremental_neardup",
+    oracle="WITH "
+    + _minhash_pair_cte("documents")
+    + """
+SELECT doc_a, doc_b, jaccard FROM pjacc
+WHERE doc_a < 250 AND doc_b >= 250""",
+)
+def x_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup — `x_incremental_dedup`'s fuzzy sibling and the
+    production daily shape for MinHash: the new batch (doc_id ≥ 250)
+    probes the existing corpus's LSH band index instead of re-running
+    all-pairs banding over corpus+batch
+    (functions/dedup.py minhash_probe_index_portable — in a real pipeline
+    the index rows and shingle sets are persisted state, so a batch costs
+    O(batch + collisions)). Emits (corpus doc_a, batch doc_b, exact
+    jaccard) for every band collision; the oracle is the full all-pairs
+    portable pipeline restricted to cross-split pairs — identical by
+    construction, so the incremental plan is value-hash-checked against
+    the batch-recompute semantics it replaces."""
+    from metrics_database_cron_script_spark.functions.dedup import (
+        minhash_probe_index_portable,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_probe_index_portable(
+        d.filter(F.col("doc_id") < 250), d.filter(F.col("doc_id") >= 250)
     )
 
 

@@ -3885,3 +3885,100 @@ def c_histogram_quantile_merge(spark, sf_dir):
         .agg(F.bool_and(F.col("mc") == F.col("c")).alias("merged_eq_direct"))
     )
     return est.crossJoin(eqv)
+
+
+@query(
+    "c_expectations_audit",
+    oracle="""
+SELECT event_id,
+       concat_ws(',',
+         CASE WHEN value < 0.5 THEN 'value_min' END,
+         CASE WHEN value > 450.0 THEN 'value_cap' END,
+         CASE WHEN event_type = 'error' THEN 'no_error_type' END
+       ) AS violated
+FROM events
+WHERE value < 0.5 OR value > 450.0 OR event_type = 'error'""",
+)
+def c_expectations_audit(spark, sf_dir):
+    """Declarative expectations (operators/expectations.py `validate`):
+    three rules evaluated in ONE pass over events, failing rows routed to
+    quarantine with the violated-rule list attached (DLT-expectations
+    shape; per-rule counts additionally ride the caller's action as
+    df.observe metrics — asserted job-free in tests/test_expectations.py).
+    The readout is the quarantine side — event_id plus the comma-joined
+    rule names — which checks the routing AND the per-row rule evaluation
+    against plain SQL."""
+    from metrics_database_cron_script_spark.operators.expectations import validate
+
+    ev = load_table(spark, sf_dir, "events")
+    v = validate(
+        ev,
+        {
+            "value_min": F.col("value") >= 0.5,
+            "value_cap": F.col("value") <= 450.0,
+            "no_error_type": F.col("event_type") != "error",
+        },
+    )
+    return v.quarantined.select(
+        "event_id", F.array_join("violated", ",").alias("violated")
+    )
+
+
+@query(
+    "c_table_diff",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+), v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 1.0, 'N'
+  FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT status, COUNT(*) AS n FROM (
+  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+              THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM base a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey
+) GROUP BY status""",
+)
+def c_table_diff(spark, sf_dir):
+    """Keyed reconciliation (operators/reconcile.py `table_diff_summary`):
+    orders diffed against a deterministically perturbed copy (every
+    97th key's price bumped, every 101st key dropped, every 103rd key
+    re-added under a shifted id) — added/removed/changed/unchanged counts
+    from ONE full-outer key join over JSON-fingerprinted rows. The oracle
+    recomputes the same statuses with per-column IS DISTINCT FROM — the
+    fingerprint is exact, so the two formulations must agree count for
+    count."""
+    from metrics_database_cron_script_spark.operators.reconcile import (
+        table_diff_summary,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    kept = base.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    added = base.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    v2 = kept.unionByName(added)
+    return table_diff_summary(base, v2, "o_orderkey")
