@@ -211,6 +211,37 @@ class VersionedSnapshot:
         self._publish(target, data)
         return target
 
+    def restore(
+        self, version: int, expected_version: int | None = None
+    ) -> int:
+        """RESTORE (Delta's `RESTORE TABLE ... TO VERSION`): re-commit an
+        older version's content as the NEW head — rollback that preserves
+        history (the bad versions stay time-travelable until vacuum) and
+        goes through the same OCC publish as every other commit. Zero
+        data copy: the new version's files are hardlinks of the restored
+        version's (`_link_tree` — the same inode carry-forward the
+        partitioned MERGE uses), so restore costs O(files), not O(bytes),
+        and vacuum stays safe because removal only unlinks names."""
+        observed = self.version()
+        if expected_version is not None and observed != expected_version:
+            raise ConcurrentWriteError(
+                f"{self.path}: expected version {expected_version}, found "
+                f"{observed} — another writer committed; re-read and retry"
+            )
+        if version not in self.history():
+            raise ValueError(f"{self.path}: no committed version {version}")
+        src = self._resolve_data_dir(version)
+        if not os.path.isdir(src):
+            raise ValueError(
+                f"{self.path}: version {version} was vacuumed — "
+                "its data is gone"
+            )
+        target = observed + 1
+        data = self._stage_dir(target)
+        _link_tree(src, data)
+        self._publish(target, data)
+        return target
+
     def merge_keep_latest(
         self,
         new: DataFrame,

@@ -573,3 +573,53 @@ def test_changes_validates_versions(spark, tmp_path):
     t.vacuum(keep=1)
     with pytest.raises(FileNotFoundError):
         t.changes(0)
+
+
+def test_restore_recommits_old_content_zero_copy(spark, tmp_path):
+    """RESTORE promotes an old version's content as the new head, keeps
+    the full history time-travelable, shares inodes with the restored
+    version (no byte copy), and respects OCC."""
+    import os
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    for n in (3, 5, 7):
+        t.overwrite(spark.range(0, n).toDF("id"))
+    assert t.history() == [0, 1, 2]
+    new_v = t.restore(0)
+    assert new_v == 3
+    assert t.read().count() == 3  # head content == version 0
+    assert t.read(version=2).count() == 7  # rollback kept history
+    # zero-copy: every restored file shares an inode with version 0's dir
+    src = t._resolve_data_dir(0)
+    dst = t._resolve_data_dir(3)
+    src_inodes = {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(src)
+        for f in fs
+    }
+    dst_files = [
+        os.path.join(r, f) for r, _d, fs in os.walk(dst) for f in fs
+    ]
+    assert dst_files and all(
+        os.stat(p).st_ino in src_inodes for p in dst_files
+    )
+
+
+def test_restore_occ_and_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from metrics_database_cron_script_spark.versioned import (
+        ConcurrentWriteError,
+    )
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.overwrite(spark.range(0, 2).toDF("id"))
+    t.overwrite(spark.range(0, 4).toDF("id"))
+    with _pytest.raises(ConcurrentWriteError):
+        t.restore(0, expected_version=0)  # stale view: head is 1
+    with _pytest.raises(ValueError, match="no committed version"):
+        t.restore(99)
+    t.overwrite(spark.range(0, 6).toDF("id"))
+    t.vacuum(keep=1)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        t.restore(0)
