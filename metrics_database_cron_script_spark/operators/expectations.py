@@ -27,6 +27,45 @@ from pyspark.sql import functions as F
 _FLAG = "__exp_fail"
 
 
+class ExpectationsFailed(RuntimeError):
+    """A rule-gated commit was aborted; `.metrics` has the per-rule
+    violation counts that killed it."""
+
+    def __init__(self, message: str, metrics: dict[str, int]):
+        super().__init__(message)
+        self.metrics = metrics
+
+
+def observe_rules(df: DataFrame, rules: dict[str, Column]):
+    """Attach rule-violation counters to `df` without routing: returns
+    (df_with_observe_node, resolve) where `resolve()` — called after SOME
+    action has executed the returned frame — yields
+    {'rows': n, <rule>: violations...}. The single-pass audit primitive
+    behind `validate` and the versioned table's write-audit-publish."""
+    if not rules:
+        raise ValueError("observe_rules() needs at least one rule")
+    obs = Observation()
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        *[
+            F.sum(
+                F.when(cond.eqNullSafe(F.lit(False)), 1).otherwise(0)
+            ).alias(f"viol_{name}")
+            for name, cond in rules.items()
+        ],
+    )
+
+    def resolve() -> dict[str, int]:
+        got = obs.get
+        return {
+            "rows": int(got["rows"]),
+            **{name: int(got[f"viol_{name}"]) for name in rules},
+        }
+
+    return out, resolve
+
+
 @dataclass(frozen=True)
 class Validated:
     """Routed outputs + the lazily-populated metrics handle. `metrics()`
@@ -35,15 +74,10 @@ class Validated:
 
     good: DataFrame
     quarantined: DataFrame
-    _obs: Observation
-    _rules: tuple[str, ...]
+    _resolve: object
 
     def metrics(self) -> dict[str, int]:
-        got = self._obs.get
-        return {
-            "rows": int(got["rows"]),
-            **{name: int(got[f"viol_{name}"]) for name in self._rules},
-        }
+        return self._resolve()
 
 
 def validate(df: DataFrame, rules: dict[str, Column]) -> Validated:
@@ -54,33 +88,14 @@ def validate(df: DataFrame, rules: dict[str, Column]) -> Validated:
     are per-rule violations plus total rows — a row failing two rules
     increments both, so the counts are rule diagnostics, not a partition
     of rows."""
-    if not rules:
-        raise ValueError("validate() needs at least one rule")
+    observed, resolve = observe_rules(df, rules)
     fails = [
         F.when(cond.eqNullSafe(F.lit(False)), F.lit(name))
         for name, cond in rules.items()
     ]
-    flagged = df.withColumn(
-        _FLAG, F.array_compact(F.array(*fails))
-    )
-    obs = Observation()
-    flagged = flagged.observe(
-        obs,
-        F.count(F.lit(1)).alias("rows"),
-        *[
-            F.sum(
-                F.when(F.array_contains(_FLAG, name), 1).otherwise(0)
-            ).alias(f"viol_{name}")
-            for name in rules
-        ],
-    )
+    flagged = observed.withColumn(_FLAG, F.array_compact(F.array(*fails)))
     good = flagged.filter(F.size(_FLAG) == 0).drop(_FLAG)
     quarantined = flagged.filter(F.size(_FLAG) > 0).withColumnRenamed(
         _FLAG, "violated"
     )
-    return Validated(
-        good=good,
-        quarantined=quarantined,
-        _obs=obs,
-        _rules=tuple(rules),
-    )
+    return Validated(good=good, quarantined=quarantined, _resolve=resolve)

@@ -211,6 +211,54 @@ class VersionedSnapshot:
         self._publish(target, data)
         return target
 
+    def wap_overwrite(
+        self,
+        df: DataFrame,
+        rules: dict,
+        expected_version: int | None = None,
+        max_violations: int = 0,
+    ) -> tuple[int, dict]:
+        """Write-audit-publish (Iceberg's WAP pattern): stage the full
+        snapshot write, audit it against declarative expectations, and
+        only then publish the commit marker — a batch that fails its
+        rules never becomes a readable version. The audit costs ZERO
+        extra jobs: the per-rule violation counts ride the staging write
+        itself as `df.observe` metrics
+        (operators/expectations.observe_rules — null rule results pass,
+        SQL-constraint style), so audit-then-publish is one pass over the
+        data plus a marker link. On violation the stage dir is removed
+        and ExpectationsFailed carries the counts; on an OCC race the
+        normal publish loser path applies. Returns (version, metrics)."""
+        import shutil as _shutil
+
+        from metrics_database_cron_script_spark.operators.expectations import (
+            ExpectationsFailed,
+            observe_rules,
+        )
+
+        observed = self.version()
+        if expected_version is not None and observed != expected_version:
+            raise ConcurrentWriteError(
+                f"{self.path}: expected version {expected_version}, found "
+                f"{observed} — another writer committed; re-read and retry"
+            )
+        audited, resolve = observe_rules(df, rules)
+        target = observed + 1
+        data = self._stage_dir(target)
+        audited.write.mode("overwrite").parquet(data)
+        metrics = resolve()
+        violations = sum(v for k, v in metrics.items() if k != "rows")
+        if violations > max_violations:
+            _shutil.rmtree(data, ignore_errors=True)
+            raise ExpectationsFailed(
+                f"{self.path}: audit failed ({violations} violations > "
+                f"{max_violations} allowed) — commit aborted, no version "
+                "published",
+                metrics,
+            )
+        self._publish(target, data)
+        return target, metrics
+
     def restore(
         self, version: int, expected_version: int | None = None
     ) -> int:

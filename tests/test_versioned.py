@@ -623,3 +623,55 @@ def test_restore_occ_and_validation(spark, tmp_path):
     t.vacuum(keep=1)
     with _pytest.raises(ValueError, match="vacuumed"):
         t.restore(0)
+
+
+def test_wap_publishes_clean_batch_with_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    v, m = t.wap_overwrite(
+        spark.range(0, 10).toDF("id"), {"nonneg": F.col("id") >= 0}
+    )
+    assert v == 0 and m == {"rows": 10, "nonneg": 0}
+    assert t.read().count() == 10
+
+
+def test_wap_aborts_dirty_batch_without_a_version(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.expectations import (
+        ExpectationsFailed,
+    )
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.overwrite(spark.range(0, 5).toDF("id"))
+    with _pytest.raises(ExpectationsFailed) as ei:
+        t.wap_overwrite(
+            spark.range(-3, 7).toDF("id"), {"nonneg": F.col("id") >= 0}
+        )
+    assert ei.value.metrics == {"rows": 10, "nonneg": 3}
+    # no version published, no stage garbage left behind
+    assert t.history() == [0]
+    assert t.read().count() == 5
+    stages = [
+        n
+        for n in os.listdir(t.path)
+        if n.startswith("_v") and n != os.path.basename(t._resolve_data_dir(0))
+    ]
+    assert stages == []
+
+
+def test_wap_tolerates_allowed_violations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    v, m = t.wap_overwrite(
+        spark.range(-1, 9).toDF("id"),
+        {"nonneg": F.col("id") >= 0},
+        max_violations=1,
+    )
+    assert v == 0 and m["nonneg"] == 1
+    assert t.read().count() == 10
