@@ -299,3 +299,56 @@ def r_agg_maintenance(spark, sf_dir):
     from-scratch rollup, which is the defining invariant of incremental
     view maintenance."""
     return R.incremental_agg_merge(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "r_rest_price_dim_pyds",
+    oracle="""
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
+), days AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+), urls AS (
+  SELECT CAST(d AS VARCHAR) AS key,
+         'https://api.example.test/history/' || day(d) || '-' || month(d)
+           || '-' || year(d) AS url
+  FROM days
+)
+SELECT key,
+       ROUND((CAST(list_sum(list_transform(range(8),
+                i -> (strpos('0123456789abcdef', substr(md5(url), i+1, 1)) - 1)
+                     * 16**(7-i)))
+              AS BIGINT) % 100000) / 100.0, 2) AS price
+FROM urls""",
+)
+def r_rest_price_dim_pyds(spark, sf_dir):
+    """R6/R7 through the Python DataSource (sources/pyds.py): the day-spine
+    URL list (R21 unpadded d-m-Y format, updatescript.py:39) is fetched
+    partition-parallel on EXECUTORS via `spark.read.format('rest_point')`
+    instead of a driver loop — the scale path for a large URL list. The
+    bundled offline fetcher derives each price from md5(url), which the
+    oracle recomputes digit-by-digit in SQL, so the whole source — URL
+    construction, partitioned fetch, JSON path extraction — is
+    value-hash-checked. The day span comes from one 1-row min/max
+    aggregate (driver-side URL construction is the source's nature, R6)."""
+    import datetime
+
+    from metrics_database_cron_script_spark.sources.pyds import rest_point_frame
+    from metrics_database_cron_script_spark.sources.rest import unpadded_dmy
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).collect()[0]
+    days = [
+        row["lo"] + datetime.timedelta(days=i)
+        for i in range((row["hi"] - row["lo"]).days + 1)
+    ]
+    urls = [
+        (d.isoformat(), f"https://api.example.test/history/{unpadded_dmy(d)}")
+        for d in days
+    ]
+    return rest_point_frame(spark, urls, "$.market_data.current_price.usd").select(
+        "key", F.round("value", 2).alias("price")
+    )
