@@ -172,9 +172,13 @@ def bloom_pruned_anti_join(
     snapshot's key projection); dedupe it upstream if it has duplicates —
     the sketch doesn't care, the backstop join semantics don't either.
     """
+    # Both relations feed two consumers each (sketch build + backstop
+    # join; negative + candidate branches) — persist so the batch is
+    # scanned and probed ONCE, which is the whole point of the pruning.
+    existing_keys = existing_keys.select(key).persist()
     sketch = build_bloom(existing_keys, key, expected_items, fpp)
-    probed = might_contain(incoming, key, sketch)
+    probed = might_contain(incoming, key, sketch).persist()
     negatives = probed.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe")
     candidates = probed.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
-    survivors = candidates.join(existing_keys.select(key), key, "left_anti")
+    survivors = candidates.join(existing_keys, key, "left_anti")
     return negatives.unionByName(survivors)

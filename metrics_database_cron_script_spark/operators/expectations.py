@@ -44,6 +44,10 @@ def observe_rules(df: DataFrame, rules: dict[str, Column]):
     behind `validate` and the versioned table's write-audit-publish."""
     if not rules:
         raise ValueError("observe_rules() needs at least one rule")
+    if "rows" in rules:
+        raise ValueError(
+            "'rows' is reserved for the total-row counter — rename the rule"
+        )
     obs = Observation()
     out = df.observe(
         obs,

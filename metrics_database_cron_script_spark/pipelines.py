@@ -72,22 +72,29 @@ def update_tx_enriched(
     )
     # Invariant I3: the reference crashes on a missing price day; we assert
     # no row was silently lost by the inner join instead. Both counts ride
-    # the append's write action as observed metrics (pre-join vs post-join
+    # the append's STAGED write as observed metrics (pre-join vs post-join
     # nodes of the SAME plan) — zero extra jobs, where count()-ing each side
-    # would execute the scan and the join twice more. The check consequently
-    # fires AFTER the (idempotent, keyed) append: the rows written are
-    # individually valid — the violation signals MISSING source rows — and a
-    # replay after fixing the price dim appends exactly the missing ones.
+    # would execute the scan and the join twice more. The check runs in the
+    # append's pre_publish hook: the batch is fully written to staging (so
+    # the observations are resolved) but NOTHING is visible in the sink yet;
+    # a violation aborts with tx_enriched untouched, exactly the
+    # write-blocking gate the pre-observe code had, at staging-write cost.
     enriched = enriched.observe(obs_out, F.count(F.lit(1)).alias("n"))
-    appended = ST.idempotent_append(
-        enriched, _sink(state_dir, "tx_enriched"), key="event_id"
+
+    def _i3_gate() -> None:
+        n_in, n_out = int(obs_in.get["n"]), int(obs_out.get["n"])
+        if n_in != n_out:
+            raise AssertionError(
+                f"price dim incomplete: {n_in - n_out} tx rows on days "
+                "without a price"
+            )
+
+    return ST.idempotent_append(
+        enriched,
+        _sink(state_dir, "tx_enriched"),
+        key="event_id",
+        pre_publish=_i3_gate,
     )
-    n_in, n_out = int(obs_in.get["n"]), int(obs_out.get["n"])
-    if n_in != n_out:
-        raise AssertionError(
-            f"price dim incomplete: {n_in - n_out} tx rows on days without a price"
-        )
-    return appended
 
 
 def update_stats(spark: SparkSession, events: DataFrame, state_dir: str,

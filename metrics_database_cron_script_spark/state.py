@@ -82,11 +82,25 @@ class Watermark:
         atomic_overwrite(df, self.path)
 
 
+def _publish_parquet_files(stage: str, path: str) -> None:
+    """Rename a staged write's data files into the sink, preserving the
+    partition-directory layout. Part-file names carry task UUIDs, so
+    renames never collide with existing sink files."""
+    for root, _dirs, files in os.walk(stage):
+        rel = os.path.relpath(root, stage)
+        out = path if rel == "." else os.path.join(path, rel)
+        os.makedirs(out, exist_ok=True)
+        for name in files:
+            if name.startswith(("part-", ".part-")):
+                os.rename(os.path.join(root, name), os.path.join(out, name))
+
+
 def idempotent_append(
     new: DataFrame,
     path: str,
     key: str,
     partition_by: list[str] | None = None,
+    pre_publish=None,
 ) -> int:
     """R14 as a set operation: append only rows whose `key` is absent from
     the sink. Returns the number of rows appended. The existing-keys side is
@@ -94,14 +108,24 @@ def idempotent_append(
     shuffle-hash at scale. `partition_by` lays the sink out for partition
     pruning (the SURVEY §7.0 fact layout: chain + day).
 
-    The appended-row count comes from `df.observe` riding the write action
-    itself — ONE pass computes and persists the batch, where a
-    count-then-write would run the anti-join twice (a full second scan of
-    the batch at 100 TB). An all-zero replay therefore still executes the
-    write (at most a schema-only empty file in the sink — harmless to the
-    anti-join and to readers); crash mid-write leaves only fresh keyed rows
-    behind, which the next replay's anti-join skips, so idempotency and
-    exactly-once row content are unaffected."""
+    Stage-audit-publish shape: the batch is written ONCE to a sibling
+    staging dir with the appended-row count riding the write as a
+    `df.observe` metric (count-then-write would run the anti-join twice —
+    a full second scan of the batch at 100 TB), and the staged files are
+    then renamed into the sink. Consequences the naive append lacks:
+
+    - an all-zero batch publishes NOTHING — no schema-less partitioned
+      dir that bricks the next read, no empty part-file accumulation on
+      replays; the stage dir is simply dropped;
+    - `pre_publish` (if given) runs after the staged write completes —
+      so any `Observation` the CALLER attached to `new` is resolved —
+      and before anything becomes visible: raising there aborts the
+      append with the sink untouched (see pipelines.update_tx_enriched's
+      I3 gate);
+    - a crash mid-rename leaves some fresh keyed rows visible; the
+      replay's anti-join skips exactly those, so batch idempotency and
+      exactly-once row content are preserved (same guarantee, smaller
+      window than the previous in-place append)."""
     spark = new.sparkSession
     if _exists(path):
         existing = spark.read.parquet(path).select(key)
@@ -110,11 +134,20 @@ def idempotent_append(
         fresh = new
     obs = Observation()
     fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
-    writer = fresh.write.mode("append")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
-    return int(obs.get["n"])
+    stage = f"{path}.stage-{uuid.uuid4().hex[:8]}"
+    try:
+        writer = fresh.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
+        n = int(obs.get["n"])
+        if pre_publish is not None:
+            pre_publish()
+        if n:
+            _publish_parquet_files(stage, path)
+        return n
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def snapshot_overwrite(

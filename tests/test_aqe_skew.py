@@ -16,29 +16,10 @@ not just skewed.
 
 from __future__ import annotations
 
-import contextlib
-
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
-
-
-@contextlib.contextmanager
-def _confs(spark, **kv):
-    old = {}
-    for k, v in kv.items():
-        key = k.replace("__", ".")
-        old[key] = spark.conf.get(key, None)
-        spark.conf.set(key, str(v))
-    try:
-        yield
-    finally:
-        for key, v in old.items():
-            if v is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, v)
+from tests.conftest import SF_SMOKE, set_confs
 
 
 def _skewed_frames(spark):
@@ -61,7 +42,7 @@ def test_aqe_splits_skewed_join_partitions(spark):
     exact join cardinality (splitting changes the schedule, never the
     result)."""
     left, right = _skewed_frames(spark)
-    with _confs(
+    with set_confs(
         spark,
         **{
             "spark.sql.adaptive.enabled": "true",
@@ -89,7 +70,7 @@ def test_aqe_coalesces_tiny_shuffle_partitions(spark):
     KB-scale data must coalesce at runtime (AQEShuffleRead coalesced) —
     the mechanism that lets the engine start shuffles fine-grained at
     100 TB and let the runtime own the final width."""
-    with _confs(
+    with set_confs(
         spark,
         **{
             "spark.sql.adaptive.enabled": "true",

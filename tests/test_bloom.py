@@ -15,7 +15,7 @@ from metrics_database_cron_script_spark.functions.bloom import (
     might_contain,
 )
 
-SF_CORRECT = "/root/testdata/sf0.01"
+from tests.conftest import SF_CORRECT
 
 
 def test_bloom_params_shape():

@@ -9,27 +9,10 @@ query author got wrong."""
 
 from __future__ import annotations
 
-import contextlib
-
 import pytest
 from pyspark.sql import functions as F
 
-
-@contextlib.contextmanager
-def _confs(spark, **kv):
-    old = {}
-    for k, v in kv.items():
-        key = k.replace("__", ".")
-        old[key] = spark.conf.get(key, None)
-        spark.conf.set(key, str(v))
-    try:
-        yield
-    finally:
-        for key, v in old.items():
-            if v is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, v)
+from tests.conftest import set_confs
 
 
 @pytest.fixture(scope="module")
@@ -67,7 +50,7 @@ def _first_rel_positions(plan: str) -> tuple[int, int]:
 
 
 def test_cbo_moves_selective_join_first(spark, cbo_tables):
-    with _confs(
+    with set_confs(
         spark,
         **{
             "spark.sql.cbo.enabled": "true",
@@ -82,7 +65,7 @@ def test_cbo_moves_selective_join_first(spark, cbo_tables):
         assert small_at < big_at, plan[:1500]
         n_cbo = q.collect()[0]["n"]
 
-    with _confs(spark, **{"spark.sql.cbo.enabled": "false"}):
+    with set_confs(spark, **{"spark.sql.cbo.enabled": "false"}):
         q2 = spark.sql(_SQL)
         plan2 = q2._jdf.queryExecution().optimizedPlan().toString()
         big_at2, small_at2 = _first_rel_positions(plan2)

@@ -14,30 +14,11 @@ date-partitioned 100 TB fact table.
 
 from __future__ import annotations
 
-import contextlib
-
 import pytest
 from pyspark.sql import functions as F
 
 from metrics_database_cron_script_spark.sources.tables import load_table
-from tests.conftest import SF_SMOKE
-
-
-@contextlib.contextmanager
-def _confs(spark, **kv):
-    old = {}
-    for k, v in kv.items():
-        key = k.replace("__", ".")
-        old[key] = spark.conf.get(key, None)
-        spark.conf.set(key, str(v))
-    try:
-        yield
-    finally:
-        for key, v in old.items():
-            if v is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, v)
+from tests.conftest import SF_SMOKE, set_confs
 
 
 def _scan_nodes(plan):
@@ -84,7 +65,7 @@ def test_dpp_prunes_fact_partitions(spark, month_partitioned_orders):
     months_1995 = dim.filter(F.col("yr") == "1995").count()
     assert 0 < months_1995 < total_months  # pruning has something to prune
 
-    with _confs(
+    with set_confs(
         spark,
         **{
             # DPP works with or without AQE; keep the executed plan a plain
@@ -131,7 +112,7 @@ def test_dpp_empty_dim_prunes_everything(spark, month_partitioned_orders):
     the scan does zero IO instead of scanning 100 TB for an empty join."""
     fact = spark.read.parquet(month_partitioned_orders)
     dim = fact.select("om").distinct()
-    with _confs(
+    with set_confs(
         spark,
         **{
             "spark.sql.adaptive.enabled": "false",

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from metrics_database_cron_script_spark.operators.expectations import validate
 
-SF_CORRECT = "/root/testdata/sf0.01"
+from tests.conftest import SF_CORRECT
 
 
 def _events(spark):
@@ -72,3 +72,8 @@ def test_null_rule_result_does_not_quarantine(spark):
 def test_empty_rules_rejected(spark):
     with pytest.raises(ValueError):
         validate(_events(spark), {})
+
+
+def test_reserved_rows_rule_name_rejected(spark):
+    with pytest.raises(ValueError, match="reserved"):
+        validate(_events(spark), {"rows": F.col("value") >= 0})

@@ -9,27 +9,10 @@ optimizer can't see)."""
 
 from __future__ import annotations
 
-import contextlib
-
 import pytest
 from pyspark.sql import functions as F
 
-
-@contextlib.contextmanager
-def _confs(spark, **kv):
-    old = {}
-    for k, v in kv.items():
-        key = k.replace("__", ".")
-        old[key] = spark.conf.get(key, None)
-        spark.conf.set(key, str(v))
-    try:
-        yield
-    finally:
-        for key, v in old.items():
-            if v is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, v)
+from tests.conftest import set_confs
 
 
 @pytest.fixture(scope="module")
@@ -56,7 +39,7 @@ def test_bloom_filter_injected_below_threshold(spark, fact_dim):
     production default is 10 GiB — this test exercises the same mechanism
     a 100 TB scan relies on), the filtered dim's keys must reach the fact
     scan as a bloom probe, and the join result must be unaffected."""
-    with _confs(
+    with set_confs(
         spark,
         **{
             "spark.sql.autoBroadcastJoinThreshold": "-1",
@@ -80,7 +63,7 @@ def test_no_injection_at_production_threshold(spark, fact_dim):
     a KB-scale scan must NOT pay the bloom build — the optimizer only
     spends a subquery job when the protected scan is big enough to repay
     it."""
-    with _confs(
+    with set_confs(
         spark,
         **{"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ):

@@ -123,3 +123,67 @@ def test_compact_preserves_partitioned_layout(spark, tmp_path):
         (r["event_id"], r["chain"]) for r in spark.read.parquet(path).collect()
     )
     assert got == orig
+
+
+def test_empty_first_append_leaves_no_sink(spark, tmp_path):
+    """Regression: an all-empty FIRST batch on a partitioned sink used to
+    create a schema-less directory (only _SUCCESS) that bricked every
+    subsequent read with UNABLE_TO_INFER_SCHEMA. Staged publish drops the
+    empty stage instead — the sink simply does not exist yet, and the
+    next non-empty batch bootstraps it normally."""
+    import os
+
+    from metrics_database_cron_script_spark.state import idempotent_append
+
+    path = str(tmp_path / "sink.parquet")
+    empty = spark.createDataFrame([], "event_id long, chain string")
+    assert idempotent_append(empty, path, key="event_id",
+                             partition_by=["chain"]) == 0
+    assert not os.path.exists(path)
+    rows = spark.createDataFrame([(1, "dot")], "event_id long, chain string")
+    assert idempotent_append(rows, path, key="event_id",
+                             partition_by=["chain"]) == 1
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_empty_replays_accumulate_no_files(spark, tmp_path):
+    """Regression: all-duplicate replays (the streaming foreachBatch idle
+    case) must not grow the sink's file count with empty part files."""
+    import os
+
+    from metrics_database_cron_script_spark.state import idempotent_append
+
+    path = str(tmp_path / "sink.parquet")
+    batch = spark.range(0, 5).toDF("event_id")
+    assert idempotent_append(batch, path, key="event_id") == 5
+    files_before = sorted(os.listdir(path))
+    for _ in range(3):
+        assert idempotent_append(batch, path, key="event_id") == 0
+    assert sorted(os.listdir(path)) == files_before
+
+
+def test_pre_publish_abort_leaves_sink_untouched(spark, tmp_path):
+    """pre_publish raising must abort the append with the sink exactly as
+    it was — the write-blocking audit gate update_tx_enriched relies on."""
+    import os
+
+    import pytest as _pytest
+
+    from metrics_database_cron_script_spark.state import idempotent_append
+
+    path = str(tmp_path / "sink.parquet")
+    idempotent_append(spark.range(0, 3).toDF("event_id"), path, key="event_id")
+    before = sorted(os.listdir(path))
+
+    def boom():
+        raise AssertionError("audit failed")
+
+    with _pytest.raises(AssertionError, match="audit failed"):
+        idempotent_append(
+            spark.range(10, 20).toDF("event_id"), path,
+            key="event_id", pre_publish=boom,
+        )
+    assert sorted(os.listdir(path)) == before
+    assert spark.read.parquet(path).count() == 3
+    # no stage garbage next to the sink either
+    assert [n for n in os.listdir(str(tmp_path)) if ".stage-" in n] == []
