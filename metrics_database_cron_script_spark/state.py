@@ -83,16 +83,27 @@ class Watermark:
 
 
 def _publish_parquet_files(stage: str, path: str) -> None:
-    """Rename a staged write's data files into the sink, preserving the
-    partition-directory layout. Part-file names carry task UUIDs, so
+    """Make a staged write's data files visible in the sink, preserving
+    the partition-directory layout. First-ever publish is ONE atomic
+    directory rename — there is never a window where the sink exists
+    without schema-bearing files (an empty sink dir bricks every later
+    read). Subsequent publishes rename files into the existing tree;
+    directories are only created when a file is about to land in them
+    (a crash can at worst leave an empty partition subdir, which parquet
+    partition discovery ignores). Part-file names carry task UUIDs, so
     renames never collide with existing sink files."""
+    if not _exists(path):
+        os.rename(stage, path)
+        return
     for root, _dirs, files in os.walk(stage):
         rel = os.path.relpath(root, stage)
         out = path if rel == "." else os.path.join(path, rel)
+        data = [n for n in files if n.startswith(("part-", ".part-"))]
+        if not data:
+            continue
         os.makedirs(out, exist_ok=True)
-        for name in files:
-            if name.startswith(("part-", ".part-")):
-                os.rename(os.path.join(root, name), os.path.join(out, name))
+        for name in data:
+            os.rename(os.path.join(root, name), os.path.join(out, name))
 
 
 def idempotent_append(
@@ -127,6 +138,15 @@ def idempotent_append(
       exactly-once row content are preserved (same guarantee, smaller
       window than the previous in-place append)."""
     spark = new.sparkSession
+    # Reap stage dirs stranded by a previous crashed run (the finally
+    # below can't run under SIGKILL). Single-writer model (module
+    # docstring): any pre-existing stage is dead by definition.
+    parent, base = os.path.split(path.rstrip("/"))
+    parent = parent or "."
+    if os.path.isdir(parent):
+        for n in os.listdir(parent):
+            if n.startswith(f"{base}.stage-"):
+                shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
     if _exists(path):
         existing = spark.read.parquet(path).select(key)
         fresh = new.join(existing, key, "left_anti")

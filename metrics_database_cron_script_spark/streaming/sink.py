@@ -40,7 +40,13 @@ def stream_to_idempotent_sink(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(sink_path).count()
+    import os
+
+    # an all-empty stream publishes nothing (staged append drops empty
+    # batches) — the sink legitimately doesn't exist yet
+    return (
+        spark.read.parquet(sink_path).count() if os.path.exists(sink_path) else 0
+    )
 
 
 def stream_to_versioned_snapshot(

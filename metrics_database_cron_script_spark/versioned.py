@@ -78,6 +78,27 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+def _hive_partition_cols(data_dir: str) -> list[str]:
+    """Partition columns of a hive-layout data dir, outermost first —
+    detected from `col=value` directory names; [] for a flat layout."""
+    cols: list[str] = []
+    cur = data_dir
+    while os.path.isdir(cur):
+        sub = [
+            n
+            for n in os.listdir(cur)
+            if "=" in n and os.path.isdir(os.path.join(cur, n))
+        ]
+        if not sub:
+            break
+        col = sub[0].split("=", 1)[0]
+        if not col or any(not n.startswith(f"{col}=") for n in sub):
+            break
+        cols.append(col)
+        cur = os.path.join(cur, sub[0])
+    return cols
+
+
 class VersionedSnapshot:
     """Keep-latest snapshot table with OCC (reference R9 `update_one` upsert,
     updatescript.py:131 — safe under concurrent writers, unlike the
@@ -193,6 +214,14 @@ class VersionedSnapshot:
             except OSError:
                 pass
 
+    def _check_expected(self, observed: int, expected_version) -> None:
+        """Shared OCC precheck for read-modify-write commits."""
+        if expected_version is not None and observed != expected_version:
+            raise ConcurrentWriteError(
+                f"{self.path}: expected version {expected_version}, found "
+                f"{observed} — another writer committed; re-read and retry"
+            )
+
     def overwrite(self, df: DataFrame, expected_version: int | None = None) -> int:
         """Commit `df` as the next version. `expected_version` (from
         `version()` at the start of the caller's read-modify-write) makes
@@ -200,11 +229,7 @@ class VersionedSnapshot:
         instead of silently overwriting their update. Returns the new
         version."""
         observed = self.version()
-        if expected_version is not None and observed != expected_version:
-            raise ConcurrentWriteError(
-                f"{self.path}: expected version {expected_version}, found "
-                f"{observed} — another writer committed; re-read and retry"
-            )
+        self._check_expected(observed, expected_version)
         target = observed + 1
         data = self._stage_dir(target)
         df.write.mode("overwrite").parquet(data)
@@ -229,19 +254,13 @@ class VersionedSnapshot:
         data plus a marker link. On violation the stage dir is removed
         and ExpectationsFailed carries the counts; on an OCC race the
         normal publish loser path applies. Returns (version, metrics)."""
-        import shutil as _shutil
-
         from metrics_database_cron_script_spark.operators.expectations import (
             ExpectationsFailed,
             observe_rules,
         )
 
         observed = self.version()
-        if expected_version is not None and observed != expected_version:
-            raise ConcurrentWriteError(
-                f"{self.path}: expected version {expected_version}, found "
-                f"{observed} — another writer committed; re-read and retry"
-            )
+        self._check_expected(observed, expected_version)
         audited, resolve = observe_rules(df, rules)
         target = observed + 1
         data = self._stage_dir(target)
@@ -249,7 +268,7 @@ class VersionedSnapshot:
         metrics = resolve()
         violations = sum(v for k, v in metrics.items() if k != "rows")
         if violations > max_violations:
-            _shutil.rmtree(data, ignore_errors=True)
+            shutil.rmtree(data, ignore_errors=True)
             raise ExpectationsFailed(
                 f"{self.path}: audit failed ({violations} violations > "
                 f"{max_violations} allowed) — commit aborted, no version "
@@ -271,16 +290,14 @@ class VersionedSnapshot:
         partitioned MERGE uses), so restore costs O(files), not O(bytes),
         and vacuum stays safe because removal only unlinks names."""
         observed = self.version()
-        if expected_version is not None and observed != expected_version:
-            raise ConcurrentWriteError(
-                f"{self.path}: expected version {expected_version}, found "
-                f"{observed} — another writer committed; re-read and retry"
-            )
+        self._check_expected(observed, expected_version)
         if version not in self.history():
-            raise ValueError(f"{self.path}: no committed version {version}")
+            raise FileNotFoundError(
+                f"{self.path}: no committed version {version}"
+            )
         src = self._resolve_data_dir(version)
         if not os.path.isdir(src):
-            raise ValueError(
+            raise FileNotFoundError(
                 f"{self.path}: version {version} was vacuumed — "
                 "its data is gone"
             )
@@ -550,8 +567,17 @@ class VersionedSnapshot:
             if v < 0:
                 raise FileNotFoundError(f"{self.path}: nothing to optimize")
             stage = self._stage_dir(v + 1)
+            # preserve the head's hive partition layout — flattening it
+            # would break compact_partitions / partition-pruned MERGE /
+            # changes() pruning on the post-optimize table
+            part_cols = _hive_partition_cols(self._resolve_data_dir(v))
             clustered_write(
-                self.read(), stage, cluster_cols, n_files=n_files, zorder=zorder
+                self.read(),
+                stage,
+                cluster_cols,
+                n_files=n_files,
+                zorder=zorder,
+                partition_cols=part_cols or None,
             )
             try:
                 self._publish(v + 1, stage)
@@ -652,6 +678,33 @@ class VersionedSnapshot:
             old = self.spark.createDataFrame([], new.schema)
         elif new is None:
             new = self.spark.createDataFrame([], old.schema)
+
+        # Schema evolution across the diffed boundary: merges legitimately
+        # add columns (unionByName allowMissingColumns, partitioned
+        # derive= upgrades) and a partition column reads back in a
+        # different position. Align both sides to the union of columns —
+        # missing ones null-filled — so the feed reports an added column
+        # as null→value updates (Delta-CDF behavior) instead of crashing
+        # on positional exceptAll / missing struct fields.
+        if old.columns != new.columns:
+            types = {f.name: f.dataType for f in old.schema.fields}
+            types.update({f.name: f.dataType for f in new.schema.fields})
+            all_cols = list(new.columns) + [
+                c for c in old.columns if c not in set(new.columns)
+            ]
+
+            def _align(df: DataFrame) -> DataFrame:
+                have = set(df.columns)
+                return df.select(
+                    *[
+                        F.col(c)
+                        if c in have
+                        else F.lit(None).cast(types[c]).alias(c)
+                        for c in all_cols
+                    ]
+                )
+
+            old, new = _align(old), _align(new)
 
         if keys is None:
             ins = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))

@@ -219,3 +219,27 @@ def test_stream_to_versioned_snapshot_bucketed_is_o_delta(spark, tmp_path):
     d = t._resolve_data_dir(t.version())
     buckets = {n for n in os.listdir(d) if n.startswith("__bucket=")}
     assert len(buckets) > 1  # physically bucket-partitioned store
+
+
+def test_stream_to_idempotent_sink_empty_stream_returns_zero(spark, tmp_path):
+    """Regression: an all-empty stream publishes nothing (staged append
+    drops empty batches), so the sink never exists — the drain must
+    return 0, not crash on the final read."""
+    import os
+
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.sink import (
+        stream_to_idempotent_sink,
+    )
+
+    empty_sf = str(tmp_path / "sf_empty")
+    os.makedirs(empty_sf)
+    load_table(spark, SF_SMOKE, "events").limit(0).write.parquet(
+        f"{empty_sf}/events.parquet"
+    )
+    sink = str(tmp_path / "sink.parquet")
+    n = stream_to_idempotent_sink(
+        spark, empty_sf, sink, str(tmp_path / "ckpt"), query_name="t_sink_e"
+    )
+    assert n == 0
+    assert not os.path.exists(sink)

@@ -617,11 +617,11 @@ def test_restore_occ_and_validation(spark, tmp_path):
     t.overwrite(spark.range(0, 4).toDF("id"))
     with _pytest.raises(ConcurrentWriteError):
         t.restore(0, expected_version=0)  # stale view: head is 1
-    with _pytest.raises(ValueError, match="no committed version"):
+    with _pytest.raises(FileNotFoundError, match="no committed version"):
         t.restore(99)
     t.overwrite(spark.range(0, 6).toDF("id"))
     t.vacuum(keep=1)
-    with _pytest.raises(ValueError, match="vacuumed"):
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
         t.restore(0)
 
 
@@ -675,3 +675,61 @@ def test_wap_tolerates_allowed_violations(spark, tmp_path):
     )
     assert v == 0 and m["nonneg"] == 1
     assert t.read().count() == 10
+
+
+def test_optimize_preserves_partition_layout(spark, tmp_path):
+    """Regression: optimize() used to rewrite a hive-partitioned snapshot
+    as flat files, breaking compact_partitions / partition-pruned MERGE /
+    changes() pruning downstream. It must re-cluster WITHIN the same
+    partition-directory layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 4).cast("string").alias("__bucket"),
+        (F.col("id") * 7 % 1000).cast("double").alias("value"),
+    )
+    stage = t._stage_dir(0)
+    df.write.partitionBy("__bucket").parquet(stage)
+    t._publish(0, stage)
+    before = sorted(
+        (r["user_id"], r["value"]) for r in t.read().collect()
+    )
+
+    v1 = t.optimize(["user_id"], n_files=4)
+    d1 = t._resolve_data_dir(v1)
+    assert sorted(
+        n for n in os.listdir(d1) if n.startswith("__bucket=")
+    ) == ["__bucket=0", "__bucket=1", "__bucket=2", "__bucket=3"]
+    assert sorted(
+        (r["user_id"], r["value"]) for r in t.read().collect()
+    ) == before
+    # and compaction still recognizes the layout post-optimize
+    t.compact_partitions("__bucket")
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    """Regression: a change feed spanning a column-adding merge used to
+    crash (positional exceptAll / missing struct field). Added columns
+    must surface as null→value images instead."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.overwrite(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double"))
+    t.merge_keep_latest(
+        spark.createDataFrame(
+            [(2, 21.0, "eu"), (3, 30.0, "us")], "k int, v double, region string"
+        ),
+        key="k",
+        order_cols=["v"],
+    )
+    # keyless multiset diff: must not crash, inserts/deletes balance
+    unkeyed = t.changes(0, 1)
+    assert unkeyed.filter("_change_type = 'insert'").count() >= 2
+    # keyed: the added column appears as null in preimages
+    keyed = t.changes(0, 1, keys=["k"])
+    pre = keyed.filter("_change_type = 'update_preimage' AND k = 2").collect()
+    assert len(pre) == 1 and pre[0]["region"] is None
+    post = keyed.filter("_change_type = 'update_postimage' AND k = 2").collect()
+    assert len(post) == 1 and post[0]["region"] == "eu"
