@@ -133,7 +133,15 @@ def brute_force_topk(
     scored = corpus.select("vec_id", "embedding").mapInPandas(
         score, "q_id long, vec_id long, cos double"
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return _topk_per_query(scored, "cos", k)
+
+
+def _topk_per_query(scored: DataFrame, score_col: str, k: int) -> DataFrame:
+    """Shared per-query top-k epilogue: rank by (score desc, vec_id) and
+    keep k. Deliberately NOT pre-repartitioned — an explicit exchange here
+    would replace ENSURE_REQUIREMENTS and defeat Catalyst's
+    WindowGroupLimit partial top-k below the shuffle (SCALE.md)."""
+    w = Window.partitionBy("q_id").orderBy(F.col(score_col).desc(), "vec_id")
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
@@ -162,7 +170,13 @@ def signature_col(vec: Column, num_bits: int, dim: int) -> Column:
                 F.lit(0).cast("long")
             )
         )
-    return sum(bits[1:], bits[0])
+    sig = sum(bits[1:], bits[0])
+    # a dim mismatch would NULL every dot (zip_with pads with NULL) and
+    # silently send the whole corpus to bucket 0 — fail loudly instead
+    guard = F.assert_true(
+        F.size(vec) == dim, F.lit(f"signature_col: embedding length != dim {dim}")
+    )
+    return F.when(guard.isNull(), sig)
 
 
 def lsh_topk(
@@ -190,12 +204,7 @@ def lsh_topk(
         "vec_id",
         F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("cos"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_per_query(scored, "cos", k)
 
 
 def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.3) -> DataFrame:
@@ -237,8 +246,18 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     corpus_v = corpus.withColumn("__vec", array_to_vector("embedding"))
+    # fit the coarse quantizer on a deterministic hash-mod sample (same
+    # recipe as pq_codebooks) — KMeans iterates over its input several
+    # times, and a quantizer only needs a sample's geometry, not 100 TB
+    n_rows = corpus.count()
+    mod = max(1, n_rows // 4096)
+    fit_set = corpus_v
+    if mod > 1:
+        fit_set = fit_set.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0
+        )
     km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="__cell")
-    model = km.fit(corpus_v.select("__vec"))
+    model = km.fit(fit_set.select("__vec"))
     assigned = model.transform(corpus_v).select("vec_id", "embedding", "__cell")
 
     # query → its n_probe nearest centroids (tiny: n_cells rows, driver math)
@@ -275,12 +294,7 @@ def ivf_topk(
         "vec_id",
         F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("cos"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_per_query(scored, "cos", k)
 
 
 def sq_quantize(vec: Column, scale: float = 127.0) -> Column:
@@ -314,12 +328,8 @@ def sq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "vec_id")
-    return (
-        scored.select("q_id", "vec_id", idot.alias("score"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    return _topk_per_query(
+        scored.select("q_id", "vec_id", idot.alias("score")), "score", k
     )
 
 
@@ -341,9 +351,14 @@ def centroid_outliers(corpus: DataFrame, k: int = 10) -> DataFrame:
         )
         .select(F.transform("pm", lambda s: s["m"]).alias("centroid"))
     )
-    scored = fan_out(corpus.select("vec_id", "embedding")).crossJoin(
-        F.broadcast(centroid)
-    )
+    # zero-norm vectors have no direction: their cosine is NULL (Spark
+    # division by zero), which would sort NULLS-FIRST into the outlier
+    # top-k — exclude them like every other cosine surface in this module
+    scored = fan_out(
+        corpus.select("vec_id", "embedding").filter(
+            l2_norm(F.col("embedding")) > 0
+        )
+    ).crossJoin(F.broadcast(centroid))
     return (
         scored.select(
             "vec_id",
@@ -383,7 +398,7 @@ def knn_label_majority(
     nn = brute_force_topk(rest, queries.select("q_id", "q_vec"), k=k)
     labels = corpus.select("vec_id", F.col("label").alias("nbr_label"))
     votes = (
-        nn.join(F.broadcast(labels), "vec_id")
+        nn.join(labels, "vec_id")  # corpus-sized: stats decide, no hint
         .groupBy("q_id", "nbr_label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
@@ -396,7 +411,7 @@ def knn_label_majority(
         .select("q_id", F.col("nbr_label").alias("predicted_label"), "n_votes")
     )
     return pred.join(
-        F.broadcast(queries.select("q_id", "true_label")), "q_id"
+        queries.select("q_id", "true_label"), "q_id"  # holdout grows with corpus
     ).select("q_id", "predicted_label", "true_label", "n_votes")
 
 
@@ -418,7 +433,10 @@ def pca_top_component(corpus: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    d_dim = len(corpus.select("embedding").first()[0])
+    head = corpus.select("embedding").first()
+    if head is None:
+        raise ValueError("pca_top_component: empty corpus")
+    d_dim = len(head[0])
 
     def _moments(batches):
         for pdf in batches:
@@ -510,7 +528,10 @@ def pq_codebooks(
         )
     sample = sample.select("embedding").persist()
     try:
-        dim = len(sample.first()[0])
+        head = sample.first()
+        if head is None:
+            raise ValueError("pq_codebooks: empty corpus")
+        dim = len(head[0])
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         sub = dim // m
@@ -608,11 +629,8 @@ def pq_topk(
             cosine(F.col("q_vec"), F.col("__approx")).alias("__proxy"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("__proxy").desc(), "vec_id")
-    shortlist = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= rerank * k)
-        .select("q_id", "vec_id")
+    shortlist = _topk_per_query(scored, "__proxy", rerank * k).select(
+        "q_id", "vec_id"
     )
     exact = (
         shortlist.join(corpus.select("vec_id", "embedding"), "vec_id")
@@ -623,9 +641,4 @@ def pq_topk(
             F.round(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("cos"),
         )
     )
-    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
-    return (
-        exact.withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_per_query(exact, "cos", k)

@@ -140,11 +140,11 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def fingerprint(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
-    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash all
-    char k-grams, keep the min hash of every `window` consecutive k-grams,
-    reduce to the distinct fingerprint set per doc. Output is a compact
-    signature: fingerprint count + xor-fold (order-insensitive checksum)."""
+def _winnow_fps(docs: DataFrame, k: int, window: int, hasher) -> DataFrame:
+    """Shared winnowing core (Schleimer et al., SIGMOD'03): char k-grams →
+    `hasher(gram)` → min over each `window` of consecutive positions →
+    distinct fingerprint set per doc. `hasher` is the only thing the
+    production (xxhash64) and portable (md5-prefix) variants differ in."""
     grams = fan_out(docs).select(
         "doc_id",
         F.posexplode(
@@ -156,9 +156,16 @@ def fingerprint(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
             )
         ).alias("pos", "gram"),
     )
-    hashed = grams.select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    hashed = grams.select("doc_id", "pos", hasher(F.col("gram")).alias("h"))
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
-    fps = hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    return hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+
+
+def fingerprint(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprint: production xxhash64 variant. Output
+    is a compact signature: fingerprint count + xor-fold (order-insensitive
+    checksum)."""
+    fps = _winnow_fps(docs, k, window, F.xxhash64)
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.expr("bit_xor(fp)").alias("fp_xor"),
@@ -230,20 +237,9 @@ def fingerprint_portable(docs: DataFrame, k: int = 8, window: int = 4) -> DataFr
     grams in Spark and DuckDB, and the per-doc summary (count + min/max
     fingerprint) is value-hash-checkable. The xxhash64 `fingerprint` stays
     the production fast path."""
-    grams = fan_out(docs).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.length("text") - k, F.lit(0))),
-                lambda i: F.col("text").substr(i + 1, F.lit(k)),
-            )
-        ).alias("pos", "gram"),
+    fps = _winnow_fps(
+        docs, k, window, lambda g: F.substring(F.md5(g), 1, 16)
     )
-    hashed = grams.select(
-        "doc_id", "pos", F.substring(F.md5("gram"), 1, 16).alias("h")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
-    fps = hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fp").alias("fp_min"),

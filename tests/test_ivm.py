@@ -19,7 +19,11 @@ SCHEMA = "k bigint, grp string, val bigint, ts timestamp"
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # None sorts before everything (null group keys are legal)
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
 
 
 def test_ivm_tracks_recompute_across_merges(spark, tmp_path):
@@ -67,4 +71,36 @@ def test_ivm_drops_emptied_groups_and_handles_group_moves(spark, tmp_path):
         mv, t.changes(0, keys=["k"]), keys=["grp"], sum_cols=["val"]
     )
     got = _rows(mv)
-    assert got == [("b", 36, 2)]  # group 'a' emptied → dropped, not zeroed
+    assert got == [("b", 36, 2, 2)]  # group 'a' emptied → dropped, not zeroed
+    # (schema: grp, sum_val, nn_val, n_rows — nn_val is the NULL-sum counter)
+
+
+def test_ivm_null_group_keys_and_all_null_sums(spark, tmp_path):
+    """Regression: NULL group keys must merge null-safely (groupBy treats
+    NULL as a group), and a group whose remaining values are all NULL must
+    report sum NULL like the recompute — not 0."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    d = dt.datetime(2024, 1, 1)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, None, 10, d), (2, None, None, d), (3, "a", None, d)], SCHEMA
+        )
+    )
+    mv = recompute_group_agg(t.read(), keys=["grp"], sum_cols=["val"])
+
+    # delete key 1 (the only non-null val in the NULL group) by moving it
+    # out; group 'a' stays all-NULL throughout
+    d2 = dt.datetime(2024, 1, 2)
+    t.merge_keep_latest(
+        spark.createDataFrame([(1, "a", 7, d2)], SCHEMA),
+        key="k",
+        order_cols=["ts"],
+    )
+    mv = incremental_group_agg(
+        mv, t.changes(0, keys=["k"]), keys=["grp"], sum_cols=["val"]
+    )
+    expect = recompute_group_agg(t.read(), keys=["grp"], sum_cols=["val"])
+    assert _rows(mv) == _rows(expect)
+    # explicit shape: NULL group keeps only its all-NULL row -> sum NULL
+    null_grp = [tuple(r) for r in mv.filter("grp IS NULL").collect()]
+    assert null_grp == [(None, None, 0, 1)]

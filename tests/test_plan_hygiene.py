@@ -99,7 +99,6 @@ BROADCAST_GROWING_ALLOWED = {
                                  # + the shortlist's exact re-rank join
     "x_embed_sq_topk": 1,        # constant-size probe sample
     "x_filter_cascade": 1,       # 1-row cascade counters
-    "x_knn_label_majority": 2,   # probe sample, two consumers
     "x_mixture_weights": 2,      # per-source totals (bounded source set) ×2
     "x_standardize": 1,          # per-event-type moments
     "x_stopword_prune": 1,       # top-K stopword vocabulary
