@@ -21,7 +21,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from metrics_database_cron_script_spark.streaming.structured import read_events_stream
 
 OUTPUT_SCHEMA = "user_id long, n long, total double, last_ts timestamp"
-STATE_SCHEMA = "n long, total double"
+# last_ts lives IN the state: an accumulator field computed only from the
+# current micro-batch would silently reset per batch. total is stored at
+# full precision — rounding belongs at emission only (re-rounding the
+# running sum every batch accumulates double-rounding drift vs the batch
+# oracle's single round(sum(value), 6)).
+STATE_SCHEMA = "n long, total double, last_ts timestamp"
 
 
 def _running_totals(
@@ -29,16 +34,15 @@ def _running_totals(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n, total = state.get
+        n, total, last_ts = state.get
     else:
-        n, total = 0, 0.0
-    last_ts = None
+        n, total, last_ts = 0, 0.0, None
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
         batch_max = pdf["ts"].max()
         last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n, round(total, 6)))
+    state.update((n, total, last_ts))
     yield pd.DataFrame(
         [(user_id, n, round(total, 6), last_ts)],
         columns=["user_id", "n", "total", "last_ts"],

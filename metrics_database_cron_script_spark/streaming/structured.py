@@ -3,9 +3,19 @@
 The reference is a cron micro-batch with a manual watermark (R2/R25,
 updatescript.py:59,:149-152). The streaming upgrade path is: the same logical
 window operators from `windows.py`, driven by readStream over the parquet
-fixtures with `withWatermark` for state eviction and an AvailableNow-style
-full drain into a memory sink. On a cluster this is the same code with a
-Kafka/file source and a Delta/parquet sink via foreachBatch.
+fixtures and an AvailableNow-style full drain into a memory sink.
+
+Honest scope note on the drain harness: the aggregation runners use
+`complete` output mode so the drained result is the full deterministic
+answer the SQL oracles can check — and in complete mode Spark retains all
+window/group state regardless of the declared watermark. The watermark
+declarations here document the event-time column and bound the JOIN/dedup
+state where the mode allows it; an unbounded production deployment of the
+same plans runs in update/append mode (where the watermark does evict
+aggregation state) with a Kafka/file source and a Delta/parquet sink via
+foreachBatch — `streaming/sink.py` is that path, and the `update`-mode
+stateful runners (`stateful.py`, `tws.py`) exercise eviction-compatible
+emission.
 """
 
 from __future__ import annotations
@@ -16,30 +26,54 @@ from pyspark.sql import functions as F
 from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
 
 
+_stream_probe_cache: dict[tuple[str, str], str] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events fixture. readStream needs a declared
-    schema, so probe the parquet footer with a zero-row batch read first:
-    ns-precision fixtures surface `ts` as long (legacy conf) and are
-    converted in-plan; µs-precision fixtures surface NTZ and pass through."""
+    schema, so probe the parquet footer with a zero-row batch read first
+    (cached per (application, path) — same rationale as the batch catalog
+    cache in sources/tables.py): ns-precision fixtures surface `ts` as
+    long (legacy conf) and are converted in-plan; µs-precision fixtures
+    surface NTZ and pass through. Non-`ts` columns come from
+    TABLES['events'] so the declared stream schema cannot drift from the
+    batch contract.
+
+    Layout-aware source: a DIRECTORY events table (presplit bench copies,
+    multi-file sf1/sfxl) is loaded directly; the single-FILE driver
+    fixture streams via a glob on its parent dir (the file source rejects
+    a bare file as basePath). Getting this wrong is silent — the schema
+    probe succeeds and the stream drains zero rows."""
+    import os
+
     import pyspark.sql.types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = table_path(sf_dir, "events")
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
-    ts_decl = "long" if isinstance(ts_type, T.LongType) else ts_type.simpleString()
-    schema = f"event_id long, ts {ts_decl}, user_id long, event_type string, value double, props string"
-    # The fixture is a single parquet FILE; the streaming file source needs a
-    # directory, so stream the sf_dir with a glob pinned to the events table.
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir.rstrip("/"))
-    )
+    ck = (spark.sparkContext.applicationId, path)
+    ts_decl = _stream_probe_cache.get(ck)
+    if ts_decl is None:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+        ts_decl = (
+            "long" if isinstance(ts_type, T.LongType) else ts_type.simpleString()
+        )
+        _stream_probe_cache[ck] = ts_decl
+    fields = [
+        f"{f.name} {ts_decl if f.name == 'ts' else f.dataType.simpleString()}"
+        for f in TABLES["events"].fields
+    ]
+    schema = ", ".join(fields)
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        raw = reader.load(path)
+    else:
+        raw = reader.option(
+            "pathGlobFilter", os.path.basename(path)
+        ).load(os.path.dirname(path.rstrip("/")))
     # withWatermark requires TIMESTAMP (LTZ) event time; under the pinned UTC
     # session timezone the LTZ wall clock equals the batch path's NTZ one.
-    if isinstance(ts_type, T.LongType):
+    if ts_decl == "long":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -86,17 +120,34 @@ def run_streaming_dedup(
     watermark: str = "1 day",
     query_name: str = "stream_dedup",
     subset: list[str] | None = None,
+    within_watermark: bool = False,
 ) -> DataFrame:
     """Streaming exactly-once idempotency: dropDuplicates on `subset`
-    (default the event id) within the watermark horizon — the streaming
-    analog of the reference's per-row `find_one({"_id"})` insert guard
-    (R14, updatescript.py:62). A coarser subset (e.g. (user_id,
-    event_type)) turns this into first-touch dedup where duplicates
-    genuinely exist; the per-type survivor COUNT stays deterministic even
-    though which row survives is arrival-order-dependent."""
+    (default the event id) — the streaming analog of the reference's
+    per-row `find_one({"_id"})` insert guard (R14, updatescript.py:62).
+    A coarser subset (e.g. (user_id, event_type)) turns this into
+    first-touch dedup where duplicates genuinely exist; the per-type
+    survivor COUNT stays deterministic even though which row survives is
+    arrival-order-dependent.
+
+    State honesty: with the subset excluding the event-time column,
+    `dropDuplicates` keeps state for every key EVER seen — the watermark
+    does not evict it. That is the correct contract for exactly-once
+    idempotency (a duplicate must be caught however late it arrives) and
+    the one the SQL oracle asserts; it means state grows with the key
+    space. `within_watermark=True` switches to
+    `dropDuplicatesWithinWatermark`, which bounds state to the horizon at
+    the cost of re-admitting duplicates farther apart than the watermark
+    — the production trade for unbounded key spaces with bounded
+    duplicate windows (tested separately; NOT oracle-checked, since its
+    result depends on arrival order beyond the horizon)."""
     events = read_events_stream(spark, sf_dir)
-    deduped = events.withWatermark("ts", watermark).dropDuplicates(
-        subset or ["event_id"]
+    wm = events.withWatermark("ts", watermark)
+    keys = subset or ["event_id"]
+    deduped = (
+        wm.dropDuplicatesWithinWatermark(keys)
+        if within_watermark
+        else wm.dropDuplicates(keys)
     )
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     q = (

@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from metrics_database_cron_script_spark.streaming.structured import read_events_stream
 
-OUTPUT_SCHEMA = "user_id long, n long, total double"
+# Same contract as stateful.OUTPUT_SCHEMA — the dispatch in
+# run_running_totals_best is an environment fact, so the two paths
+# must be schema-identical, last_ts included.
+OUTPUT_SCHEMA = "user_id long, n long, total double, last_ts timestamp"
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -58,16 +61,26 @@ def _processor():
         updatescript.py:175-186) on the modern state API."""
 
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("totals", "n long, total double")
+            # full-precision running sum + persisted last_ts, mirroring
+            # stateful.STATE_SCHEMA: round at emission only, and never let
+            # the "last event time" reset to the current batch's max
+            self._state = handle.getValueState(
+                "totals", "n long, total double, last_ts timestamp"
+            )
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-            n, total = self._state.get() or (0, 0.0)
+            n, total, last_ts = self._state.get() or (0, 0.0, None)
             for pdf in rows:
                 n += len(pdf)
                 total += float(pdf["value"].sum())
-            self._state.update((n, round(total, 6)))
+                batch_max = pdf["ts"].max()
+                last_ts = (
+                    batch_max if last_ts is None else max(last_ts, batch_max)
+                )
+            self._state.update((n, total, last_ts))
             yield pd.DataFrame(
-                [(key[0], n, round(total, 6))], columns=["user_id", "n", "total"]
+                [(key[0], n, round(total, 6), last_ts)],
+                columns=["user_id", "n", "total", "last_ts"],
             )
 
         def close(self) -> None:
@@ -110,7 +123,12 @@ def run_tws_running_totals(
     batch groupBy agree)."""
     if not tws_available():
         raise ImportError("transformWithStateInPandas needs google.protobuf")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    # transformWithState requires RocksDB — but the provider conf is
+    # session-wide, so restore the prior value after the drain instead of
+    # silently switching every later streaming query's state store
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(prov_key, None)
+    spark.conf.set(prov_key, ROCKSDB_PROVIDER)
     events = read_events_stream(spark, sf_dir)
     out = (
         events.select("user_id", "ts", "value")
@@ -132,6 +150,10 @@ def run_tws_running_totals(
         q.processAllAvailable()
     finally:
         q.stop()
+        if prev_provider is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_provider)
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

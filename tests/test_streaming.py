@@ -164,3 +164,58 @@ def test_streaming_left_outer_join_emits_unmatched(spark):
     # and total coverage is complete up to watermark-held tail rows
     assert len(unmatched) > 0
     assert len(unmatched) + len(batch_matched_firsts) <= n_events
+
+
+def test_stream_source_reads_directory_layout(spark, tmp_path):
+    """Regression: a DIRECTORY events table (presplit/multi-file layouts)
+    used to stream ZERO rows silently — the glob matched file base names
+    only. The source must drain the same rows for both layouts."""
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_tumbling,
+    )
+
+    dir_sf = str(tmp_path / "sf_dir")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(3).write.parquet(f"{dir_sf}/events.parquet")
+
+    import uuid
+
+    got_dir = run_streaming_tumbling(
+        spark, dir_sf, query_name=f"t_dirlay_{uuid.uuid4().hex[:8]}"
+    )
+    got_file = run_streaming_tumbling(
+        spark, SF_SMOKE, query_name=f"t_filelay_{uuid.uuid4().hex[:8]}"
+    )
+    assert got_dir.agg({"n": "sum"}).collect()[0][0] == ev.count()
+    a = sorted(tuple(r) for r in got_dir.collect())
+    b = sorted(tuple(r) for r in got_file.collect())
+    assert a == b
+
+
+def test_dedup_within_watermark_variant_runs(spark):
+    """The bounded-state dedup variant must execute as a real streaming
+    query; its survivor set is a superset-of-equal-keys story (duplicates
+    beyond the horizon re-admit), so assert bounds, not equality."""
+    import uuid
+
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.structured import (
+        run_streaming_dedup,
+    )
+
+    exact = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    got = run_streaming_dedup(
+        spark,
+        SF_SMOKE,
+        query_name=f"t_wmdedup_{uuid.uuid4().hex[:8]}",
+        subset=["user_id", "event_type"],
+        within_watermark=True,
+    )
+    total = got.agg({"n": "sum"}).collect()[0][0]
+    assert total >= exact  # horizon re-admissions can only add survivors
