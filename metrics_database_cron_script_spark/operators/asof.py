@@ -93,6 +93,12 @@ def asof_join_grouped(
 
     if value_cols is None:
         value_cols = [c for c in dim.columns if c not in (by, dim_key)]
+    overlap = set(value_cols) & set(probe.columns)
+    if overlap:
+        raise ValueError(
+            "value_cols collide with probe columns (pd.merge_asof would "
+            f"suffix them away): {sorted(overlap)} — rename on the dim side"
+        )
     probe_schema = probe.schema
     out_fields = list(probe_schema.fields) + [dim.schema[c] for c in value_cols]
     from pyspark.sql import types as T
@@ -110,22 +116,43 @@ def asof_join_grouped(
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
             return pd.DataFrame(columns=probe_cols + value_cols)
-        if right.empty:
-            out = left.copy()
-            for c in value_cols:
-                out[c] = None
-            return out[probe_cols + value_cols]
+        # NULL keys: merge_asof requires sorted non-null keys, and NaN/NaT
+        # sort last → ValueError. Route NULL-keyed probe rows around the
+        # merge (they survive with NULL values — left-join semantics, same
+        # as the broadcast variant) and drop NULL-keyed dim rows (a NULL
+        # dim key can never be the as-of match).
         lk = left.assign(__asof_k=_sortable(left[probe_key]))
-        rk = right[[dim_key] + value_cols].assign(
-            __asof_k=_sortable(right[dim_key])
-        )[["__asof_k"] + value_cols]
-        merged = pd.merge_asof(
-            lk.sort_values("__asof_k", kind="mergesort"),
-            rk.sort_values("__asof_k", kind="mergesort"),
-            on="__asof_k",
-            direction="backward",
-        )
-        return merged[probe_cols + value_cols]
+        null_rows = lk[lk["__asof_k"].isna()]
+        lk = lk[lk["__asof_k"].notna()]
+        if right.empty:
+            rk = pd.DataFrame(columns=["__asof_k"] + value_cols)
+        else:
+            rk = right[[dim_key] + value_cols].assign(
+                __asof_k=_sortable(right[dim_key])
+            )[["__asof_k"] + value_cols]
+            rk = rk[rk["__asof_k"].notna()]
+        if lk.empty:
+            merged = pd.DataFrame(columns=probe_cols + value_cols)
+        elif rk.empty:
+            merged = lk.copy()
+            for c in value_cols:
+                merged[c] = None
+            merged = merged[probe_cols + value_cols]
+        else:
+            merged = pd.merge_asof(
+                lk.sort_values("__asof_k", kind="mergesort"),
+                rk.sort_values("__asof_k", kind="mergesort"),
+                on="__asof_k",
+                direction="backward",
+            )[probe_cols + value_cols]
+        if not null_rows.empty:
+            pad = null_rows.copy()
+            for c in value_cols:
+                pad[c] = None
+            merged = pd.concat(
+                [merged, pad[probe_cols + value_cols]], ignore_index=True
+            )
+        return merged
 
     return (
         probe.groupBy(by)

@@ -61,8 +61,28 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = _Z_BITS) -> DataFra
     probs = [i / n_buckets for i in range(1, n_buckets)]
     num_names = [f"__n{i}" for i in range(len(cols))]
     out = df
+    # rank sources must be genuinely numeric: a DATE cast to double is an
+    # AnalysisException and a STRING casts to all-NULL — which would make
+    # approxQuantile return no boundaries and silently zero that column's
+    # contribution to the curve. Map temporal types through their epoch
+    # representation and reject non-orderable-as-number types loudly.
     for c, num_name in zip(cols, num_names):
-        out = out.withColumn(num_name, F.col(c).cast("double"))
+        dt = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if dt == "date":
+            col = F.unix_date(col).cast("double")
+        elif dt.startswith("timestamp"):
+            col = col.cast("timestamp").cast("double")
+        elif dt in ("string", "binary", "boolean") or dt.startswith(
+            ("array", "map", "struct")
+        ):
+            raise ValueError(
+                f"zorder column {c!r} has type {dt}: no numeric order to "
+                "rank on — hash-bucket or dictionary-encode it first"
+            )
+        else:
+            col = col.cast("double")
+        out = out.withColumn(num_name, col)
     # one input scan for every column's boundaries
     all_bounds = out.stat.approxQuantile(num_names, probs, 0.001)
 

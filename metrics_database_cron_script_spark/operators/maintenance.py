@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 import os
 import shutil
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -60,20 +61,38 @@ def compact(
     columns and destroy the `partitionBy` layout — and per-leaf rewrites
     are also the unit a cluster would parallelize/ratelimit). No-op per
     leaf when it already has fewer than `min_files` files."""
-    for leaf in leaf_parquet_dirs(path):
-        n_files = parquet_file_count(leaf)
-        if n_files < min_files:
-            continue
-        total = dir_bytes(leaf)
-        n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-        if n_out >= n_files:
-            continue
-        df = spark.read.parquet(leaf)
-        tmp = leaf.rstrip("/") + "__compact_tmp"
-        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-        old = leaf.rstrip("/") + "__compact_old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(leaf, old)
-        os.rename(tmp, leaf)
-        shutil.rmtree(old)
+    # All staging lives OUTSIDE the table root: tmp/old dirs inside it
+    # would be picked up by partition inference as phantom partitions
+    # (duplicated rows / conflicting-structure errors for any concurrent
+    # reader) and a crashed run's leftovers would look like real leaves to
+    # the next compaction. Leftover staging from a crashed run is reaped
+    # here; the swap itself leaves only the between-renames window in
+    # which one partition is briefly absent — this op assumes the same
+    # single-maintenance-writer window as the rest of state.py, and the
+    # snapshot-isolated variant is VersionedSnapshot.compact_partitions.
+    base = path.rstrip("/")
+    parent, name = os.path.split(base)
+    for n in os.listdir(parent or "."):
+        if n.startswith(f"{name}.__compact-"):
+            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+    staging = f"{base}.__compact-{uuid.uuid4().hex[:8]}"
+    try:
+        for leaf in leaf_parquet_dirs(path):
+            n_files = parquet_file_count(leaf)
+            if n_files < min_files:
+                continue
+            total = dir_bytes(leaf)
+            n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+            if n_out >= n_files:
+                continue
+            df = spark.read.parquet(leaf)
+            rel = os.path.relpath(leaf, base)
+            tmp = os.path.join(staging, "tmp", rel)
+            old = os.path.join(staging, "old", rel)
+            df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+            os.makedirs(os.path.dirname(old), exist_ok=True)
+            os.rename(leaf, old)
+            os.rename(tmp, leaf)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return parquet_file_count(path)

@@ -29,7 +29,18 @@ def salted_join(
 
     `salt_id_col` is any column of `large` with high cardinality (a row id);
     its hash provides the deterministic salt. `small` must tolerate a
-    `salt_factor`× blow-up (it is replicated per salt value)."""
+    `salt_factor`× blow-up (it is replicated per salt value).
+
+    Only inner/left(-semi/anti relative to large) semantics are sound:
+    under right/full outer, an unmatched small-side key survives once per
+    SALT REPLICA — salt_factor duplicate rows — so those modes are
+    rejected instead of silently multiplying."""
+    if how.replace("outer", "").strip("_") not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got how={how!r}: "
+            "outer-preserving the replicated small side duplicates its "
+            "unmatched keys x salt_factor"
+        )
     salted_large = large.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_id_col)), F.lit(salt_factor)).cast("int")
     )

@@ -27,15 +27,28 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     for name in TABLES:
         p = table_path(sf_dir, name)
         if os.path.isdir(p):
-            # presplit multi-file layout (sources/presplit.py) — same rows
-            p = f"{p}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
-        )
+            # directory layouts: presplit multi-file copies AND hive
+            # partitionBy trees — the recursive glob reaches nested part
+            # files and hive_partitioning restores partition columns the
+            # way Spark's reader does (no-op for flat dirs)
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{p}/**/*.parquet', hive_partitioning=1)"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')"
+            )
     return con
 
 
 def _canon_cell(v: Any) -> str:
+    # NaN canonicalizes WITH NULL by necessity: DuckDB's pandas surface
+    # maps NULL doubles to NaN, so the two are indistinguishable on the
+    # oracle side. The gate compensates by REJECTING NaN on the Spark side
+    # (compare() below), where None vs nan is faithful — the engine
+    # contract is that no query emits NaN (guard divisions with NULLIF),
+    # which keeps the collapse from masking a real divergence.
     if v is None:
         return "∅"
     if isinstance(v, float):
@@ -58,6 +71,29 @@ def canonicalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return sorted(rows)
 
 
+def _spark_nan_cells(spark_df) -> int:
+    """NaN cells counted on the SPARK side, where (unlike the oracle's
+    pandas surface) NULL and NaN are distinct. One tiny aggregate job over
+    the float columns — `isnan(NULL)` is NULL, so nulls don't count."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    dcols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+    ]
+    if not dcols:
+        return 0
+    row = spark_df.select(
+        *[
+            F.sum(F.when(F.isnan(F.col(c)), 1).otherwise(0)).alias(f"c{i}")
+            for i, c in enumerate(dcols)
+        ]
+    ).collect()[0]
+    return int(sum(v or 0 for v in row))
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame) -> dict[str, Any]:
     spdf = spark_df.toPandas()
     result: dict[str, Any] = {
@@ -76,6 +112,15 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> dict[str, Any]:
             result["first_diffs"] = diffs[:5]
     else:
         result["values_match"] = False
+    nan_cells = _spark_nan_cells(spark_df)
+    result["spark_nan_cells"] = nan_cells
+    if nan_cells:
+        # a Spark NaN would canonicalize with NULL and silently pass
+        # against an oracle NULL — fail it loudly instead
+        result["values_match"] = False
+        result.setdefault("first_diffs", []).append(
+            ("spark_nan_cells", nan_cells)
+        )
     result["ok"] = bool(result["rows_match"] and result["cols_match"] and result["values_match"])
     return result
 

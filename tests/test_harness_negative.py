@@ -40,3 +40,24 @@ def test_compare_distinguishes_null_from_zero(spark):
     assert not compare(sdf, wrong)["ok"]
     right = pd.DataFrame({"k": [1], "v": [float("nan")]})
     assert compare(sdf, right)["ok"]  # NaN ≡ SQL NULL through pandas
+
+
+def test_oracle_gate_rejects_spark_nan(spark):
+    """Regression: NaN canonicalizes with NULL (the oracle's pandas
+    surface can't tell them apart), so the gate must reject NaN on the
+    Spark side — where the distinction IS visible — instead of letting a
+    NaN-vs-NULL divergence pass as a value match."""
+    import pandas as pd
+
+    from metrics_database_cron_script_spark.oracle import compare
+
+    nan_df = spark.sql("SELECT 1 AS k, double('NaN') AS v")
+    oracle_null = pd.DataFrame({"k": [1], "v": [None]})
+    r = compare(nan_df, oracle_null)
+    assert r["spark_nan_cells"] == 1
+    assert not r["ok"]
+
+    null_df = spark.sql("SELECT 1 AS k, CAST(NULL AS DOUBLE) AS v")
+    r2 = compare(null_df, oracle_null)
+    assert r2["spark_nan_cells"] == 0
+    assert r2["ok"]
