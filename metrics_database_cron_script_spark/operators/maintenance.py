@@ -87,6 +87,8 @@ def compact(
                 continue
             df = spark.read.parquet(leaf)
             rel = os.path.relpath(leaf, base)
+            if rel == ".":  # flat table: the leaf IS the root
+                rel = "__root__"
             tmp = os.path.join(staging, "tmp", rel)
             old = os.path.join(staging, "old", rel)
             df.repartition(n_out).write.mode("overwrite").parquet(tmp)
