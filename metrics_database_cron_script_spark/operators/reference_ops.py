@@ -48,7 +48,12 @@ def incremental_scan(events: DataFrame, watermark: str = WATERMARK) -> DataFrame
     return events.filter(F.col("ts") > F.lit(watermark).cast("timestamp"))
 
 
-MONEY_DECIMAL = "decimal(38,18)"
+# (28,18), NOT (38,18): Spark's decimal type-promotion demotes a
+# (38,18)x(38,18) product to scale 6 and a subtraction to scale 17 —
+# silently truncating the "exact" mode. (28,18) operands keep scale 18
+# through +/- and scale 17 through x (38-cap), the same headroom rule
+# r_aum_routing_decimal documents.
+MONEY_DECIMAL = "decimal(28,18)"
 
 
 def tx_enrich(events: DataFrame, money: str = "double") -> DataFrame:
@@ -63,8 +68,9 @@ def tx_enrich(events: DataFrame, money: str = "double") -> DataFrame:
 
     `money="double"` reproduces the reference's float math
     (updatescript.py:73, oracle parity); `money="decimal"` runs the same
-    plan in DecimalType(38,18) — the exact-arithmetic production mode
-    (SURVEY.md §4.3).
+    plan in DecimalType(28,18) — the exact-arithmetic production mode
+    (SURVEY.md §4.3; 28 not 38 so products keep scale 17 instead of
+    being demoted to 6).
     """
     if money not in ("double", "decimal"):
         raise ValueError(f"money mode must be 'double' or 'decimal', got {money!r}")

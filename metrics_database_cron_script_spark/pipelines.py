@@ -59,7 +59,11 @@ def update_tx_enriched(
     obs_in, obs_out = Observation(), Observation()
     tx = R.tx_view(events.filter(F.col("ts") > F.lit(watermark)))
     tx = tx.observe(obs_in, F.count(F.lit(1)).alias("n"))
-    price = spark.read.parquet(_sink(state_dir, "prices"))
+    # read_or_empty: with an all-empty source the prices sink legitimately
+    # does not exist yet (staged appends publish nothing for 0 rows)
+    price = ST.read_or_empty(
+        spark, _sink(state_dir, "prices"), "date date, price double"
+    )
     joined = tx.join(F.broadcast(price), F.to_date(tx["ts"]) == price["date"], "inner")
     dollar = (
         F.when(~F.col("successful"), F.lit(0.0))
@@ -122,13 +126,30 @@ def update_routing(
     spark: SparkSession, events: DataFrame, state_dir: str, watermark: datetime.datetime
 ) -> dict[str, int]:
     """P5: routing matrix → three idempotent sink appends
-    (updatescript.py:154-218). First-touch is computed against the PERSISTED
-    AUM sink (true reference semantics — not the fixture simulation used by
-    the r_aum_routing oracle query) plus the intra-batch window."""
+    (updatescript.py:154-218). First-touch is computed against the
+    watermark-fenced successful-tx history of the immutable source (plus
+    the intra-batch window) — equivalent to the reference's persisted-sink
+    probe under the commit protocol, and replay-deterministic where the
+    sink probe is not (see the seen_pre comment below)."""
     tx = R.tx_view(events)
     batch = tx.filter((F.col("ts") > F.lit(watermark)) & F.col("successful"))
     aum_path = _sink(state_dir, "sink_aum")
-    seen_pre = ST.read_or_empty(spark, aum_path, "user_id long").select("user_id").distinct()
+    # First-touch must be REPLAY-DETERMINISTIC. Deriving "seen" from the
+    # mutable AUM sink means a crash between a partial publish and the
+    # watermark commit changes the regenerated row SET on replay (the
+    # half-published batch marks its own users seen, so the replay emits
+    # different volumes that the event_id anti-join cannot reconcile).
+    # Instead the seen set comes from the IMMUTABLE source fenced by the
+    # watermark: by induction every user with a successful tx at
+    # ts <= watermark has an AUM row (their first touch), so this equals
+    # the reference's persisted-sink probe (updatescript.py:175) whenever
+    # sink and watermark are consistent — and unlike it, it gives the
+    # same answer across crash replays.
+    seen_pre = (
+        tx.filter((F.col("ts") <= F.lit(watermark)) & F.col("successful"))
+        .select("user_id")
+        .distinct()
+    )
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = (
@@ -241,6 +262,15 @@ def run_batch(
     if run_ts is None:
         row = events.agg(F.max("ts").alias("m")).collect()[0]
         run_ts = row["m"]
+    if run_ts is None:
+        # empty source: nothing to process — and committing a NULL
+        # watermark would make every future `ts > lit(None)` scan filter
+        # out ALL rows forever. No-op, watermark untouched.
+        return {
+            "watermark_in": watermark,
+            "watermark_out": watermark,
+            "empty_source": True,
+        }
 
     report: dict[str, object] = {"watermark_in": watermark}
     report["prices_appended"] = update_prices(spark, events, state_dir)

@@ -33,7 +33,19 @@ ORACLES: dict[str, str] = {}
 # registry contract) and fixture dirs are immutable
 # (sources/tables.load_table). `clear_plan_cache` exists for tools that
 # break either assumption.
-_plan_cache: dict[tuple[str, int, str, str], DataFrame] = {}
+# Each entry stores (DataFrame, sizing-conf snapshot): Spark reads
+# shuffle-partitions/AQE/scan-granularity at EXECUTION time, so a cache
+# hit must re-apply the confs load_table calibrated when the plan was
+# built — otherwise interleaving two sf_dirs in one session executes each
+# dir's plan under the OTHER dir's sizing. Bounded FIFO so a long-lived
+# multi-session process cannot grow it (each DataFrame pins its session).
+_plan_cache: dict[tuple[str, int, str, str], tuple[DataFrame, dict]] = {}
+_PLAN_CACHE_MAX = 512
+_SIZING_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.files.maxPartitionBytes",
+)
 
 
 def clear_plan_cache(sf_dir: str | None = None) -> None:
@@ -66,10 +78,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
                 name,
                 sf_dir.rstrip("/"),
             )
-            df = _plan_cache.get(key)
-            if df is None:
+            hit = _plan_cache.get(key)
+            if hit is None:
                 df = fn(spark, sf_dir)
-                _plan_cache[key] = df
+                confs = {}
+                for c in _SIZING_CONFS:
+                    try:
+                        confs[c] = spark.conf.get(c)
+                    except Exception:
+                        pass
+                while len(_plan_cache) >= _PLAN_CACHE_MAX:
+                    _plan_cache.pop(next(iter(_plan_cache)))
+                _plan_cache[key] = (df, confs)
+                return df
+            df, confs = hit
+            for c, v in confs.items():
+                spark.conf.set(c, v)
             return df
 
         cached.__name__ = fn.__name__

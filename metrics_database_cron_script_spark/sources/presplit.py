@@ -56,6 +56,19 @@ def presplit(
                 # ns-resolution mtime: a same-size in-place rewrite within
                 # the same wall-clock second must still invalidate
                 fp[name] = [st.st_size, st.st_mtime_ns]
+            elif os.path.isdir(p):
+                # directory-shaped source table (already multi-file):
+                # fingerprint its parquet members so it participates in
+                # marker validation like any other table
+                tot, mt, cnt = 0, 0, 0
+                for root, _d, files in os.walk(p):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            st = os.stat(os.path.join(root, f))
+                            tot += st.st_size
+                            mt = max(mt, st.st_mtime_ns)
+                            cnt += 1
+                fp[name] = [tot, mt, cnt]
         return fp
 
     marker_path = os.path.join(dst_root, _MARKER)
@@ -120,6 +133,28 @@ def _rewrite(src_root, dst_root, fingerprint, target_file_bytes, max_files, mark
         src = table_path(src_root, name)
         dst = table_path(dst_root, name)  # <dst>/<name>.parquet/ directory
         if not os.path.isfile(src):
+            if os.path.isdir(src):
+                # already multi-file at the source: mirror it into the
+                # bench copy via hardlinks — silently dropping it (the old
+                # behavior) left every later read of this table failing on
+                # the presplit dir while presplit itself reported success
+                import shutil
+
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                for root, _d, files in os.walk(src):
+                    rel = os.path.relpath(root, src)
+                    out = dst if rel == "." else os.path.join(dst, rel)
+                    os.makedirs(out, exist_ok=True)
+                    for f in files:
+                        if f.startswith(("_", ".")):
+                            continue
+                        sp, dp = os.path.join(root, f), os.path.join(out, f)
+                        try:
+                            os.link(sp, dp)
+                        except OSError:
+                            shutil.copy2(sp, dp)
+                continue
             # src table gone (or never existed): a leftover dst dir from a
             # previous run must not outlive it — the oracle and Spark would
             # keep serving rows for a table the source no longer has

@@ -176,16 +176,23 @@ def snapshot_overwrite(
     """R9 keep-latest snapshot: old ∪ new → row_number()==1 per key by
     `order_cols` desc → atomic rewrite."""
     spark = new.sparkSession
+    # __src breaks order_cols ties in favor of the INCOMING row: a replay
+    # with the same explicit run_ts over changed data must
+    # deterministically keep the regenerated stats, not an arbitrary
+    # survivor of an exact orderBy tie.
+    tagged_new = new.withColumn("__src", F.lit(1))
     if _exists(path):
-        old = spark.read.parquet(path)
-        merged = old.unionByName(new, allowMissingColumns=True)
+        old = spark.read.parquet(path).withColumn("__src", F.lit(0))
+        merged = old.unionByName(tagged_new, allowMissingColumns=True)
     else:
-        merged = new
-    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+        merged = tagged_new
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc() for c in order_cols], F.col("__src").desc()
+    )
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__src")
     )
     # The window result must be materialized before the source directory is
     # replaced: localCheckpoint cuts the lineage back to the old files.

@@ -182,3 +182,89 @@ def test_rollup_survives_crash_before_watermark_commit(spark, state_dir):
         ).collect()
     )
     assert after == before
+
+
+def test_run_batch_empty_source_is_a_noop(spark, tmp_path):
+    """Regression: an empty events table must neither crash on missing
+    price state nor commit a NULL watermark (which would filter out every
+    future row forever)."""
+    import os
+
+    from metrics_database_cron_script_spark.pipelines import run_batch
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.state import Watermark
+
+    empty_sf = str(tmp_path / "sf_empty")
+    os.makedirs(empty_sf)
+    load_table(spark, SF_SMOKE, "events").limit(0).write.parquet(
+        f"{empty_sf}/events.parquet"
+    )
+    state = str(tmp_path / "state")
+    report = run_batch(spark, empty_sf, state)
+    assert report.get("empty_source") is True
+    assert Watermark(spark, state).read() == Watermark.EPOCH
+
+
+def test_routing_first_touch_replay_deterministic(spark, tmp_path):
+    """Regression: first-touch derives from the watermark-fenced immutable
+    source, so a partially-published AUM sink (crash mid-rename) must not
+    change the replayed row set — the replay restores exactly the clean
+    run's sink."""
+    import datetime
+    import os
+
+    from metrics_database_cron_script_spark.pipelines import update_routing
+    from metrics_database_cron_script_spark.sources import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    wm = datetime.datetime(2024, 1, 15)
+
+    clean = str(tmp_path / "clean")
+    update_routing(spark, events, clean, wm)
+    expect = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{clean}/sink_aum.parquet").collect()
+    )
+
+    crashed = str(tmp_path / "crashed")
+    update_routing(spark, events, crashed, wm)
+    # simulate a partial publish: drop one chain partition's files entirely
+    aum = f"{crashed}/sink_aum.parquet"
+    victim = next(
+        os.path.join(aum, d) for d in os.listdir(aum) if d.startswith("chain=")
+    )
+    import shutil
+
+    shutil.rmtree(victim)
+    # replay with the SAME watermark (it never advanced)
+    update_routing(spark, events, crashed, wm)
+    got = sorted(tuple(r) for r in spark.read.parquet(aum).collect())
+    assert got == expect
+
+
+def test_stats_replay_tie_breaks_to_new_row(spark, tmp_path):
+    """Regression: a replayed update_stats with the same explicit run_ts
+    over changed data must keep the REGENERATED stats row, not an
+    arbitrary survivor of the orderBy tie."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.pipelines import update_stats
+    from metrics_database_cron_script_spark.sources import load_table
+
+    state = str(tmp_path / "state")
+    events = load_table(spark, SF_SMOKE, "events")
+    ts = datetime.datetime(2024, 2, 1)
+    update_stats(spark, events, state, ts)
+    # "backfill": the data changed, replay with the SAME run_ts
+    changed = events.filter(F.col("value") > 100.0)
+    update_stats(spark, changed, state, ts)
+    got = spark.read.parquet(f"{state}/stats.parquet")
+    # the second (filtered) run must have won the tie deterministically
+    from metrics_database_cron_script_spark.operators.reference_ops import tx_view
+
+    expect = tx_view(changed).groupBy("chain").agg(F.sum("value").alias("s"))
+    a = {r["chain"]: round(r["totalAmountStaked"], 6) for r in got.collect()}
+    b = {r["chain"]: round(r["s"], 6) for r in expect.collect()}
+    assert a == b

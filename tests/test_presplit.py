@@ -110,3 +110,34 @@ def test_load_table_cache_invalidation(spark, tmp_path):
     # (plan cache purged alongside the catalog cache)
     q2 = QUERIES["c_scan_project"](spark, d).count()
     assert q2 != q1
+
+
+def test_presplit_mirrors_directory_shaped_source(spark, tmp_path):
+    """Regression: a fixture dir where one table is ALREADY a multi-file
+    directory must carry that table into the bench copy (hardlinked), not
+    silently drop it while reporting success."""
+    import os
+    import shutil
+
+    from metrics_database_cron_script_spark.sources.presplit import presplit
+    from metrics_database_cron_script_spark.sources.tables import TABLES
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # copy the single-file fixture, then convert events to a directory table
+    for name in TABLES:
+        p = f"/root/testdata/sf0.001/{name}.parquet"
+        if os.path.isfile(p):
+            shutil.copy2(p, f"{src}/{name}.parquet")
+    # materialize before unlinking: the later write re-reads the plan
+    ev = spark.read.parquet(f"{src}/events.parquet").localCheckpoint(eager=True)
+    n = ev.count()
+    os.unlink(f"{src}/events.parquet")
+    ev.repartition(3).write.parquet(f"{src}/events.parquet")
+
+    dst = presplit(src, str(tmp_path / "dst"))
+    assert os.path.isdir(f"{dst}/events.parquet")
+    assert spark.read.parquet(f"{dst}/events.parquet").count() == n
+    # and the marker validates (second call is a fast-path hit, same rows)
+    dst2 = presplit(src, str(tmp_path / "dst"))
+    assert dst2 == dst
