@@ -81,6 +81,11 @@ def lsh_candidate_pairs(
     candidates. Band signature = hash of the band's minhashes (computed in
     the same projection, then exploded — bands × docs rows, not hashes ×
     docs); the self-join key (band, band_sig) is the scale-out pivot."""
+    if num_hashes % band_size:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by band_size={band_size}:"
+            " trailing minhashes would be computed but never banded"
+        )
     n_bands = num_hashes // band_size
     band_structs = [
         F.struct(
@@ -286,6 +291,30 @@ def char_ngram_jaccard(
     )
 
 
+def _gate_exact_neardup(
+    docs: DataFrame,
+    pairs_fn,
+    min_words: int,
+    min_alpha_ratio: float,
+    max_jaccard: float,
+) -> DataFrame:
+    """Shared pipeline core (quality gate → exact dedup → near-dup loser
+    drop) parameterized on the pair generator, so the production and
+    portable pipelines cannot drift on gate thresholds or survivor
+    policy."""
+    quality_ok = docs.filter(
+        (F.size(tokens_col()) >= min_words)
+        & (
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+            >= F.length("text") * min_alpha_ratio
+        )
+    )
+    exact = exact_dedup(quality_ok)
+    near_pairs = pairs_fn(exact).filter(F.col("jaccard") >= max_jaccard)
+    losers = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact.join(losers, "doc_id", "left_anti")
+
+
 def dedup_pipeline(
     docs: DataFrame,
     min_words: int = 10,
@@ -303,19 +332,9 @@ def dedup_pipeline(
     hash-bucket equi-joins, so the composition inherits the scale posture of
     its parts.
     """
-    from metrics_database_cron_script_spark.functions.text import tokens_col
-
-    quality_ok = docs.filter(
-        (F.size(tokens_col()) >= min_words)
-        & (
-            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
-            >= F.length("text") * min_alpha_ratio
-        )
+    return _gate_exact_neardup(
+        docs, minhash_near_dups, min_words, min_alpha_ratio, max_jaccard
     )
-    exact = exact_dedup(quality_ok)
-    near_pairs = minhash_near_dups(exact).filter(F.col("jaccard") >= max_jaccard)
-    losers = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return exact.join(losers, "doc_id", "left_anti")
 
 
 def connected_components(
@@ -369,8 +388,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "iterations (a component's min-label hop distance exceeds the "
+        "cap) — returning partial labels would silently keep duplicate "
+        "representatives; raise max_iterations (O(diameter) rounds)"
+    )
 
 
 def dedup_clusters(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
@@ -401,8 +425,11 @@ def fuzzy_pairs_edit1(df: DataFrame, key: str, text: str) -> DataFrame:
             F.concat(
                 F.array(F.col(text)),
                 F.expr(
-                    f"transform(sequence(1, length({text})),"
-                    f" i -> concat(substr({text}, 1, i - 1), substr({text}, i + 1)))"
+                    # backticked: raw interpolation breaks on column names
+                    # with spaces/reserved words
+                    f"transform(sequence(1, length(`{text}`)),"
+                    f" i -> concat(substr(`{text}`, 1, i - 1),"
+                    f" substr(`{text}`, i + 1)))"
                 ),
             )
         ).alias("variant"),
@@ -489,6 +516,10 @@ def lsh_bands_portable(
     num_hashes/band_size bands of concatenated minhash hex. This IS the
     persisted structure an incremental corpus keeps — band rows append per
     batch and never need recomputation for already-indexed docs."""
+    if num_hashes % band_size:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by band_size={band_size}"
+        )
     n_bands = num_hashes // band_size
     band_structs = [
         F.struct(
@@ -534,10 +565,17 @@ def minhash_probe_index_portable(
             probes.select(F.col("doc_id").alias("doc_b"), "band", "band_sig"),
             ["band", "band_sig"],
         )
+        # a doc on BOTH sides (batch re-processing already-indexed ids)
+        # band-collides with itself — never a near-dup finding
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return verified_jaccard(corpus_sh.unionByName(batch_sh), pairs)
+    # distinct() so an id on both sides doesn't duplicate its (doc_id,
+    # shingle) rows and skew every Jaccard it appears in
+    return verified_jaccard(
+        corpus_sh.unionByName(batch_sh).distinct(), pairs
+    )
 
 
 def minhash_near_dups_portable(
@@ -561,6 +599,12 @@ def minhash_near_dups_portable(
     x_minhash_recall consume."""
     if shingles is None:
         shingles = word_shingles(docs, hashed=False).persist()
+    if num_hashes % band_size:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by band_size={band_size}:"
+            " trailing minhashes would be paid for but never banded, and"
+            " recall would silently undershoot the (b, r) tuning formula"
+        )
     banded = lsh_bands_portable(
         minhash_signatures_portable(shingles, num_hashes), num_hashes, band_size
     )
@@ -665,6 +709,13 @@ def char_ngram_jaccard_portable(
     (mod `sample_mod`) — so the sampled gram subset, and therefore the
     estimated Jaccard, is reproducible in DuckDB. Grams stay raw strings
     (equality joins only); the df > max_df stop-gram rule is unchanged."""
+    if sample_mod not in (1, 2, 4, 8, 16):
+        raise ValueError(
+            f"sample_mod={sample_mod}: the portable rule samples on md5's"
+            " last hex DIGIT (0..15), so only divisors of 16 give the"
+            " advertised 1/sample_mod keep rate (5 would keep 4/16; 32"
+            " would silently behave as 16)"
+        )
     exploded = fan_out(docs).select(
         "doc_id",
         "source",
@@ -680,7 +731,10 @@ def char_ngram_jaccard_portable(
         exploded = exploded.filter(keep)
     grams = exploded.distinct().persist()
     dfreq = grams.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("df"))
-    rare = grams.join(dfreq.filter(F.col("df") <= max_df), ["source", "gram"])
+    # three consumers (ra, rb, sizes) — persist like the hashed variant
+    rare = grams.join(
+        dfreq.filter(F.col("df") <= max_df), ["source", "gram"]
+    ).persist()
     ra = rare.select(F.col("doc_id").alias("doc_a"), "source", "gram")
     rb = rare.select(F.col("doc_id").alias("doc_b"), "source", "gram")
     inter = (
@@ -732,18 +786,7 @@ def dedup_pipeline_portable(
     """`dedup_pipeline` (quality gate → exact dedup → near-dup drop) with the
     near-dup stage on the portable MinHash pipeline, making the full
     composed survivor set SQL-checkable."""
-    from metrics_database_cron_script_spark.functions.text import tokens_col
-
-    quality_ok = docs.filter(
-        (F.size(tokens_col()) >= min_words)
-        & (
-            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
-            >= F.length("text") * min_alpha_ratio
-        )
+    return _gate_exact_neardup(
+        docs, minhash_near_dups_portable, min_words, min_alpha_ratio,
+        max_jaccard,
     )
-    exact = exact_dedup(quality_ok)
-    near_pairs = minhash_near_dups_portable(exact).filter(
-        F.col("jaccard") >= max_jaccard
-    )
-    losers = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    return exact.join(losers, "doc_id", "left_anti")

@@ -62,7 +62,9 @@ def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         feats = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            arr = np.frombuffer(payload, dtype=np.uint8)
+            # NULL payloads arrive as None; np.frombuffer(None) raises —
+            # treat like an empty blob instead of killing the task
+            arr = np.frombuffer(payload or b"", dtype=np.uint8)
             feats.append(
                 (
                     doc_id,
@@ -111,6 +113,7 @@ def _frame_sample(frame_size: int, every_k: int):
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = payload or b""  # NULL blob: zero frames
                 frames = [
                     payload[i : i + frame_size]
                     for i in range(0, len(payload), frame_size)
@@ -136,7 +139,7 @@ def _resize(target_bytes: int):
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                arr = np.frombuffer(payload, dtype=np.uint8)
+                arr = np.frombuffer(payload or b"", dtype=np.uint8)
                 if arr.size == 0:
                     out.append((doc_id, b"", 0))
                     continue

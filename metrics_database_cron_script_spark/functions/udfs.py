@@ -18,17 +18,17 @@ from pyspark.sql import functions as F
 def tx_dollar_value(
     successful: pd.Series, stake: pd.Series, bonded: pd.Series, price: pd.Series
 ) -> pd.Series:
-    # Same IEEE double ops as the built-in CASE expression → bitwise equal.
-    out = np.where(
-        ~successful.to_numpy(dtype=bool),
-        0.0,
-        np.where(
-            stake.to_numpy() == bonded.to_numpy(),
-            stake.to_numpy() * price.to_numpy(),
-            np.abs(stake.to_numpy() - bonded.to_numpy()) * price.to_numpy(),
-        ),
-    )
-    return pd.Series(out)
+    # Same IEEE double ops as the built-in CASE expression → bitwise equal,
+    # INCLUDING three-valued null semantics: a NULL `successful` skips the
+    # first WHEN (it is not definitely-false), NULL operands propagate
+    # through the arithmetic as NaN, and NaN round-trips to SQL NULL
+    # through Arrow — so nulls hash-match the CASE too, not just clean rows.
+    st, bd, pr = stake.to_numpy(), bonded.to_numpy(), price.to_numpy()
+    arith = np.where(st == bd, st * pr, np.abs(st - bd) * pr)
+    suc_false = (successful.astype("boolean") == False).fillna(  # noqa: E712
+        False
+    ).to_numpy(dtype=bool)
+    return pd.Series(np.where(suc_false, 0.0, arith))
 
 
 @F.pandas_udf("double")

@@ -381,3 +381,58 @@ def test_edge_q21_tie_semantics(spark, edge_q21_dir):
         con.close()
     res = compare(sdf, opdf)
     assert res["ok"], f"c_tpch_q21_shape on tie fixture: {res}"
+
+
+def test_udf_dollar_value_matches_case_on_nulls(spark):
+    """Regression: the pandas-UDF dollar formula must match the built-in
+    CASE expression under three-valued NULL semantics too — NULL
+    `successful` skips the first branch, NULL operands propagate to NULL
+    — not just on clean rows."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.functions.udfs import tx_dollar_value
+
+    df = spark.createDataFrame(
+        [
+            (1, True, 5.0, 5.0, 2.0),     # equal stakes
+            (2, True, 5.0, 3.0, 2.0),     # delta
+            (3, False, 5.0, 3.0, 2.0),    # unsuccessful
+            (4, None, 5.0, 5.0, 2.0),     # NULL successful -> falls through
+            (5, True, 5.0, None, 2.0),    # NULL bonded -> NULL
+            (6, None, 5.0, None, 2.0),    # NULL, NULL -> NULL
+            (7, False, None, None, 2.0),  # unsuccessful wins -> 0.0
+        ],
+        "id long, successful boolean, stake double, bonded double, price double",
+    )
+    case = (
+        F.when(~F.col("successful"), F.lit(0.0))
+        .when(F.col("stake") == F.col("bonded"), F.col("stake") * F.col("price"))
+        .otherwise(F.abs(F.col("stake") - F.col("bonded")) * F.col("price"))
+    )
+    got = df.select(
+        "id",
+        case.alias("sql"),
+        tx_dollar_value("successful", "stake", "bonded", "price").alias("udf"),
+    ).collect()
+    for r in got:
+        assert r["sql"] == r["udf"], (r["id"], r["sql"], r["udf"])
+
+
+def test_multimodal_udfs_survive_null_payloads(spark):
+    """Regression: a NULL binary payload (np.frombuffer(None) raises) must
+    behave like an empty blob in all three mapInPandas surfaces."""
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        byte_feature_extract,
+        frame_sample,
+        resize_bytes,
+    )
+
+    blobs = spark.createDataFrame(
+        [(1, b"abcdef"), (2, None), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    feats = {r["doc_id"]: r["n_bytes"] for r in byte_feature_extract(blobs).collect()}
+    assert feats == {1: 6, 2: 0, 3: 0}
+    assert frame_sample(blobs, frame_size=2, every_k=1).count() == 3  # doc 1 only
+    rs = {r["doc_id"]: r["orig_bytes"] for r in resize_bytes(blobs).collect()}
+    assert rs == {1: 6, 2: 0, 3: 0}
