@@ -160,6 +160,7 @@ def bloom_pruned_anti_join(
     key: str,
     expected_items: int,
     fpp: float = 0.01,
+    eager: bool = True,
 ) -> DataFrame:
     """EXACT left-anti join of incoming against existing_keys[[key]],
     with the existing side's Bloom sketch pruning the join input:
@@ -171,6 +172,15 @@ def bloom_pruned_anti_join(
     cost moves. existing_keys should be a 1-column key relation (a
     snapshot's key projection); dedupe it upstream if it has duplicates —
     the sketch doesn't care, the backstop join semantics don't either.
+
+    With `eager=True` (default) the result is materialized once
+    (localCheckpoint) and the two internally persisted relations are
+    unpersisted before returning, so a build-once/probe-every-batch cron
+    loop does not accumulate cached partitions across batches; the
+    checkpointed blocks live only as long as the returned DataFrame.
+    Pass `eager=False` to keep the plan lazy — the caller then owns the
+    cache lifetime and should unpersist via `df.sparkSession.catalog`
+    (or a fresh session) between batches.
     """
     # Both relations feed two consumers each (sketch build + backstop
     # join; negative + candidate branches) — persist so the batch is
@@ -181,4 +191,9 @@ def bloom_pruned_anti_join(
     negatives = probed.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe")
     candidates = probed.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
     survivors = candidates.join(existing_keys, key, "left_anti")
-    return negatives.unionByName(survivors)
+    out = negatives.unionByName(survivors)
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        probed.unpersist()
+        existing_keys.unpersist()
+    return out

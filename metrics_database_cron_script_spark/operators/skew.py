@@ -35,11 +35,12 @@ def salted_join(
     under right/full outer, an unmatched small-side key survives once per
     SALT REPLICA — salt_factor duplicate rows — so those modes are
     rejected instead of silently multiplying."""
-    if how.replace("outer", "").strip("_") not in ("inner", "left"):
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"):
         raise ValueError(
-            f"salted_join supports inner/left joins, got how={how!r}: "
-            "outer-preserving the replicated small side duplicates its "
-            "unmatched keys x salt_factor"
+            f"salted_join supports inner/left/left_semi/left_anti joins, got "
+            f"how={how!r}: outer-preserving the replicated small side "
+            "duplicates its unmatched keys x salt_factor"
         )
     salted_large = large.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_id_col)), F.lit(salt_factor)).cast("int")

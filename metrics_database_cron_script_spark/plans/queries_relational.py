@@ -284,12 +284,39 @@ def c_count_distinct(spark, sf_dir):
     )
 
 
-@query("c_approx_count_distinct", oracle=None)  # sketch → rows-only (SURVEY §2.C)
+@query(
+    "c_approx_count_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(DISTINCT event_id) AS exact_events,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type""",
+)
 def c_approx_count_distinct(spark, sf_dir):
+    """HLL++ sketch exercised WITH a deterministic hash-checkable output:
+    the sketch estimates are validated against the exact counts inside the
+    query (|approx-exact| ≤ 3·rsd·exact + 5, far above the sketch's
+    documented error) and only the exact counts plus the pinned-true
+    tolerance boolean are emitted — same restructuring as `x_ann_recall`.
+    The estimate itself is non-portable HLL internals, so it never reaches
+    the hashed output."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("approx_count_distinct(event_id)").alias("approx_events"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_au"),
+        F.approx_count_distinct("event_id", rsd=0.05).alias("_ae"),
+    )
+    ok = (
+        F.abs(F.col("_au") - F.col("exact_users"))
+        <= 0.15 * F.col("exact_users") + F.lit(5)
+    ) & (
+        F.abs(F.col("_ae") - F.col("exact_events"))
+        <= 0.15 * F.col("exact_events") + F.lit(5)
+    )
+    return agg.select(
+        "event_type", "exact_users", "exact_events", ok.alias("approx_ok")
     )
 
 
@@ -800,16 +827,43 @@ def c_percentile(spark, sf_dir):
     )
 
 
-@query("c_approx_quantile", oracle=None)  # sketch → rows-only
+@query(
+    "c_approx_quantile",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 4) AS q25,
+       ROUND(quantile_cont(value, 0.50), 4) AS q50,
+       ROUND(quantile_cont(value, 0.75), 4) AS q75,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type""",
+)
 def c_approx_quantile(spark, sf_dir):
-    # Output flattened to scalar columns (the driver's canonicalizer cannot
-    # hash array cells); still rows-only because the sketch is approximate.
+    """KLL-style `percentile_approx` sketch exercised WITH a deterministic
+    output: the approximate quantiles are validated in-query against the
+    EXACT interpolated percentiles (tolerance 5% of the group's value
+    range — generous vs the sketch's rank error at accuracy=10000), and
+    the emitted columns are the exact percentiles (rounded so Spark/DuckDB
+    double interpolation agrees bitwise) plus the pinned-true boolean.
+    Same restructuring as `c_histogram_quantile_merge`."""
     ev = load_table(spark, sf_dir, "events")
-    q = F.percentile_approx("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    return ev.groupBy("event_type").agg(
-        F.element_at(q, 1).alias("q25"),
-        F.element_at(q, 2).alias("q50"),
-        F.element_at(q, 3).alias("q75"),
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", ps).alias("_qe"),
+        F.percentile_approx("value", ps, 10000).alias("_qa"),
+        (F.max("value") - F.min("value")).alias("_rng"),
+    )
+    tol = 0.05 * F.col("_rng") + F.lit(1e-9)
+    ok = F.lit(True)
+    for i in (1, 2, 3):
+        ok = ok & (
+            F.abs(F.element_at("_qa", i) - F.element_at("_qe", i)) <= tol
+        )
+    return agg.select(
+        "event_type",
+        F.round(F.element_at("_qe", 1), 4).alias("q25"),
+        F.round(F.element_at("_qe", 2), 4).alias("q50"),
+        F.round(F.element_at("_qe", 3), 4).alias("q75"),
+        ok.alias("approx_ok"),
     )
 
 

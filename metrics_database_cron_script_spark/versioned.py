@@ -402,10 +402,32 @@ class VersionedSnapshot:
                     # None element evaluates NULL and would silently DROP
                     # every previously-committed null-partition row while
                     # the batch recreates that directory — a lost-update.
-                    touched = [
-                        r[0]
-                        for r in new.select(partition_col).distinct().collect()
-                    ]
+                    # collect each touched value AND its rendering in the
+                    # COMMITTED layout's partition type: directory names are
+                    # compared against the stage later, and if the batch's
+                    # partition_col type renders values differently than the
+                    # committed dirs (e.g. double 1.0 → 'k=1.0' vs int batch
+                    # → 'k=1'), a touched partition's old dir would not match
+                    # any staged dir by name and be wrongly carried forward,
+                    # duplicating its keys.
+                    old_ptype = base.schema[partition_col].dataType
+                    touched_rows = (
+                        new.select(
+                            F.col(partition_col).alias("v"),
+                            F.col(partition_col)
+                            .cast(old_ptype)
+                            .cast("string")
+                            .alias("old_render"),
+                        )
+                        .distinct()
+                        .collect()
+                    )
+                    touched = [r["v"] for r in touched_rows]
+                    touched_old_renders = {
+                        r["old_render"]
+                        for r in touched_rows
+                        if r["old_render"] is not None
+                    }
                     non_null = [t for t in touched if t is not None]
                     cond = (
                         F.col(partition_col).isin(non_null)
@@ -461,9 +483,19 @@ class VersionedSnapshot:
                 # (i.e. absent from the stage) is linked over unchanged.
                 # Touched partitions always appear in the stage because
                 # keep-latest never produces an empty touched partition.
+                # Name match alone is not enough under partition-type drift:
+                # a touched partition's OLD dir may render its value
+                # differently than the staged (batch-typed) dir, so also
+                # skip any dir whose decoded value is a touched value
+                # rendered in the committed type.
+                from urllib.parse import unquote
+
                 for name in os.listdir(old_dir):
                     if not name.startswith(prefix):
                         continue
+                    old_val = unquote(name[len(prefix):])
+                    if old_val in touched_old_renders:
+                        continue  # touched partition, already rewritten
                     dst = os.path.join(target_stage, name)
                     if not os.path.exists(dst):
                         _link_tree(os.path.join(old_dir, name), dst)
@@ -681,23 +713,32 @@ class VersionedSnapshot:
 
         # Schema evolution across the diffed boundary: merges legitimately
         # add columns (unionByName allowMissingColumns, partitioned
-        # derive= upgrades) and a partition column reads back in a
-        # different position. Align both sides to the union of columns —
-        # missing ones null-filled — so the feed reports an added column
-        # as null→value updates (Delta-CDF behavior) instead of crashing
-        # on positional exceptAll / missing struct fields.
-        if old.columns != new.columns:
-            types = {f.name: f.dataType for f in old.schema.fields}
-            types.update({f.name: f.dataType for f in new.schema.fields})
+        # derive= upgrades), widen a column's type, and a partition column
+        # reads back in a different position. Align both sides to the
+        # union of columns — missing ones null-filled, shared columns cast
+        # to the NEW version's type (the current reader contract, Delta's
+        # read-old-versions-in-current-schema behavior) — so the feed
+        # reports an added column as null→value updates and survives an
+        # int→long widen instead of crashing on positional exceptAll /
+        # mismatched-type eqNullSafe.
+        types = {f.name: f.dataType for f in old.schema.fields}
+        types.update({f.name: f.dataType for f in new.schema.fields})
+        if old.columns != new.columns or any(
+            f.dataType != types[f.name] for f in old.schema.fields
+        ):
             all_cols = list(new.columns) + [
                 c for c in old.columns if c not in set(new.columns)
             ]
 
             def _align(df: DataFrame) -> DataFrame:
-                have = set(df.columns)
+                have = {f.name: f.dataType for f in df.schema.fields}
                 return df.select(
                     *[
-                        F.col(c)
+                        (
+                            F.col(c).cast(types[c]).alias(c)
+                            if have[c] != types[c]
+                            else F.col(c)
+                        )
                         if c in have
                         else F.lit(None).cast(types[c]).alias(c)
                         for c in all_cols

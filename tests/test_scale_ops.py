@@ -26,6 +26,34 @@ def test_salted_join_matches_plain_join(spark):
     assert salted.count() == plain.count()
 
 
+def test_salted_join_semi_anti(spark):
+    """The docstring declares left_semi/left_anti sound — they must be
+    accepted and match the plain join; right/full outer stay rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.skew import salted_join
+    from metrics_database_cron_script_spark.sources import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    dim = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 400)
+        .select("user_id")
+    )
+    for how in ("left_semi", "leftsemi", "left_anti"):
+        plain = events.join(dim, "user_id", how).select("event_id")
+        salted = salted_join(
+            events, dim, key="user_id", salt_id_col="event_id", how=how
+        ).select("event_id")
+        assert salted.subtract(plain).count() == 0
+        assert plain.subtract(salted).count() == 0
+    for bad in ("right", "full_outer", "cross"):
+        with pytest.raises(ValueError):
+            salted_join(events, dim, key="user_id", salt_id_col="event_id", how=bad)
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """bucketBy co-location: a join between two tables bucketed on the join
     key plans WITHOUT a shuffle exchange on either side."""

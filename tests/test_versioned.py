@@ -733,3 +733,51 @@ def test_changes_across_schema_evolution(spark, tmp_path):
     assert len(pre) == 1 and pre[0]["region"] is None
     post = keyed.filter("_change_type = 'update_postimage' AND k = 2").collect()
     assert len(post) == 1 and post[0]["region"] == "eu"
+
+
+def test_changes_across_type_widening(spark, tmp_path):
+    """Regression (round-4 advice): a column present in BOTH versions with
+    a widened type (int→long) reached exceptAll/eqNullSafe with mismatched
+    types and crashed. Shared columns must be cast to the NEW version's
+    type — the current-schema reader contract."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 21)], "k int, v long"))
+    unkeyed = t.changes(0, 1)
+    assert dict(unkeyed.dtypes)["v"] == "bigint"
+    ins = {(r["k"], r["v"]) for r in unkeyed.filter("_change_type='insert'").collect()}
+    dels = {(r["k"], r["v"]) for r in unkeyed.filter("_change_type='delete'").collect()}
+    assert ins == {(2, 21)} and dels == {(2, 20)}
+    keyed = t.changes(0, 1, keys=["k"])
+    pre = keyed.filter("_change_type = 'update_preimage'").collect()
+    post = keyed.filter("_change_type = 'update_postimage'").collect()
+    assert [(r["k"], r["v"]) for r in pre] == [(2, 20)]
+    assert [(r["k"], r["v"]) for r in post] == [(2, 21)]
+    # k=1 is byte-identical after the widen-cast: no feed row
+    assert keyed.filter("k = 1").count() == 0
+
+
+def test_partitioned_merge_partition_type_drift_no_duplicates(spark, tmp_path):
+    """Regression (round-4 advice): carry-forward matched old partition
+    dirs to staged dirs by literal name. A batch whose partition_col type
+    renders values differently (committed double → 'day=1.0', batch int →
+    'day=1') used to carry the touched partition's old dir forward BESIDE
+    its rewrite, duplicating keys."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.merge_keep_latest_partitioned(
+        spark.createDataFrame(
+            [(1, 1.0, 10.0), (2, 2.0, 20.0)], "k int, day double, v double"
+        ),
+        key="k",
+        order_cols=["v"],
+        partition_col="day",
+    )
+    # batch renders day as int → staged dir 'day=1', committed dir 'day=1.0'
+    t.merge_keep_latest_partitioned(
+        spark.createDataFrame([(1, 1, 11.0)], "k int, day int, v double"),
+        key="k",
+        order_cols=["v"],
+        partition_col="day",
+    )
+    got = sorted((r["k"], float(r["day"]), r["v"]) for r in t.read().collect())
+    assert got == [(1, 1.0, 11.0), (2, 2.0, 20.0)], got
