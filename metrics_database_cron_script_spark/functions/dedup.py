@@ -12,11 +12,96 @@ by construction.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from metrics_database_cron_script_spark.functions.text import tokens_col
 from metrics_database_cron_script_spark.operators.partitioning import fan_out
+
+
+# ------------------------------------------------------- LSH parameter tuning
+
+
+class MinHashParams(NamedTuple):
+    """A chosen MinHash+LSH banding: `n_bands` bands of `band_size` rows
+    (num_hashes = band_size · n_bands), with the S-curve collision
+    probabilities the choice was made on."""
+
+    num_hashes: int
+    band_size: int
+    n_bands: int
+    recall_at_threshold: float
+    fp_at_low: float
+
+
+def lsh_collision_prob(s: float, band_size: int, n_bands: int) -> float:
+    """P(candidate | true Jaccard = s) for MinHash banding with `n_bands`
+    bands of `band_size` rows: 1 - (1 - s^r)^b — the standard S-curve
+    (Broder; Leskovec/Rajaraman/Ullman ch. 3). Exact under the uniform
+    min-hash permutation model; `x_minhash_recall` measures how close the
+    actual corpus gets."""
+    return 1.0 - (1.0 - s**band_size) ** n_bands
+
+
+def choose_minhash_params(
+    threshold: float = 0.8,
+    target_recall: float = 0.98,
+    fp_jaccard: float | None = None,
+    max_fp: float = 0.55,
+    max_hashes: int = 64,
+) -> MinHashParams:
+    """Pick (num_hashes, band_size) from the S-curve: the CHEAPEST banding
+    (fewest total hashes — signature compute and index width are both
+    linear in num_hashes) such that
+
+      recall: P(candidate | s = threshold)  ≥ target_recall
+      cost:   P(candidate | s = fp_jaccard) ≤ max_fp   (fp_jaccard
+              defaults to threshold/2 — "mid-similarity pairs mostly
+              don't reach verification")
+
+    Ties at equal num_hashes prefer LARGER band_size: a steeper S-curve
+    cuts more sub-threshold candidate mass at the same hash budget, and
+    candidate verification is the term that grows super-linearly at
+    corpus scale (SCALING.md alpha ≈ 1.2). Raises when no banding within
+    max_hashes satisfies both constraints — silently returning the
+    closest miss would under-deliver recall on a 100 TB run where the
+    re-run costs days."""
+    if fp_jaccard is None:
+        fp_jaccard = threshold / 2
+    for n in range(2, max_hashes + 1):
+        for r in range(n, 0, -1):
+            if n % r:
+                continue
+            b = n // r
+            if b < 2:
+                continue  # one band has no OR-amplification: never tunable
+            if (
+                lsh_collision_prob(threshold, r, b) >= target_recall
+                and lsh_collision_prob(fp_jaccard, r, b) <= max_fp
+            ):
+                return MinHashParams(
+                    n,
+                    r,
+                    b,
+                    lsh_collision_prob(threshold, r, b),
+                    lsh_collision_prob(fp_jaccard, r, b),
+                )
+    raise ValueError(
+        f"no (band_size, n_bands) with ≤{max_hashes} hashes reaches "
+        f"recall {target_recall} at s={threshold} while keeping "
+        f"P(candidate | s={fp_jaccard}) ≤ {max_fp}; raise max_hashes or "
+        "relax a constraint"
+    )
+
+
+#: The engine-default banding, chosen — not hand-picked — from the S-curve:
+#: recall ≥ 0.98 at Jaccard 0.8 with ≤ 0.55 collision mass at 0.4. Resolves
+#: to 8 hashes in 4 bands of 2; every pipeline below AND the DuckDB oracle
+#: CTEs in plans/queries_llm.py derive their banding from this constant, so
+#: the tuner is the single source of truth.
+MINHASH_DEFAULTS = choose_minhash_params()
 
 
 def normalized_text() -> F.Column:
@@ -134,15 +219,24 @@ def verified_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_near_dups(docs: DataFrame, num_hashes: int = 16, band_size: int = 4) -> DataFrame:
+def minhash_near_dups(
+    docs: DataFrame, num_hashes: int | None = None, band_size: int | None = None
+) -> DataFrame:
     """Full MinHash near-dup pipeline: shingle → sign → band → candidate
     pairs → exact-Jaccard verification (verification cost ∝ candidates).
+    Banding defaults to the S-curve-chosen `MINHASH_DEFAULTS` (round 5:
+    the previous hand-picked 16 hashes in 4 bands of 4 had recall 0.88 at
+    Jaccard 0.8 — the tuner reaches 0.98 with HALF the hashes).
 
     The shingle relation feeds three consumers (signatures + both sides of
     the verification join), so it is persisted — one explode+distinct
     shuffle instead of three recomputations. At cluster scale this is
     StorageLevel.MEMORY_AND_DISK; the verifier unpersists nothing because
     the plan materializes in one action."""
+    if num_hashes is None:
+        num_hashes = MINHASH_DEFAULTS.num_hashes
+    if band_size is None:
+        band_size = MINHASH_DEFAULTS.band_size
     shingles = word_shingles(docs).persist()
     sigs = minhash_signatures(shingles, num_hashes)
     pairs = lsh_candidate_pairs(sigs, band_size, num_hashes)
@@ -468,6 +562,65 @@ def shingle_edges(docs: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+def star_edges(
+    posting: DataFrame, bucket_cols: list[str], doc_col: str = "doc_id"
+) -> DataFrame:
+    """Clique-collapsed edges for COMPONENT building: per bucket, connect
+    every member to the bucket's MIN doc (the hub) instead of emitting all
+    O(k²) member pairs. The star graph is a subgraph of the clique graph,
+    and any two same-bucket docs are connected through the hub — so the
+    connected components are IDENTICAL, at O(Σk) edges instead of O(Σk²).
+
+    This is the 100 TB answer to duplicate cliques: the SFXL corpus
+    (5 000 base docs × 256 near-identical replicas) has ≈163 M true
+    near-dup PAIRS — any pair-enumerating plan must materialize them —
+    but only 1.27 M star edges, and cluster-level dedup only ever needs
+    the components. Pair enumeration stays available (shingle_edges /
+    minhash_near_dups*) for workloads that need per-pair scores; use the
+    star path whenever the consumer is connected_components.
+    One agg + one equi-join on the bucket key, both well-distributed."""
+    mins = posting.groupBy(*bucket_cols).agg(F.min(doc_col).alias("__hub"))
+    return (
+        posting.join(mins, bucket_cols)
+        .filter(F.col(doc_col) != F.col("__hub"))
+        .select(F.col("__hub").alias("doc_a"), F.col(doc_col).alias("doc_b"))
+        .distinct()
+    )
+
+
+def shingle_components_star(docs: DataFrame, n: int = 8) -> DataFrame:
+    """`x_shingle_components` semantics (docs sharing an exact n-token
+    shingle are in one cluster) via star edges: identical (doc_id,
+    component) output to components-over-`shingle_edges`, but the edge
+    relation is O(posting) instead of O(Σ bucket²) — the only shape that
+    survives a corpus whose duplicate clusters are large."""
+    return connected_components(
+        star_edges(word_shingles(docs, n=n), ["shingle"])
+    )
+
+
+def minhash_components_star(
+    docs: DataFrame,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup CLUSTERS from the portable MinHash banding without pair
+    enumeration: LSH band buckets → star edges → connected components.
+    Components equal those of the unverified candidate-pair graph (every
+    band bucket is a clique there), so cluster-level dedup of a
+    clique-heavy corpus costs O(docs · bands) edges — pair output on the
+    same corpus is quadratic in clique size. No Jaccard verification:
+    banding false positives merge clusters (tune band_size up via
+    `choose_minhash_params` when precision matters more than cost)."""
+    if shingles is None:
+        shingles = word_shingles(docs, hashed=False)
+    banded = lsh_bands_portable(
+        minhash_signatures_portable(shingles, num_hashes), num_hashes, band_size
+    )
+    return connected_components(star_edges(banded, ["band", "band_sig"]))
+
+
 
 
 # --------------------------------------------------------------------------
@@ -496,10 +649,14 @@ def _hex_digit_value(hex_col: F.Column, pos: int) -> F.Column:
     return F.conv(F.substring(hex_col, pos, 1), 16, 10).cast("int")
 
 
-def minhash_signatures_portable(shingles: DataFrame, num_hashes: int = 8) -> DataFrame:
+def minhash_signatures_portable(
+    shingles: DataFrame, num_hashes: int | None = None
+) -> DataFrame:
     """doc_id → 8 portable minhashes in one aggregation pass: seed i's hash
     of a shingle is md5('<i>|' || shingle)[:16]; the per-seed minimum over
     hex strings equals the numeric minimum (fixed-length lowercase hex)."""
+    if num_hashes is None:
+        num_hashes = MINHASH_DEFAULTS.num_hashes
     aggs = [
         F.min(portable_hash16(F.concat_ws("|", F.lit(str(i)), "shingle"))).alias(
             f"mh_{i}"
@@ -510,12 +667,16 @@ def minhash_signatures_portable(shingles: DataFrame, num_hashes: int = 8) -> Dat
 
 
 def lsh_bands_portable(
-    sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
+    sigs: DataFrame, num_hashes: int | None = None, band_size: int | None = None
 ) -> DataFrame:
     """Signature frame → (doc_id, band, band_sig) LSH index rows: the
     num_hashes/band_size bands of concatenated minhash hex. This IS the
     persisted structure an incremental corpus keeps — band rows append per
     batch and never need recomputation for already-indexed docs."""
+    if num_hashes is None:
+        num_hashes = MINHASH_DEFAULTS.num_hashes
+    if band_size is None:
+        band_size = MINHASH_DEFAULTS.band_size
     if num_hashes % band_size:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by band_size={band_size}"
@@ -538,8 +699,8 @@ def lsh_bands_portable(
 def minhash_probe_index_portable(
     corpus_docs: DataFrame,
     batch_docs: DataFrame,
-    num_hashes: int = 8,
-    band_size: int = 2,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup — the production daily shape: probe the
     corpus's LSH band index with a NEW batch instead of re-running
@@ -580,8 +741,8 @@ def minhash_probe_index_portable(
 
 def minhash_near_dups_portable(
     docs: DataFrame,
-    num_hashes: int = 8,
-    band_size: int = 2,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
     shingles: DataFrame | None = None,
     verify: bool = True,
 ) -> DataFrame:
@@ -597,6 +758,10 @@ def minhash_near_dups_portable(
     shuffle twice; `verify=False` stops at the raw candidate pairs
     (doc_a, doc_b) — what banding-quality measurements like
     x_minhash_recall consume."""
+    if num_hashes is None:
+        num_hashes = MINHASH_DEFAULTS.num_hashes
+    if band_size is None:
+        band_size = MINHASH_DEFAULTS.band_size
     if shingles is None:
         shingles = word_shingles(docs, hashed=False).persist()
     if num_hashes % band_size:

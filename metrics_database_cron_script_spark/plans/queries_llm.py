@@ -40,7 +40,39 @@ def x_near_dup_minhash(spark, sf_dir):
     return D.minhash_near_dups(load_table(spark, sf_dir, "documents"))
 
 
-_MINHASH_PORTABLE_ORACLE = """
+def _mh_sig_select(n_hashes: int) -> str:
+    """The per-seed MIN(md5-prefix) aggregate list for the minhash
+    signature CTE — generated from the hash count, never hand-unrolled."""
+    return ",\n".join(
+        f"         MIN(substr(md5('{i}|' || shingle), 1, 16)) AS mh_{i}"
+        for i in range(n_hashes)
+    )
+
+
+def _mh_band_union(sig_cte: str, n_hashes: int, band_size: int) -> str:
+    """The banding CTE body: one SELECT per band, band_sig = concatenated
+    minhash hex of that band's rows."""
+    parts = []
+    for b in range(n_hashes // band_size):
+        sig = " || ".join(
+            f"mh_{b * band_size + j}" for j in range(band_size)
+        )
+        if b == 0:
+            parts.append(
+                f"  SELECT doc_id, 0 AS band, {sig} AS band_sig FROM {sig_cte}"
+            )
+        else:
+            parts.append(f"  UNION ALL SELECT doc_id, {b}, {sig} FROM {sig_cte}")
+    return "\n".join(parts)
+
+
+# The oracle banding derives from the SAME tuner-chosen constant as the
+# Spark pipelines (functions/dedup.py MINHASH_DEFAULTS) — the SQL cannot
+# drift from the engine when the chooser's constraints move.
+_MH_N = D.MINHASH_DEFAULTS.num_hashes
+_MH_R = D.MINHASH_DEFAULTS.band_size
+
+_MINHASH_PORTABLE_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
@@ -54,20 +86,10 @@ WITH toks AS (
   WHERE g <> ''
 ), sig AS (
   SELECT doc_id,
-         MIN(substr(md5('0|' || shingle), 1, 16)) AS mh_0,
-         MIN(substr(md5('1|' || shingle), 1, 16)) AS mh_1,
-         MIN(substr(md5('2|' || shingle), 1, 16)) AS mh_2,
-         MIN(substr(md5('3|' || shingle), 1, 16)) AS mh_3,
-         MIN(substr(md5('4|' || shingle), 1, 16)) AS mh_4,
-         MIN(substr(md5('5|' || shingle), 1, 16)) AS mh_5,
-         MIN(substr(md5('6|' || shingle), 1, 16)) AS mh_6,
-         MIN(substr(md5('7|' || shingle), 1, 16)) AS mh_7
+{_mh_sig_select(_MH_N)}
   FROM sh GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, 0 AS band, mh_0 || mh_1 AS band_sig FROM sig
-  UNION ALL SELECT doc_id, 1, mh_2 || mh_3 FROM sig
-  UNION ALL SELECT doc_id, 2, mh_4 || mh_5 FROM sig
-  UNION ALL SELECT doc_id, 3, mh_6 || mh_7 FROM sig
+{_mh_band_union('sig', _MH_N, _MH_R)}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b USING (band, band_sig)
@@ -91,7 +113,8 @@ JOIN sizes zb ON zb.doc_id = i.doc_b"""
 def _minhash_pair_cte(src: str) -> str:
     """CTE chain computing portable-minhash candidate pairs + exact Jaccard
     over the docs in CTE `src` (must expose doc_id, text). Shared by the
-    pair / cluster / pipeline oracles so all three check the same LSH."""
+    pair / cluster / pipeline oracles so all three check the same LSH;
+    banding generated from MINHASH_DEFAULTS."""
     return f"""ptoks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
@@ -105,20 +128,10 @@ def _minhash_pair_cte(src: str) -> str:
   WHERE g <> ''
 ), psig AS (
   SELECT doc_id,
-         MIN(substr(md5('0|' || shingle), 1, 16)) AS mh_0,
-         MIN(substr(md5('1|' || shingle), 1, 16)) AS mh_1,
-         MIN(substr(md5('2|' || shingle), 1, 16)) AS mh_2,
-         MIN(substr(md5('3|' || shingle), 1, 16)) AS mh_3,
-         MIN(substr(md5('4|' || shingle), 1, 16)) AS mh_4,
-         MIN(substr(md5('5|' || shingle), 1, 16)) AS mh_5,
-         MIN(substr(md5('6|' || shingle), 1, 16)) AS mh_6,
-         MIN(substr(md5('7|' || shingle), 1, 16)) AS mh_7
+{_mh_sig_select(_MH_N)}
   FROM psh GROUP BY doc_id
 ), pbands AS (
-  SELECT doc_id, 0 AS band, mh_0 || mh_1 AS band_sig FROM psig
-  UNION ALL SELECT doc_id, 1, mh_2 || mh_3 FROM psig
-  UNION ALL SELECT doc_id, 2, mh_4 || mh_5 FROM psig
-  UNION ALL SELECT doc_id, 3, mh_6 || mh_7 FROM psig
+{_mh_band_union('psig', _MH_N, _MH_R)}
 ), pcand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pbands a JOIN pbands b USING (band, band_sig)
@@ -2642,9 +2655,7 @@ def x_containment_pairs(spark, sf_dir):
 # ------------------------------------------------- round 2: dedup clustering
 
 
-@query(
-    "x_shingle_components",
-    oracle="""
+_SHINGLE_COMPONENTS_ORACLE = """
 WITH RECURSIVE toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
@@ -2664,8 +2675,10 @@ WITH RECURSIVE toks AS (
   SELECT r.doc_id, e.v FROM reach r JOIN edges e ON e.u = r.peer
 )
 SELECT doc_id, LEAST(doc_id, MIN(peer)) AS component
-FROM reach GROUP BY doc_id""",
-)
+FROM reach GROUP BY doc_id"""
+
+
+@query("x_shingle_components", oracle=_SHINGLE_COMPONENTS_ORACLE)
 def x_shingle_components(spark, sf_dir):
     """Near-dup CLUSTERS, not just pairs: docs sharing an exact 8-token
     shingle form edges; connected components (iterative min-label
@@ -2674,6 +2687,48 @@ def x_shingle_components(spark, sf_dir):
     SQL-checked iterative algorithm, not a rows-only sketch."""
     edges = D.shingle_edges(load_table(spark, sf_dir, "documents"), n=8)
     return D.connected_components(edges)
+
+
+@query("x_shingle_components_star", oracle=_SHINGLE_COMPONENTS_ORACLE)
+def x_shingle_components_star(spark, sf_dir):
+    """`x_shingle_components` through STAR edges (per shingle bucket,
+    hub = min doc_id — functions/dedup.py star_edges): O(posting) edges
+    instead of the posting self-join's O(Σ bucket²) pairs. The oracle is
+    the SAME clique-edge recursive CTE — passing proves the star
+    collapse yields identical components, which is what makes cluster
+    dedup of a clique-heavy corpus (SFXL: 256-replica dup clusters,
+    ≈163 M true pairs but 1.27 M star edges) feasible at all."""
+    return D.shingle_components_star(
+        load_table(spark, sf_dir, "documents"), n=8
+    )
+
+
+@query(
+    "x_minhash_components_star",
+    oracle="WITH RECURSIVE "
+    + _minhash_pair_cte("documents")
+    + """, mcedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pcand
+  UNION
+  SELECT doc_b, doc_a FROM pcand
+), mcreach AS (
+  SELECT u AS doc_id, v AS peer FROM mcedges
+  UNION
+  SELECT r.doc_id, e.v FROM mcreach r JOIN mcedges e ON e.u = r.peer
+)
+SELECT doc_id, LEAST(doc_id, MIN(peer)) AS component
+FROM mcreach GROUP BY doc_id""",
+)
+def x_minhash_components_star(spark, sf_dir):
+    """Near-dup clusters straight from the LSH band buckets — star edges
+    over (band, band_sig), no pair enumeration, no Jaccard verification
+    (functions/dedup.py minhash_components_star). The oracle builds the
+    full clique candidate-pair graph (pcand) and resolves components with
+    a recursive CTE: identical output proves bucket-star connectivity ≡
+    candidate-clique connectivity. This is the plan to run when the
+    corpus's duplicate clusters are large enough that even the candidate
+    PAIR list (let alone verification) is the bottleneck."""
+    return D.minhash_components_star(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -3020,6 +3075,73 @@ def x_minhash_recall(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_truth"),
         F.sum(F.when(caught, 1).otherwise(0)).cast("long").alias("n_caught"),
         F.round(F.avg(F.when(caught, 1.0).otherwise(0.0)), 6).alias("recall"),
+    )
+
+
+@query(
+    "x_minhash_tuning",
+    oracle="""
+WITH grid AS (
+  SELECT r.r AS band_size, b.b AS n_bands, r.r * b.b AS num_hashes,
+         1 - power(1 - power(0.8, r.r), b.b) AS p_thr,
+         1 - power(1 - power(0.4, r.r), b.b) AS p_fp
+  FROM (SELECT unnest(generate_series(1, 8)) AS r) r,
+       (SELECT unnest(generate_series(2, 16)) AS b) b
+  WHERE r.r * b.b <= 32
+), flagged AS (
+  SELECT *, (p_thr >= 0.98 AND p_fp <= 0.55) AS feasible FROM grid
+)
+SELECT band_size, n_bands, num_hashes,
+       ROUND(p_thr, 6) AS p_at_threshold,
+       ROUND(p_fp, 6) AS p_at_fp,
+       feasible,
+       feasible AND
+         RANK() OVER (ORDER BY feasible DESC, num_hashes, band_size DESC) = 1
+         AS chosen
+FROM flagged""",
+)
+def x_minhash_tuning(spark, sf_dir):
+    """The MinHash band auto-tuner AS A QUERY: the (band_size, n_bands)
+    S-curve grid with P(candidate | s) at the recall point (s = 0.8) and
+    the false-positive point (s = 0.4), the feasibility of each banding
+    under the engine's constraints (recall ≥ 0.98, fp mass ≤ 0.55 — the
+    `choose_minhash_params` defaults, functions/dedup.py), and the chosen
+    row: fewest hashes, ties to the steeper curve. The chosen row IS
+    `MINHASH_DEFAULTS` (pinned by tests/test_dedup_tuning.py), so the
+    parameter-selection logic every near-dup pipeline inherits is itself
+    value-hash-checked against an independent SQL derivation."""
+    grid = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(1), F.lit(8))).alias("band_size"))
+        .select(
+            "band_size",
+            F.explode(F.sequence(F.lit(2), F.lit(16))).alias("n_bands"),
+        )
+        .filter(F.col("band_size") * F.col("n_bands") <= 32)
+    )
+    p = lambda s: 1 - F.pow(  # noqa: E731 — the S-curve, once per point
+        1 - F.pow(F.lit(s), F.col("band_size")), F.col("n_bands")
+    )
+    flagged = grid.select(
+        F.col("band_size").cast("long").alias("band_size"),
+        F.col("n_bands").cast("long").alias("n_bands"),
+        (F.col("band_size") * F.col("n_bands")).cast("long").alias("num_hashes"),
+        p(0.8).alias("p_thr"),
+        p(0.4).alias("p_fp"),
+    ).withColumn(
+        "feasible", (F.col("p_thr") >= 0.98) & (F.col("p_fp") <= 0.55)
+    )
+    w = Window.orderBy(
+        F.desc("feasible"), F.asc("num_hashes"), F.desc("band_size")
+    )
+    return flagged.select(
+        "band_size",
+        "n_bands",
+        "num_hashes",
+        F.round("p_thr", 6).alias("p_at_threshold"),
+        F.round("p_fp", 6).alias("p_at_fp"),
+        "feasible",
+        (F.col("feasible") & (F.rank().over(w) == 1)).alias("chosen"),
     )
 
 
