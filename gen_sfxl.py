@@ -73,18 +73,31 @@ SKEW_KEYS = [("events", "user_id"), ("lineitem", "l_orderkey")]
 
 
 def replicate(
-    src: str, out: str, replicas: int, skew_mod: int | None = None
+    src: str,
+    out: str,
+    replicas: int,
+    skew_mod: int | None = None,
+    tables: list[str] | None = None,
 ) -> dict[str, int]:
     """Key-consistent N× replication (see module docstring). Returns the
-    per-table output row counts."""
+    per-table output row counts. `tables` restricts the output to a subset
+    (e.g. a documents-only corpus for dedup-family scaling a decade past
+    the full-table footprint) — FK strides are still computed from every
+    table carrying the entity so a later widening stays key-consistent."""
     from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
 
+    tables = list(TABLES) if tables is None else tables
+    unknown = set(tables) - set(TABLES)
+    if unknown:
+        raise ValueError(f"unknown tables: {sorted(unknown)}")
     base: dict[str, pa.Table] = {
-        t: pq.read_table(table_path(src, t)) for t in TABLES
+        t: pq.read_table(table_path(src, t)) for t in tables
     }
     skew: dict[str, tuple[str, object, object]] = {}
     if skew_mod:
         for t, c in SKEW_KEYS:
+            if t not in base:
+                continue
             col = base[t].column(c)
             # hot key = the minimum base key (guaranteed to exist in
             # replica 0, so FK joins stay satisfiable)
@@ -95,18 +108,22 @@ def replicate(
     # one stride per entity, from the max over every table carrying that key
     strides: dict[str, int] = {}
     for ent, cols in ENTITY_KEYS.items():
+        present = [(t, c) for t, c in cols if t in base]
+        if not present:
+            continue
         m = 0
-        for t, c in cols:
+        for t, c in present:
             m = max(m, pc.max(base[t].column(c)).as_py() or 0)
         strides[ent] = _stride(int(m))
 
     offsets_by_table: dict[str, list[tuple[str, int]]] = {}
     for ent, cols in ENTITY_KEYS.items():
         for t, c in cols:
-            offsets_by_table.setdefault(t, []).append((c, strides[ent]))
+            if ent in strides:
+                offsets_by_table.setdefault(t, []).append((c, strides[ent]))
 
     counts: dict[str, int] = {}
-    for t in TABLES:
+    for t in tables:
         dst = table_path(out, t)
         os.makedirs(dst, exist_ok=True)
         for f in os.listdir(dst):
@@ -173,6 +190,11 @@ def main() -> None:
         i = args.index("--skew-mod")
         skew_mod = int(args[i + 1])
         del args[i : i + 2]
+    tables = None
+    if "--tables" in args:
+        i = args.index("--tables")
+        tables = args[i + 1].split(",")
+        del args[i : i + 2]
     replicas = int(args[0]) if len(args) > 0 else 10
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     # skewed runs default to their OWN directory: defaulting to sf1 would
@@ -186,7 +208,7 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), ".bench_cache", default_name
         )
     )
-    for t, rows in replicate(src, out, replicas, skew_mod=skew_mod).items():
+    for t, rows in replicate(src, out, replicas, skew_mod=skew_mod, tables=tables).items():
         print(f"{t}: {rows} rows")
     print(f"wrote {out}")
 

@@ -196,7 +196,14 @@ def lsh_candidate_pairs(
 
 def verified_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard on candidate pairs only: |A∩B| via a shingle equi-join
-    restricted to candidates, |A∪B| from per-doc counts."""
+    restricted to candidates, |A∪B| from per-doc counts.
+
+    The per-doc size relation joins TWICE (doc_a side, doc_b side) — both
+    joins reference the SAME aliased plan instead of two differently
+    re-projected copies, so the canonical broadcast exchange is built once
+    and the second join is a ReusedExchange: one build job, one pass over
+    the shingle cache, instead of two (part of the round-5 job-floor
+    shave)."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -206,14 +213,17 @@ def verified_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                F.col("inter")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")),
+                6,
             ).alias("jaccard"),
         )
     )
@@ -365,20 +375,19 @@ def char_ngram_jaccard(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # same aliased `sizes` plan on both joins: the second broadcast build
+    # is a ReusedExchange (round-5 job-floor shave), not a re-aggregation
+    za, zb = sizes.alias("za"), sizes.alias("zb")
     return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
-            "doc_b",
-        )
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                F.col("inter")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")),
+                6,
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
@@ -432,19 +441,63 @@ def dedup_pipeline(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame, max_iterations: int = 50, on_round=None
 ) -> DataFrame:
     """Connected components over near-dup pairs → dedup clusters
     (pairs alone can't drive dedup: transitive groups A~B~C must collapse
-    to one representative). Iterative min-label propagation: every node
-    repeatedly adopts the smallest label among itself and its neighbors
-    until fixpoint. Converges in O(diameter) rounds; each round is one
-    shuffle-light join + agg. localCheckpoint per round truncates lineage
-    (the standard pattern for iterative DataFrame algorithms).
+    to one representative).
+
+    Two-phase, sized for clique-heavy duplicate graphs:
+
+    1. COLLAPSE: one full-scale labeling pass — every node takes the min
+       of its closed neighborhood, then two pointer jumps
+       (label ← label(label(label ...))) — then the edge set is CONTRACTED
+       through the labels (self-loops dropped, deduped). Duplicate
+       cliques collapse onto their hubs here, so the residual graph is
+       the tiny inter-cluster link structure (measured at the 12.8 M-doc
+       decade corpus: 13.7 M star edges contract to a residual a fraction
+       of a percent the size). This phase costs ~2 passes over the full
+       edge set, total.
+    2. ITERATE on the residual: min-label propagation with two pointer
+       jumps per round (path halving — propagation distance ~×8 per
+       round, so long chains converge in O(log diameter) rounds) until a
+       fixpoint. Every round here touches only residual-sized data; pure
+       per-round propagation at FULL scale was measured at ~25 s × 30+
+       rounds on the decade graph, which is why the collapse phase exists.
+       Superseded label checkpoints are unpersisted each round — leaving
+       them to GC-driven cleanup ground late rounds from 11 s to 250 s.
+    3. COMPOSE: final(doc) = residual_component(label(doc)), one join.
+
+    Correctness: labels only ever shrink and a component's global min
+    labels itself, so it survives contraction and the composed mapping
+    resolves every member to the true min. Raises (never returns partial
+    labels — they would silently keep duplicate representatives) if the
+    residual doesn't converge within `max_iterations` rounds; coverage is
+    ~8^rounds hops, so the cap only trips on adversarial graphs.
 
     Input: (doc_a, doc_b) undirected edges. Output: (doc_id, component)
-    where component = min doc_id reachable.
+    where component = min doc_id reachable. `on_round`, when given,
+    receives the residual's changed-label count per round.
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _jump(lbl: DataFrame) -> DataFrame:
+        # label(x) ← min(label(x), label(label(x))): the invariant
+        # label(x) ≤ x holds throughout (labels start as ids and only
+        # shrink), so the looked-up label can only improve.
+        j = lbl.select(
+            F.col("doc_id").alias("__jid"), F.col("component").alias("__jlbl")
+        )
+        return lbl.join(j, lbl["component"] == j["__jid"], "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce("__jlbl", F.col("component"))
+            ).alias("component"),
+        )
+
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -453,41 +506,107 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    # ---- phase 1: collapse cliques, contract to the residual graph
+    base = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("__mn")).alias("component"),
+        )
+    )
+    base = _jump(_jump(base)).localCheckpoint(eager=True)
+    la = base.select(F.col("doc_id").alias("src"), F.col("component").alias("__ls"))
+    lb = base.select(F.col("doc_id").alias("dst"), F.col("component").alias("__ld"))
+    residual = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("__ls") != F.col("__ld"))
+        .select(F.col("__ls").alias("src"), F.col("__ld").alias("dst"))
+        .distinct()
+    )
+    residual = residual.unionByName(
+        residual.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    n_res = residual.count()
+    if n_res == 0:
+        return base
+
+    # ---- phase 2: iterate to fixpoint on the residual
+    # The residual is orders of magnitude smaller than the input, but the
+    # loop's shuffles would still run at the session's data-sized width
+    # (e.g. 91 partitions for the decade corpus) — fixed per-task cost ×
+    # stages × rounds dominated the loop (measured ~12 s/round on a few
+    # thousand rows). Scope the shuffle width to the residual's size for
+    # the duration of the loop and restore afterwards (phase 3's
+    # full-scale compose join must run at the session width again).
+    sess = pairs.sparkSession
+    saved_parts = sess.conf.get("spark.sql.shuffle.partitions", None)
+    loop_parts = max(4, min(int(saved_parts or 200), n_res // 100_000 + 4))
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
+        residual.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
-            .select(
+    prev_round_ids: set = set()
+    converged = False
+    sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                residual.join(labels, residual["dst"] == labels["doc_id"])
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            stepped = labels.join(
+                neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+            ).select(
                 "doc_id",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            before = _persistent_ids()
+            new_labels = _jump(_jump(stepped)).localCheckpoint(eager=True)
+            my_ids = _persistent_ids() - before
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            # `changed` above was the old labels' last consumer — free its
+            # checkpoint blocks now instead of waiting for GC
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in prev_round_ids:
+                if jmap.containsKey(rid):
+                    jmap.get(rid).unpersist(False)
+            prev_round_ids = my_ids
+            labels = new_labels
+            if on_round is not None:
+                on_round(changed)
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        if saved_parts is not None:
+            sess.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations on the contracted residual (coverage ~8^rounds "
+            "hops) — raise max_iterations"
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} "
-        "iterations (a component's min-label hop distance exceeds the "
-        "cap) — returning partial labels would silently keep duplicate "
-        "representatives; raise max_iterations (O(diameter) rounds)"
+
+    # ---- phase 3: compose base labels through the residual solution
+    s = labels.select(
+        F.col("doc_id").alias("__sk"), F.col("component").alias("__sv")
+    )
+    return base.join(s, base["component"] == s["__sk"], "left").select(
+        "doc_id",
+        F.coalesce("__sv", F.col("component")).alias("component"),
     )
 
 
@@ -909,20 +1028,19 @@ def char_ngram_jaccard_portable(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # same aliased `sizes` plan on both joins: the second broadcast build
+    # is a ReusedExchange (round-5 job-floor shave), not a re-aggregation
+    za, zb = sizes.alias("za"), sizes.alias("zb")
     return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
-            "doc_b",
-        )
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                F.col("inter")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")),
+                6,
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)

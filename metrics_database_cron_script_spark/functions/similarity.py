@@ -93,15 +93,41 @@ def brute_force_topk(
         # prune ranks in exactly the final, oracle-visible order
         return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
 
+    def _matrix(rb):
+        """Arrow list column → (vec_ids, float64 matrix) with NO per-row
+        Python: equal-length non-null lists reshape the flat values buffer
+        in place (the fixture/contract case — measured ~100 ms/run cheaper
+        than per-cell np.asarray at sf0.1); ragged or null rows fall back
+        to the row loop."""
+        vec_ids = rb.column(0).to_numpy(zero_copy_only=False)
+        emb = rb.column(1)
+        if emb.null_count == 0 and hasattr(emb, "offsets"):
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            if len(lens) and lens.min() == lens.max() and lens[0] > 0:
+                flat = emb.values.to_numpy(zero_copy_only=False)
+                mat = np.asarray(
+                    flat[offs[0] : offs[-1]], dtype=np.float64
+                ).reshape(len(vec_ids), int(lens[0]))
+                return vec_ids, mat
+        rows = emb.to_pylist()
+        keep = [i for i, r in enumerate(rows) if r is not None]
+        if not keep:
+            return vec_ids[:0], np.zeros((0, 1))
+        return vec_ids[keep], np.asarray(
+            [np.asarray(rows[i], dtype=np.float64) for i in keep],
+            dtype=np.float64,
+        )
+
     def score(batches):
-        for pdf in batches:
-            if not len(pdf) or not len(q_ids):
+        import pyarrow as pa
+
+        for rb in batches:
+            if not rb.num_rows or not len(q_ids):
                 continue
-            vec_ids = pdf["vec_id"].to_numpy()
-            c_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
-                dtype=np.float64,
-            )
+            vec_ids, c_mat = _matrix(rb)
+            if not len(vec_ids):
+                continue
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
             c_keep = c_norm > 0.0
             vec_ids, c_mat, c_norm = vec_ids[c_keep], c_mat[c_keep], c_norm[c_keep]
@@ -122,7 +148,7 @@ def brute_force_topk(
                 out_q.extend([qid] * len(order))
                 out_v.extend(ids[order])
                 out_c.extend(vals[order])
-            yield pd.DataFrame(
+            yield pa.record_batch(
                 {
                     "q_id": np.asarray(out_q, dtype=np.int64),
                     "vec_id": np.asarray(out_v, dtype=np.int64),
@@ -130,7 +156,7 @@ def brute_force_topk(
                 }
             )
 
-    scored = corpus.select("vec_id", "embedding").mapInPandas(
+    scored = corpus.select("vec_id", "embedding").mapInArrow(
         score, "q_id long, vec_id long, cos double"
     )
     return _topk_per_query(scored, "cos", k)

@@ -557,6 +557,39 @@ def x_multimodal_features(spark, sf_dir):
     return M.byte_feature_extract(blobs)
 
 
+@query(
+    "x_multimodal_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, x.x AS x, y.y AS y, c.c AS c,
+         (d.doc_id * 31 + x.x * 7 + y.y * 13 + c.c * 101) % 256 AS val
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+       (SELECT unnest([0, 1, 2]) AS c) c
+)
+SELECT doc_id, MIN(w) AS width, MIN(h) AS height, MIN(w * h) AS n_pixels,
+       CAST(SUM(val) AS BIGINT) AS px_sum,
+       CAST(SUM(val * (((y * w + x) * 3 + c) % 97)) AS BIGINT) AS px_weighted
+FROM px GROUP BY doc_id""",
+)
+def x_multimodal_decode(spark, sf_dir):
+    """REAL image decode, no codec libraries: deterministic synthetic
+    24-bit BMPs (dimensions + every pixel a pure function of doc_id) are
+    ENCODED executor-side, then DECODED by the numpy BMP parser
+    (functions/multimodal.py decode_bmp — header offset, bottom-up rows,
+    4-byte padding, BGR order) and reduced to pixel aggregates. The
+    oracle recomputes the aggregates from the pixel formula alone — so a
+    decoder that misreads stride, row order or channel order cannot
+    match the position-weighted digest. This demotes the old PIL stub to
+    the compressed-format path; uncompressed decode is a first-class,
+    value-hash-checked operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_pixel_stats(M.synthetic_bmp_blobs(docs))
+
+
 @query("x_embed_ivf_topk", oracle=None)  # approximate → rows-only
 def x_embed_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

@@ -10,6 +10,18 @@ The incremental-scan shape is identical to the parquet path: the watermark
 predicate (`R2`) pushes down into the connector as a ``$gt`` aggregation
 stage, so `pipelines.run_batch` works unchanged against either source —
 swap `load_table` for `read_mongo_collection`.
+
+Cluster bootstrap (the one-liner a migrating user needs on day one)::
+
+    spark-submit \\
+      --packages org.mongodb.spark:mongo-spark-connector_2.13:10.4.1 \\
+      --conf spark.mongodb.read.connection.uri=mongodb://<host>/<db> \\
+      your_job.py
+
+or equivalently ``SparkSession.builder.config("spark.jars.packages",
+"org.mongodb.spark:mongo-spark-connector_2.13:10.4.1")`` BEFORE the session
+is created (packages cannot be added to a running JVM). The connector's
+Scala suffix must match the Spark build (Spark 4.x ships Scala 2.13).
 """
 
 from __future__ import annotations

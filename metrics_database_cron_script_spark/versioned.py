@@ -61,6 +61,38 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+SCHEMA_MARKER = "_schema.json"
+
+
+def _write_schema_marker(data_dir: str, schema) -> None:
+    """Persist the version's COMMITTED schema inside its (still-staged)
+    data dir. Underscore-prefixed files are invisible to Spark's file
+    source, and `_link_tree` carries the marker into restore()'s
+    hardlinked stage for free. The marker is what makes hardlink
+    carry-forward safe under schema evolution: untouched partitions keep
+    their old-schema files, and the explicit-schema read NULL-pads added
+    columns / widens promoted types per file instead of letting footer
+    inference pick a random file's schema."""
+    import json as _json
+
+    with open(os.path.join(data_dir, SCHEMA_MARKER), "w") as f:
+        f.write(_json.dumps(_json.loads(schema.json())))
+
+
+def _read_schema_marker(data_dir: str):
+    """The committed schema of a version, or None for pre-evolution
+    versions (footer inference remains their contract)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    p = os.path.join(data_dir, SCHEMA_MARKER)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return StructType.fromJson(_json.load(f))
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Recreate `src`'s tree under `dst` with hardlinks (copy on EXDEV).
     Byte-identity of the carried files is by construction: a hardlink IS the
@@ -170,7 +202,7 @@ class VersionedSnapshot:
                     f"versioned table {self.path} version {version} was "
                     "vacuumed (or its data dir was deleted out-of-band)"
                 )
-            return self.spark.read.parquet(self._resolve_data_dir(version))
+            return self._read_version(version)
         v = self.version()
         if v < 0:
             if schema is None:
@@ -179,7 +211,20 @@ class VersionedSnapshot:
                     "and no bootstrap schema was given"
                 )
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self._resolve_data_dir(v))
+        return self._read_version(v)
+
+    def _read_version(self, version: int) -> DataFrame:
+        """Read one committed version in ITS OWN committed schema (the
+        reader contract: each version renders the schema it was committed
+        with — added columns NULL-padded and widened types promoted over
+        any hardlink-carried old-schema files; pre-marker versions keep
+        footer inference)."""
+        d = self._resolve_data_dir(version)
+        committed = _read_schema_marker(d)
+        reader = self.spark.read
+        if committed is not None:
+            reader = reader.schema(committed)
+        return reader.parquet(d)
 
     # --------------------------------------------------------------- writes
 
@@ -233,6 +278,7 @@ class VersionedSnapshot:
         target = observed + 1
         data = self._stage_dir(target)
         df.write.mode("overwrite").parquet(data)
+        _write_schema_marker(data, df.schema)
         self._publish(target, data)
         return target
 
@@ -265,6 +311,7 @@ class VersionedSnapshot:
         target = observed + 1
         data = self._stage_dir(target)
         audited.write.mode("overwrite").parquet(data)
+        _write_schema_marker(data, audited.schema)
         metrics = resolve()
         violations = sum(v for k, v in metrics.items() if k != "rows")
         if violations > max_violations:
@@ -392,7 +439,21 @@ class VersionedSnapshot:
             )
             if v >= 0:
                 base = self.read()
-                if old_partitioned:
+                # Partition-TYPE evolution (e.g. committed double 'day=2.0'
+                # dirs, int batch): old dir names render values under the
+                # old type, so neither name-matched carry-forward nor the
+                # committed-schema read (which parses dir values in the NEW
+                # type) can use them. This commit falls back to a FULL
+                # rewrite under the new type — Delta's behavior for a
+                # partition-schema change — and subsequent commits prune
+                # again.
+                drift = (
+                    old_partitioned
+                    and partition_col in base.columns
+                    and base.schema[partition_col].dataType
+                    != new.schema[partition_col].dataType
+                )
+                if old_partitioned and not drift:
                     # prune the base scan to touched partitions only —
                     # partition_col is directory-encoded, so this filter is
                     # partition pruning at the source, not a full scan
@@ -402,32 +463,10 @@ class VersionedSnapshot:
                     # None element evaluates NULL and would silently DROP
                     # every previously-committed null-partition row while
                     # the batch recreates that directory — a lost-update.
-                    # collect each touched value AND its rendering in the
-                    # COMMITTED layout's partition type: directory names are
-                    # compared against the stage later, and if the batch's
-                    # partition_col type renders values differently than the
-                    # committed dirs (e.g. double 1.0 → 'k=1.0' vs int batch
-                    # → 'k=1'), a touched partition's old dir would not match
-                    # any staged dir by name and be wrongly carried forward,
-                    # duplicating its keys.
-                    old_ptype = base.schema[partition_col].dataType
-                    touched_rows = (
-                        new.select(
-                            F.col(partition_col).alias("v"),
-                            F.col(partition_col)
-                            .cast(old_ptype)
-                            .cast("string")
-                            .alias("old_render"),
-                        )
-                        .distinct()
-                        .collect()
-                    )
-                    touched = [r["v"] for r in touched_rows]
-                    touched_old_renders = {
-                        r["old_render"]
-                        for r in touched_rows
-                        if r["old_render"] is not None
-                    }
+                    touched = [
+                        r[0]
+                        for r in new.select(partition_col).distinct().collect()
+                    ]
                     non_null = [t for t in touched if t is not None]
                     cond = (
                         F.col(partition_col).isin(non_null)
@@ -478,24 +517,27 @@ class VersionedSnapshot:
             latest.write.mode("overwrite").partitionBy(partition_col).parquet(
                 target_stage
             )
-            if old_partitioned:
+            # the committed schema is the MERGED one (batch ∪ base, with
+            # the partition col where the hive write layout puts it on
+            # read-back: last); carried-forward old-schema partitions are
+            # NULL-padded/widened through this marker at read time
+            _write_schema_marker(
+                target_stage,
+                latest.select(
+                    *[c for c in latest.columns if c != partition_col],
+                    partition_col,
+                ).schema,
+            )
+            if old_partitioned and not drift:
                 # carry forward: any old partition dir Spark did NOT rewrite
                 # (i.e. absent from the stage) is linked over unchanged.
                 # Touched partitions always appear in the stage because
-                # keep-latest never produces an empty touched partition.
-                # Name match alone is not enough under partition-type drift:
-                # a touched partition's OLD dir may render its value
-                # differently than the staged (batch-typed) dir, so also
-                # skip any dir whose decoded value is a touched value
-                # rendered in the committed type.
-                from urllib.parse import unquote
-
+                # keep-latest never produces an empty touched partition, and
+                # (same partition type — drift took the full-rewrite path)
+                # their staged dir names render identically to the old ones.
                 for name in os.listdir(old_dir):
                     if not name.startswith(prefix):
                         continue
-                    old_val = unquote(name[len(prefix):])
-                    if old_val in touched_old_renders:
-                        continue  # touched partition, already rewritten
                     dst = os.path.join(target_stage, name)
                     if not os.path.exists(dst):
                         _link_tree(os.path.join(old_dir, name), dst)
@@ -552,6 +594,9 @@ class VersionedSnapshot:
                 ]
             stage = self._stage_dir(v + 1)
             os.makedirs(stage, exist_ok=True)
+            old_schema = _read_schema_marker(old_dir)
+            if old_schema is not None:
+                _write_schema_marker(stage, old_schema)
             for name in part_dirs:
                 if name in targets:
                     # per-partition single-file rewrite: the read is pruned
@@ -603,14 +648,22 @@ class VersionedSnapshot:
             # would break compact_partitions / partition-pruned MERGE /
             # changes() pruning on the post-optimize table
             part_cols = _hive_partition_cols(self._resolve_data_dir(v))
+            src = self.read()
             clustered_write(
-                self.read(),
+                src,
                 stage,
                 cluster_cols,
                 n_files=n_files,
                 zorder=zorder,
                 partition_cols=part_cols or None,
             )
+            if part_cols:
+                # clustered hive layout reads the partition cols back last
+                src = src.select(
+                    *[c for c in src.columns if c not in part_cols],
+                    *part_cols,
+                )
+            _write_schema_marker(stage, src.schema)
             try:
                 self._publish(v + 1, stage)
                 return v + 1
@@ -693,9 +746,17 @@ class VersionedSnapshot:
             sel = [p for p in changed if p in fmap]
             if not sel:
                 return None  # nothing differing on this side
+            # each side reads in ITS committed schema: the selected dirs
+            # can mix file schemas (a carried-forward partition rewritten
+            # under an older schema), and footer inference would pick one
+            # file's layout at random — the marker NULL-pads/widens instead
+            committed = _read_schema_marker(data_dir)
+            reader = self.spark.read
+            if committed is not None:
+                reader = reader.schema(committed)
             if sel == [""]:
-                return self.spark.read.parquet(data_dir)
-            return self.spark.read.option("basePath", data_dir).parquet(
+                return reader.parquet(data_dir)
+            return reader.option("basePath", data_dir).parquet(
                 *[os.path.join(data_dir, p) for p in sel]
             )
 
@@ -703,7 +764,7 @@ class VersionedSnapshot:
         new = _side(d_new, m_new)
         if old is None and new is None:
             # identical snapshots (or from == to): empty feed, stable schema
-            schema = self.spark.read.parquet(d_new).schema
+            schema = _read_schema_marker(d_new) or self.spark.read.parquet(d_new).schema
             empty = self.spark.createDataFrame([], schema)
             old = new = empty
         elif old is None:

@@ -138,3 +138,23 @@ def test_star_components_equal_clique_components(spark):
         for r in shingle_components_star(docs, n=8).collect()
     }
     assert star == clique and len(star) > 0
+
+
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    """Path halving: a 2 000-node path graph (diameter 2 000) must converge
+    within the default 20-round cap — plain min-label propagation would
+    need ~2 000 rounds (this is the SFXL failure mode: LSH buckets chain
+    duplicate clusters into long paths)."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.functions.dedup import (
+        connected_components,
+    )
+
+    edges = spark.range(1999).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    comps = connected_components(edges, max_iterations=20)
+    rows = comps.collect()
+    assert len(rows) == 2000
+    assert {r["component"] for r in rows} == {0}

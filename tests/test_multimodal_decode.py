@@ -1,0 +1,94 @@
+"""BMP codec: real dependency-free pixel decode (round-5 verdict item 6).
+Round-trips, layout variants (padding, top-down, offset gap), malformed
+rejection, and the oracled decode query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from metrics_database_cron_script_spark.functions.multimodal import (
+    decode_bmp,
+    decode_image,
+    encode_bmp,
+    synth_dims,
+    synth_pixels,
+)
+
+
+def _img(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 16])  # every padding phase
+def test_roundtrip_all_padding_phases(w):
+    img = _img(7, w, seed=w)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_decode_image_dispatches_bmp_without_pil():
+    img = _img(5, 9, seed=3)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+
+
+def test_decode_image_non_bmp_raises_without_pil():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed: fallback path is live")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="requires PIL"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_top_down_layout():
+    """Negative height = top-down rows: decoder must NOT flip them."""
+    img = _img(4, 6, seed=1)
+    buf = bytearray(encode_bmp(img[::-1]))  # encoded bottom-up of flipped
+    buf[22:26] = (-4).to_bytes(4, "little", signed=True)
+    assert np.array_equal(decode_bmp(bytes(buf)), img)
+
+
+def test_pixel_offset_gap():
+    """Pixel data offset beyond the 54-byte headers (e.g. a palette gap)
+    must be honored, not assumed."""
+    img = _img(3, 5, seed=2)
+    raw = encode_bmp(img)
+    gap = b"\xee" * 12
+    buf = bytearray(raw[:54] + gap + raw[54:])
+    buf[10:14] = (54 + 12).to_bytes(4, "little")
+    assert np.array_equal(decode_bmp(bytes(buf)), img)
+
+
+def test_malformed_rejected():
+    img = _img(4, 4)
+    raw = encode_bmp(img)
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + raw[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(raw[:-8])
+    eight = bytearray(raw)
+    eight[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(eight))
+    rle = bytearray(raw)
+    rle[30:34] = (1).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(rle))
+
+
+def test_synth_pixels_match_formula():
+    doc_id = 1234
+    w, h = synth_dims(doc_id)
+    img = synth_pixels(doc_id)
+    assert img.shape == (h, w, 3)
+    assert img[2, 3, 1] == (doc_id * 31 + 3 * 7 + 2 * 13 + 101) % 256
+
+
+def test_decode_query_matches_oracle(spark):
+    from metrics_database_cron_script_spark.oracle import check_query
+
+    res = check_query(spark, "/root/testdata/sf0.001", "x_multimodal_decode")
+    assert res["ok"], res

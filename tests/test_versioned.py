@@ -762,7 +762,10 @@ def test_partitioned_merge_partition_type_drift_no_duplicates(spark, tmp_path):
     dirs to staged dirs by literal name. A batch whose partition_col type
     renders values differently (committed double → 'day=1.0', batch int →
     'day=1') used to carry the touched partition's old dir forward BESIDE
-    its rewrite, duplicating keys."""
+    its rewrite, duplicating keys. Round 5: partition-TYPE drift now takes
+    a one-time FULL rewrite under the new type (old-typed dir names can't
+    be parsed by the committed-schema read), so the result must be
+    deduplicated AND uniformly re-typed."""
     t = VersionedSnapshot(spark, str(tmp_path / "snap"))
     t.merge_keep_latest_partitioned(
         spark.createDataFrame(
@@ -781,3 +784,115 @@ def test_partitioned_merge_partition_type_drift_no_duplicates(spark, tmp_path):
     )
     got = sorted((r["k"], float(r["day"]), r["v"]) for r in t.read().collect())
     assert got == [(1, 1.0, 11.0), (2, 2.0, 20.0)], got
+
+
+# ------------------------------------------------- round 5: schema evolution
+
+
+def test_partitioned_merge_added_column_null_pads_carry_forward(spark, tmp_path):
+    """A batch that ADDS a column while touching one partition: the other
+    partitions are carried forward by hardlink with their OLD-schema files,
+    and the committed-schema marker must NULL-pad them at read time instead
+    of footer inference picking a random file's layout."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.merge_keep_latest_partitioned(
+        spark.createDataFrame(
+            [(1, 1, 10.0), (2, 2, 20.0), (3, 2, 30.0)], "k int, day int, v double"
+        ),
+        key="k",
+        order_cols=["v"],
+        partition_col="day",
+    )
+    t.merge_keep_latest_partitioned(
+        spark.createDataFrame(
+            [(1, 1, 11.0, "eu")], "k int, day int, v double, region string"
+        ),
+        key="k",
+        order_cols=["v"],
+        partition_col="day",
+    )
+    got = sorted(
+        (r["k"], r["day"], r["v"], r["region"]) for r in t.read().collect()
+    )
+    assert got == [(1, 1, 11.0, "eu"), (2, 2, 20.0, None), (3, 2, 30.0, None)], got
+    # day=2 was carried forward by hardlink, not rewritten
+    import os
+
+    d0 = t._resolve_data_dir(0)
+    d1 = t._resolve_data_dir(1)
+
+    def inodes(d, part):
+        p = os.path.join(d, part)
+        return {os.stat(os.path.join(p, f)).st_ino for f in os.listdir(p)
+                if f.endswith(".parquet")}
+
+    assert inodes(d0, "day=2") == inodes(d1, "day=2")
+
+
+def test_reader_contract_old_versions_keep_their_schema(spark, tmp_path):
+    """Time travel renders each version in the schema IT committed —
+    v0 has no `region`, the head does."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "k int, v int"))
+    t.overwrite(spark.createDataFrame([(1, 10, "eu")], "k int, v int, region string"))
+    assert t.read(version=0).columns == ["k", "v"]
+    assert t.read(version=1).columns == ["k", "v", "region"]
+    assert t.read().columns == ["k", "v", "region"]
+
+
+def test_changes_across_partitioned_added_column(spark, tmp_path):
+    """CDF across a partitioned schema-evolving merge: the added column
+    appears as null→value in the touched partition's update rows; the
+    untouched partition stays out of the feed entirely (inode pruning)."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.merge_keep_latest_partitioned(
+        spark.createDataFrame(
+            [(1, 1, 10.0), (2, 2, 20.0)], "k int, day int, v double"
+        ),
+        key="k",
+        order_cols=["v"],
+        partition_col="day",
+    )
+    t.merge_keep_latest_partitioned(
+        spark.createDataFrame(
+            [(1, 1, 11.0, "eu")], "k int, day int, v double, region string"
+        ),
+        key="k",
+        order_cols=["v"],
+        partition_col="day",
+    )
+    feed = t.changes(0, 1, keys=["k"]).collect()
+    assert {r["k"] for r in feed} == {1}  # day=2 pruned, not even read
+    pre = [r for r in feed if r["_change_type"] == "update_preimage"]
+    post = [r for r in feed if r["_change_type"] == "update_postimage"]
+    assert len(pre) == 1 and pre[0]["region"] is None and pre[0]["v"] == 10.0
+    assert len(post) == 1 and post[0]["region"] == "eu" and post[0]["v"] == 11.0
+
+
+def test_compact_and_restore_preserve_evolved_schema(spark, tmp_path):
+    """Maintenance commits must carry the schema marker: compaction rewrites
+    files but not rows; restore hardlinks an old version — both readable in
+    the schema their content committed with."""
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.merge_keep_latest_partitioned(
+        spark.createDataFrame(
+            [(1, 1, 10.0), (2, 2, 20.0)], "k int, day int, v double"
+        ),
+        key="k",
+        order_cols=["v"],
+        partition_col="day",
+    )
+    t.merge_keep_latest_partitioned(
+        spark.createDataFrame(
+            [(3, 1, 30.0, "eu")], "k int, day int, v double, region string"
+        ),
+        key="k",
+        order_cols=["v"],
+        partition_col="day",
+    )
+    t.compact_partitions("day")
+    got = sorted((r["k"], r["region"]) for r in t.read().collect())
+    assert got == [(1, None), (2, None), (3, "eu")], got
+    t.restore(0)
+    assert t.read().columns == ["k", "v", "day"]
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
