@@ -479,11 +479,6 @@ def connected_components(
     where component = min doc_id reachable. `on_round`, when given,
     receives the residual's changed-label count per round.
     """
-    sc = pairs.sparkSession.sparkContext
-
-    def _persistent_ids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
-
     def _jump(lbl: DataFrame) -> DataFrame:
         # label(x) ← min(label(x), label(label(x))): the invariant
         # label(x) ≤ x holds throughout (labels start as ids and only
@@ -549,11 +544,31 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
-    prev_round_ids: set = set()
+    # Loop-state materialization goes through a PARQUET round-trip, not
+    # localCheckpoint: Dataset.localCheckpoint carries the origin plan's
+    # computed Statistics into the new LogicalRDD, and each round's
+    # self-joins (the pointer jumps) SQUARE that sizeInBytes — after ~10
+    # rounds Catalyst is multiplying million-digit BigInts and a single
+    # stats visit takes minutes (measured; the thread was pinned inside
+    # BigInteger.multiplyToomCook3). A parquet leaf restarts every round
+    # from real file-sized stats. The residual is tiny, so the write is
+    # milliseconds; the temp dir is removed in the finally below.
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="cc_labels_")
+
+    def _materialize(df: DataFrame, slot: int) -> DataFrame:
+        path = os.path.join(tmp, f"labels-{slot & 1}")
+        df.write.mode("overwrite").parquet(path)
+        return sess.read.parquet(path)
+
+    import os
+
     converged = False
     sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
-        for _ in range(max_iterations):
+        for rnd in range(max_iterations):
             neighbor_min = (
                 residual.join(labels, residual["dst"] == labels["doc_id"])
                 .groupBy("src")
@@ -568,31 +583,27 @@ def connected_components(
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
             )
-            before = _persistent_ids()
-            new_labels = _jump(_jump(stepped)).localCheckpoint(eager=True)
-            my_ids = _persistent_ids() - before
+            new_labels = _materialize(_jump(_jump(stepped)), rnd)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
                 .filter(F.col("n.component") != F.col("o.component"))
                 .count()
             )
-            # `changed` above was the old labels' last consumer — free its
-            # checkpoint blocks now instead of waiting for GC
-            jmap = sc._jsc.getPersistentRDDs()
-            for rid in prev_round_ids:
-                if jmap.containsKey(rid):
-                    jmap.get(rid).unpersist(False)
-            prev_round_ids = my_ids
             labels = new_labels
             if on_round is not None:
                 on_round(changed)
             if changed == 0:
                 converged = True
                 break
+        if converged:
+            # the final labels live in the temp dir about to be removed —
+            # pin them in memory first
+            labels = labels.localCheckpoint(eager=True)
     finally:
         if saved_parts is not None:
             sess.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
