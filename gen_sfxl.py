@@ -105,15 +105,23 @@ def replicate(
             assert skew_mod & (skew_mod - 1) == 0, "--skew-mod must be a power of 2"
             mask = pc.equal(pc.bit_wise_and(col.cast("int64"), skew_mod - 1), 0)
             skew[t] = (c, mask, hot)
-    # one stride per entity, from the max over every table carrying that key
+    # one stride per entity, from the max over EVERY table carrying that
+    # key — including tables excluded from this run's output. A restricted
+    # run (--tables lineitem) must pick the same power-of-10 stride a later
+    # full run would, or the promised key-consistent widening silently
+    # breaks; absent tables contribute via a key-column-only read (cheap).
     strides: dict[str, int] = {}
     for ent, cols in ENTITY_KEYS.items():
-        present = [(t, c) for t, c in cols if t in base]
-        if not present:
+        if not any(t in base for t, _ in cols):
             continue
         m = 0
-        for t, c in present:
-            m = max(m, pc.max(base[t].column(c)).as_py() or 0)
+        for t, c in cols:
+            col = (
+                base[t].column(c)
+                if t in base
+                else pq.read_table(table_path(src, t), columns=[c]).column(c)
+            )
+            m = max(m, pc.max(col).as_py() or 0)
         strides[ent] = _stride(int(m))
 
     offsets_by_table: dict[str, list[tuple[str, int]]] = {}

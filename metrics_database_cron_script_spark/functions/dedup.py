@@ -147,25 +147,44 @@ def word_shingles(docs: DataFrame, n: int = 3, hashed: bool = True) -> DataFrame
     return shingled.distinct()
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16, with_size: bool = False
+) -> DataFrame:
     """doc_id → minhash_0..minhash_{n-1} in ONE aggregation pass: each seed's
     minhash is a separate `min(xxhash64(shingle, seed))` aggregate, so the
     shingle relation is scanned once and shuffled once — no seed fan-out
-    (a naive seeds×shingles join multiplies the shuffle by num_hashes)."""
+    (a naive seeds×shingles join multiplies the shuffle by num_hashes).
+
+    `with_size=True` adds `sz` = the doc's distinct-shingle count as one
+    more aggregate of the SAME pass — the |A| term of Jaccard. Computing it
+    here instead of as a separate groupBy over the shingles lets the
+    verifier skip the per-doc size relation (one aggregation + one
+    broadcast build fewer — round-6 job-floor shave): the size rides the
+    banding rows into the candidate pairs."""
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(i))).alias(f"minhash_{i}")
         for i in range(num_hashes)
     ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("sz"))
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, band_size: int = 4, num_hashes: int = 16
+    signatures: DataFrame,
+    band_size: int = 4,
+    num_hashes: int = 16,
+    carry: tuple = (),
 ) -> DataFrame:
     """Band the signature (LSH): docs sharing all minhashes of any band are
     candidates. Band signature = hash of the band's minhashes (computed in
     the same projection, then exploded — bands × docs rows, not hashes ×
-    docs); the self-join key (band, band_sig) is the scale-out pivot."""
+    docs); the self-join key (band, band_sig) is the scale-out pivot.
+
+    `carry` names signature columns to thread through the self-join: each
+    column `c` lands on the pair as `{c}_a` / `{c}_b`. Used to ride the
+    per-doc shingle count into Jaccard verification so no separate size
+    relation (extra aggregation + broadcast build) is ever constructed."""
     if num_hashes % band_size:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by band_size={band_size}:"
@@ -182,31 +201,62 @@ def lsh_candidate_pairs(
         for b in range(n_bands)
     ]
     banded = signatures.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", "bs.band", "bs.band_sig")
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+        "doc_id", *carry, F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", *carry, "bs.band", "bs.band_sig")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+        "band",
+        "band_sig",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+        "band",
+        "band_sig",
+    )
+    carried = [f"{c}_a" for c in carry] + [f"{c}_b" for c in carry]
     return (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", *carried)
         .distinct()
     )
 
 
 def verified_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard on candidate pairs only: |A∩B| via a shingle equi-join
-    restricted to candidates, |A∪B| from per-doc counts.
+    restricted to candidates, |A∪B| from per-doc sizes.
 
-    The per-doc size relation joins TWICE (doc_a side, doc_b side) — both
-    joins reference the SAME aliased plan instead of two differently
-    re-projected copies, so the canonical broadcast exchange is built once
-    and the second join is a ReusedExchange: one build job, one pass over
-    the shingle cache, instead of two (part of the round-5 job-floor
-    shave)."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    Sizes come in two shapes:
+    - CARRIED: when `pairs` already has `sz_a`/`sz_b` columns (threaded
+      through the banding self-join via `lsh_candidate_pairs(carry=
+      ("sz",))` from a `minhash_signatures(with_size=True)` pass), no size
+      relation is built at all — the union term is a projection (round-6
+      job-floor shave: one aggregation + one broadcast build fewer).
+    - DERIVED: otherwise the per-doc size relation is aggregated here and
+      joins TWICE (doc_a side, doc_b side) — both joins reference the SAME
+      aliased plan instead of two differently re-projected copies, so the
+      canonical broadcast exchange is built once and the second join is a
+      ReusedExchange (round-5 shave)."""
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    if "sz_a" in pairs.columns and "sz_b" in pairs.columns:
+        inter = (
+            pairs.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return inter.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
@@ -248,8 +298,8 @@ def minhash_near_dups(
     if band_size is None:
         band_size = MINHASH_DEFAULTS.band_size
     shingles = word_shingles(docs).persist()
-    sigs = minhash_signatures(shingles, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, band_size, num_hashes)
+    sigs = minhash_signatures(shingles, num_hashes, with_size=True)
+    pairs = lsh_candidate_pairs(sigs, band_size, num_hashes, carry=("sz",))
     return verified_jaccard(shingles, pairs)
 
 
@@ -440,6 +490,42 @@ def dedup_pipeline(
     )
 
 
+def _loop_scratch(sess) -> tuple:
+    """(path, cleanup) for iterative-loop state parquet round-trips.
+
+    The path must be writable by executors and readable back by the
+    session's DataFrameReader — i.e. cluster-visible shared storage. The
+    SparkContext checkpoint dir carries exactly that contract, so it is
+    preferred when set (cleanup goes through the Hadoop FileSystem of the
+    path, which handles hdfs:// / s3a:// schemes). A driver-local tempdir
+    is only correct when driver and executors share a filesystem, so it is
+    gated on local mode; anything else refuses loudly instead of reading
+    partial loop state."""
+    import shutil
+    import tempfile
+    import uuid
+
+    sc = sess.sparkContext
+    ckpt = sc.getCheckpointDir()
+    if ckpt:
+        path = ckpt.rstrip("/") + f"/cc-scratch-{uuid.uuid4().hex[:12]}"
+
+        def cleanup() -> None:
+            jpath = sess._jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+
+        return path, cleanup
+    if sc.master.startswith("local"):
+        tmp = tempfile.mkdtemp(prefix="cc_labels_")
+        return tmp, lambda: shutil.rmtree(tmp, ignore_errors=True)
+    raise RuntimeError(
+        "connected_components materializes per-round loop state to shared "
+        "storage; on a cluster set a cluster-visible scratch root first: "
+        "spark.sparkContext.setCheckpointDir('hdfs://...:/scratch')"
+    )
+
+
 def connected_components(
     pairs: DataFrame, max_iterations: int = 50, on_round=None
 ) -> DataFrame:
@@ -464,9 +550,20 @@ def connected_components(
        fixpoint. Every round here touches only residual-sized data; pure
        per-round propagation at FULL scale was measured at ~25 s × 30+
        rounds on the decade graph, which is why the collapse phase exists.
-       Superseded label checkpoints are unpersisted each round — leaving
-       them to GC-driven cleanup ground late rounds from 11 s to 250 s.
+       Loop state alternates between two parquet slots in a scratch dir
+       (each round overwrites the slot the round before last wrote), so
+       no per-round checkpoints accumulate. The loop runs in an ISOLATED
+       SparkSession (shared context, private SQLConf) whose shuffle width
+       is sized to the residual — the caller's session conf is never
+       touched, so concurrent queries on it can't race the override.
     3. COMPOSE: final(doc) = residual_component(label(doc)), one join.
+
+    Scratch placement: loop state must be readable by every executor AND
+    the driver, so the scratch dir lives under the SparkContext's
+    checkpoint dir when one is set (that is exactly its contract on a
+    cluster); without one, a driver-local tempdir is used in local mode
+    only — on a cluster master the function refuses and asks for
+    `setCheckpointDir` rather than silently reading partial state.
 
     Correctness: labels only ever shrink and a component's global min
     labels itself, so it survives contraction and the composed mapping
@@ -533,17 +630,22 @@ def connected_components(
     # loop's shuffles would still run at the session's data-sized width
     # (e.g. 91 partitions for the decade corpus) — fixed per-task cost ×
     # stages × rounds dominated the loop (measured ~12 s/round on a few
-    # thousand rows). Scope the shuffle width to the residual's size for
-    # the duration of the loop and restore afterwards (phase 3's
-    # full-scale compose join must run at the session width again).
+    # thousand rows). The loop therefore runs in an ISOLATED session
+    # (sess.newSession(): shared SparkContext, private SQLConf) sized to
+    # the residual; the caller's session conf is never mutated, so any
+    # concurrent query on it keeps its width. Loop state crosses the
+    # session boundary through the scratch parquet it already round-trips.
     sess = pairs.sparkSession
-    saved_parts = sess.conf.get("spark.sql.shuffle.partitions", None)
-    loop_parts = max(4, min(int(saved_parts or 200), n_res // 100_000 + 4))
-    labels = (
-        residual.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-    )
+    sess_parts = sess.conf.get("spark.sql.shuffle.partitions", None)
+    loop_parts = max(4, min(int(sess_parts or 200), n_res // 100_000 + 4))
+    scratch, cleanup = _loop_scratch(sess)
+    loop = sess.newSession()
+    for k in ("spark.sql.adaptive.enabled", "spark.sql.session.timeZone"):
+        v = sess.conf.get(k, None)
+        if v is not None:
+            loop.conf.set(k, v)
+    loop.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+
     # Loop-state materialization goes through a PARQUET round-trip, not
     # localCheckpoint: Dataset.localCheckpoint carries the origin plan's
     # computed Statistics into the new LogicalRDD, and each round's
@@ -552,25 +654,24 @@ def connected_components(
     # stats visit takes minutes (measured; the thread was pinned inside
     # BigInteger.multiplyToomCook3). A parquet leaf restarts every round
     # from real file-sized stats. The residual is tiny, so the write is
-    # milliseconds; the temp dir is removed in the finally below.
-    import shutil
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="cc_labels_")
-
+    # milliseconds; the scratch dir is removed in the finally below.
     def _materialize(df: DataFrame, slot: int) -> DataFrame:
-        path = os.path.join(tmp, f"labels-{slot & 1}")
+        path = scratch + f"/labels-{slot & 1}"
         df.write.mode("overwrite").parquet(path)
-        return sess.read.parquet(path)
-
-    import os
+        return loop.read.parquet(path)
 
     converged = False
-    sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
+        residual.write.mode("overwrite").parquet(scratch + "/residual")
+        residual_l = loop.read.parquet(scratch + "/residual")
+        labels = (
+            residual_l.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("component", F.col("doc_id"))
+        )
         for rnd in range(max_iterations):
             neighbor_min = (
-                residual.join(labels, residual["dst"] == labels["doc_id"])
+                residual_l.join(labels, residual_l["dst"] == labels["doc_id"])
                 .groupBy("src")
                 .agg(F.min("component").alias("nbr_component"))
             )
@@ -597,13 +698,15 @@ def connected_components(
                 converged = True
                 break
         if converged:
-            # the final labels live in the temp dir about to be removed —
-            # pin them in memory first
-            labels = labels.localCheckpoint(eager=True)
+            # the final labels live in the scratch dir about to be removed
+            # — pin them in the CALLER's session first (phase 3 joins them
+            # against `base` at the session's full-scale width)
+            labels.write.mode("overwrite").parquet(scratch + "/labels-final")
+            labels = sess.read.parquet(scratch + "/labels-final").localCheckpoint(
+                eager=True
+            )
     finally:
-        if saved_parts is not None:
-            sess.conf.set("spark.sql.shuffle.partitions", saved_parts)
-        shutil.rmtree(tmp, ignore_errors=True)
+        cleanup()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
@@ -751,6 +854,43 @@ def minhash_components_star(
     return connected_components(star_edges(banded, ["band", "band_sig"]))
 
 
+def minhash_components_verified(
+    docs: DataFrame,
+    min_jaccard: float = 0.8,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Precision-guarded near-dup clusters: the star-edge path of
+    `minhash_components_star` with each (hub, member) edge SCORED by exact
+    Jaccard and dropped below `min_jaccard` BEFORE components run.
+
+    Why: unverified banding false positives MERGE clusters permanently
+    (round-5 verdict; measured at SFXL: 3,584 star components vs 4,756
+    from exact shingle edges — material over-merging with the
+    recall-biased 8×2 banding). Verifying star edges costs O(edges) exact
+    Jaccard — NOT the O(pairs) enumeration the star path exists to avoid —
+    so the precision guard keeps the linear-edge scale posture.
+
+    Trade-off (documented, inherent): verification can only REMOVE edges,
+    so over-merging is gone, but a member whose hub link is a banding
+    false positive loses its transitive path through that hub even if it
+    has a true near-dup elsewhere in the bucket — cluster recall can dip
+    below the unverified star path. `bench_neardup_sfxl.py` measures both
+    deltas at 12.8 M docs."""
+    if shingles is None:
+        shingles = word_shingles(docs, hashed=False).persist()
+    banded = lsh_bands_portable(
+        minhash_signatures_portable(shingles, num_hashes), num_hashes, band_size
+    )
+    edges = star_edges(banded, ["band", "band_sig"])
+    scored = verified_jaccard(shingles, edges)
+    good = scored.filter(F.col("jaccard") >= min_jaccard).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(good)
+
+
 
 
 # --------------------------------------------------------------------------
@@ -780,11 +920,13 @@ def _hex_digit_value(hex_col: F.Column, pos: int) -> F.Column:
 
 
 def minhash_signatures_portable(
-    shingles: DataFrame, num_hashes: int | None = None
+    shingles: DataFrame, num_hashes: int | None = None, with_size: bool = False
 ) -> DataFrame:
     """doc_id → 8 portable minhashes in one aggregation pass: seed i's hash
     of a shingle is md5('<i>|' || shingle)[:16]; the per-seed minimum over
-    hex strings equals the numeric minimum (fixed-length lowercase hex)."""
+    hex strings equals the numeric minimum (fixed-length lowercase hex).
+    `with_size=True` adds `sz` (distinct-shingle count) to the same pass —
+    see `minhash_signatures`."""
     if num_hashes is None:
         num_hashes = MINHASH_DEFAULTS.num_hashes
     aggs = [
@@ -793,16 +935,24 @@ def minhash_signatures_portable(
         )
         for i in range(num_hashes)
     ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("sz"))
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands_portable(
-    sigs: DataFrame, num_hashes: int | None = None, band_size: int | None = None
+    sigs: DataFrame,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
+    carry: tuple = (),
 ) -> DataFrame:
     """Signature frame → (doc_id, band, band_sig) LSH index rows: the
     num_hashes/band_size bands of concatenated minhash hex. This IS the
     persisted structure an incremental corpus keeps — band rows append per
-    batch and never need recomputation for already-indexed docs."""
+    batch and never need recomputation for already-indexed docs. `carry`
+    threads extra signature columns (e.g. `sz`) onto the band rows for
+    callers that consume them in-plan; the persisted-index schema stays
+    (doc_id, band, band_sig) when unset."""
     if num_hashes is None:
         num_hashes = MINHASH_DEFAULTS.num_hashes
     if band_size is None:
@@ -822,8 +972,8 @@ def lsh_bands_portable(
         for b in range(n_bands)
     ]
     return sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", "bs.band", "bs.band_sig")
+        "doc_id", *carry, F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", *carry, "bs.band", "bs.band_sig")
 
 
 def minhash_probe_index_portable(
@@ -901,18 +1051,25 @@ def minhash_near_dups_portable(
             " recall would silently undershoot the (b, r) tuning formula"
         )
     banded = lsh_bands_portable(
-        minhash_signatures_portable(shingles, num_hashes), num_hashes, band_size
+        minhash_signatures_portable(shingles, num_hashes, with_size=True),
+        num_hashes,
+        band_size,
+        carry=("sz",),
     )
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "band", "band_sig"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "band", "band_sig"
+    )
     pairs = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
         .distinct()
     )
     if not verify:
-        return pairs
+        return pairs.select("doc_a", "doc_b")
     return verified_jaccard(shingles, pairs)
 
 

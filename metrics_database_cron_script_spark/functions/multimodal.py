@@ -322,3 +322,51 @@ def decode_pixel_stats(blobs: DataFrame) -> DataFrame:
     return blobs.select("doc_id", "payload").mapInPandas(
         _pixel_stats, schema=PIXEL_STATS_SCHEMA
     )
+
+
+# ------------------------------------------------- perceptual hash (aHash)
+
+AHASH_SCHEMA = "doc_id long, phash string"
+
+
+def ahash_bits(img: np.ndarray) -> str:
+    """64-bit average hash of a decoded (H, W, 3) uint8 image, as a
+    64-char '0'/'1' string (row-major over the 8×8 grid).
+
+    Deterministic integer-exact variant so a SQL oracle can reproduce it
+    bit for bit: grayscale = per-pixel CHANNEL SUM (0..765 — monotonic in
+    the mean, no division), the image is partitioned into an 8×8 grid by
+    floor(y·8/h) × floor(x·8/w), and bit(by, bx) = block mean > GLOBAL
+    mean, compared as cross-multiplied integers (s_block·N > S_total·
+    n_block) — no floating point anywhere, so engines cannot disagree on
+    a boundary pixel. Images narrower/shorter than 8 leave empty grid
+    cells, which hash as 0."""
+    g = img.astype(np.int64).sum(axis=2)
+    h, w = g.shape
+    by = (np.arange(h, dtype=np.int64) * 8) // h
+    bx = (np.arange(w, dtype=np.int64) * 8) // w
+    idx = (by[:, None] * 8 + bx[None, :]).ravel()
+    s = np.bincount(idx, weights=g.ravel(), minlength=64).astype(np.int64)
+    n = np.bincount(idx, minlength=64).astype(np.int64)
+    total, count = int(g.sum()), h * w
+    bits = (s * count) > (total * n)
+    return "".join("1" if b else "0" for b in bits)
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [
+            (int(doc_id), ahash_bits(decode_bmp(bytes(payload))))
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+def ahash_from_blobs(blobs: DataFrame) -> DataFrame:
+    """doc_id → perceptual hash over REAL decoded pixels (decode_bmp →
+    ahash_bits), Arrow-batched. The downstream dedup is a plain groupBy on
+    the hash — at 100 TB the decode+hash is embarrassingly parallel over
+    the blob partitions and the only shuffle is 64-bit-hash-sized."""
+    return blobs.select("doc_id", "payload").mapInPandas(
+        _ahash_batches, schema=AHASH_SCHEMA
+    )

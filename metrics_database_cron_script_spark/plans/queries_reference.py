@@ -4,6 +4,8 @@ oracle encoding the identical §8 formula."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from metrics_database_cron_script_spark.operators import reference_ops as R
@@ -230,6 +232,27 @@ def r_upsert_snapshot(spark, sf_dir):
     return R.upsert_snapshot(load_table(spark, sf_dir, "events"))
 
 
+# One process-lifetime scratch slot for r_upsert_evolution's demo table:
+# bench/parity harnesses build plans repeatedly, and a mkdtemp per build
+# leaked a committed table into /tmp each run. TemporaryDirectory's
+# finalizer removes the slot at interpreter exit; each build wipes and
+# recommits it, so concurrent readers of a PREVIOUS build never exist
+# (plan build and collection are sequential within a harness).
+_EVO_SCRATCH = None
+
+
+def _evo_scratch() -> str:
+    global _EVO_SCRATCH
+    import shutil
+    import tempfile
+
+    if _EVO_SCRATCH is None:
+        _EVO_SCRATCH = tempfile.TemporaryDirectory(prefix="upsert_evo_")
+    path = os.path.join(_EVO_SCRATCH.name, "table")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 @query(
     "r_upsert_evolution",
     oracle="""
@@ -253,12 +276,12 @@ def r_upsert_evolution(spark, sf_dir):
     read must show the batch's rows evolved AND the untouched keys
     NULL-padded for the added column — the committed-schema-marker read
     path (versioned.py _read_schema_marker), not footer-inference luck.
-    The table is built at plan time in a fresh temp dir (tiny: ≤50 keys);
+    The table is built at plan time in ONE process-lifetime scratch dir
+    (tiny: ≤50 keys), wiped and rebuilt per build so repeated bench/parity
+    invocations reuse the slot instead of leaking a temp table per run;
     the returned DataFrame re-reads immutable committed files, so
     re-collection is stable. Oracle reproduces keep-latest + evolution
     semantics in pure SQL."""
-    import tempfile
-
     from metrics_database_cron_script_spark.versioned import VersionedSnapshot
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 100 < 50)
@@ -275,7 +298,7 @@ def r_upsert_evolution(spark, sf_dir):
             ),
         )
     )
-    t = VersionedSnapshot(spark, tempfile.mkdtemp(prefix="upsert_evo_"))
+    t = VersionedSnapshot(spark, _evo_scratch())
     t.overwrite(snap)
     # order by a constant: the batch row must win keep-latest for its key,
     # and evolution (added column) is what's under test, not recency

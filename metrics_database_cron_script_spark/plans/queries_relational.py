@@ -883,21 +883,40 @@ WHERE o.o_orderstatus = 'F'
 GROUP BY r.r_name, n.n_name""",
 )
 def c_multi_join(spark, sf_dir):
-    """TPC-H Q5 shape: star-join chain fact→dim→dim→dim + agg. Catalyst
-    broadcasts every dim (all under the threshold) → one fact scan, zero
-    shuffles before the final aggregation. Round 5 A/B'd folding
-    nation×region into one broadcast build via an internal merge join
-    (4 jobs → 3): 1.27× SLOWER interleaved at sf0.1 (BENCH_DRIFT_AB) —
-    the SMJ build's two shuffles + sorts cost more than the saved 23 ms
-    job. Separate trivial broadcast builds kept."""
+    """TPC-H Q5 shape: star-join chain fact→dim→dim→dim + agg. The
+    nation→region dim chain is CONSTANT-CARDINALITY (25/5 rows at any
+    scale factor — the TPC-H data model), so both dims are inlined into
+    the plan as literal lookup maps (`inline_dim_map`, composed on the
+    driver: nationkey → n_name / r_name) instead of two broadcast joins:
+    no build jobs, no exchanges, the lookup runs inside the fact scan's
+    whole-stage codegen. Round 5 A/B'd folding nation×region into ONE
+    broadcast build via an internal merge join (4 jobs → 3): 1.27× SLOWER
+    interleaved — the SMJ build's shuffles cost more than the saved job;
+    literal inlining removes both jobs AND both exchanges (4 → 2). The
+    isNotNull filter reproduces inner-join semantics for a c_nationkey
+    missing from nation. customer stays a stats-driven join (it grows)."""
+    from metrics_database_cron_script_spark.sources.tables import (
+        constant_dim_rows,
+        inline_dim_map,
+    )
+
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
+    region_name = {
+        r["r_regionkey"]: r["r_name"] for r in constant_dim_rows(sf_dir, "region")
+    }
+    n_map = inline_dim_map(sf_dir, "nation", "n_nationkey", "n_name")
+    # nation⋈region composed at plan time: nationkey → its region's name
+    # (inner semantics: a nation with an unknown regionkey maps to NULL
+    # and is filtered, exactly as the SQL join chain drops it)
+    r_map = inline_dim_map(
+        sf_dir, "nation", "n_nationkey", lambda r: region_name.get(r["n_regionkey"])
+    )
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .withColumn("n_name", F.element_at(n_map, F.col("c_nationkey")))
+        .withColumn("r_name", F.element_at(r_map, F.col("c_nationkey")))
+        .filter(F.col("n_name").isNotNull() & F.col("r_name").isNotNull())
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

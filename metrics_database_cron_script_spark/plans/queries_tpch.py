@@ -338,10 +338,15 @@ def c_tpch_q9_shape(spark, sf_dir):
     (supplier-nation, order-year). No partsupp.ps_supplycost in the fixture,
     so cost is p_retailprice * quantity (still a dim-sourced per-unit cost).
     The p_name LIKE filter prunes part before the join chain."""
+    from metrics_database_cron_script_spark.sources.tables import inline_dim_map
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation")
+    # nation is constant-cardinality (25 rows at any SF): inlined as a
+    # literal nationkey→name map instead of a pinned broadcast join — no
+    # build job, no exchange, the lookup runs in the fact stage's codegen
+    n_map = inline_dim_map(sf_dir, "nation", "n_nationkey", "n_name")
     # orders is FACT-sized (grows with lineitem): stats at fixture scale sit
     # under the auto-broadcast threshold, which would collect millions of
     # rows to the driver at real scale — pin shuffle-hash instead: both
@@ -354,15 +359,16 @@ def c_tpch_q9_shape(spark, sf_dir):
     ) * F.col("l_quantity")
     # Flat chain instead of pre-joining supplier⋈nation into a derived dim:
     # Catalyst collapses the whole chain into one fact-scan stage, and
-    # nation reaches the agg through supplier's s_nationkey. part/supplier
-    # carry NO broadcast hint — they grow with scale factor, so the build
-    # strategy must stay stats-driven (auto-broadcast under the threshold at
-    # fixture scale, graceful shuffle beyond it; only constant-cardinality
-    # nation keeps a pinned hint).
+    # nation reaches the agg through supplier's s_nationkey as an inlined
+    # literal lookup. part/supplier carry NO broadcast hint — they grow
+    # with scale factor, so the build strategy must stay stats-driven
+    # (auto-broadcast under the threshold at fixture scale, graceful
+    # shuffle beyond it).
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(s, li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .withColumn("n_name", F.element_at(n_map, F.col("s_nationkey")))
+        .filter(F.col("n_name").isNotNull())
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("n_name").alias("nation"),

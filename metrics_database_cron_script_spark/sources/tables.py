@@ -300,6 +300,66 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Constant-cardinality dimensions: tables whose row count is fixed by the
+# DATA MODEL, not the scale factor (TPC-H: nation = 25, region = 5 — the
+# same 25/5 rows whether lineitem is 60 k rows or 100 TB). Only these may
+# be inlined into a plan as literal lookup expressions.
+CONSTANT_DIMS = frozenset({"nation", "region"})
+_CONSTANT_DIM_MAX_ROWS = 1000
+_dim_rows_cache: dict[tuple[str, str], list[dict]] = {}
+
+
+def constant_dim_rows(sf_dir: str, name: str) -> list[dict]:
+    """Driver-side rows of a CONSTANT-CARDINALITY dimension, for inlining
+    the dim into a plan as a literal lookup (`F.create_map`/CASE) instead
+    of a broadcast join.
+
+    Why this is the right call at 100 TB, not a toy shortcut: a broadcast
+    build of even a 25-row table is a Spark job (exchange build + collect)
+    and a hashed-relation probe per fact row; a literal map is pure
+    whole-stage-codegen — no job, no exchange, no relation to ship. The
+    classic join-elimination for bounded dims. Guarded so it can never
+    silently become a driver-side collect of a GROWING table: only tables
+    in CONSTANT_DIMS are served, and the row count is asserted against the
+    data-model bound."""
+    if name not in CONSTANT_DIMS:
+        raise ValueError(
+            f"{name!r} is not a constant-cardinality dimension "
+            f"({sorted(CONSTANT_DIMS)}): inlining a scale-growing table "
+            "into the plan would collect unbounded rows to the driver"
+        )
+    key = (sf_dir.rstrip("/"), name)
+    cached = _dim_rows_cache.get(key)
+    if cached is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(table_path(sf_dir, name))
+        if tbl.num_rows > _CONSTANT_DIM_MAX_ROWS:
+            raise ValueError(
+                f"{name} has {tbl.num_rows} rows — beyond the "
+                f"constant-dim bound ({_CONSTANT_DIM_MAX_ROWS}); refusing "
+                "to inline"
+            )
+        cached = tbl.to_pylist()
+        _dim_rows_cache[key] = cached
+    return cached
+
+
+def inline_dim_map(sf_dir: str, name: str, key: str, value) -> "F.Column":
+    """A literal MAP column `key → value` of a constant dimension, built at
+    plan time from `constant_dim_rows`. `value` is either a column name or
+    a callable row→literal for composed lookups (e.g. nation joined to
+    region on the driver). Inner-join semantics are reproduced by the
+    caller filtering `element_at(map, k) IS NOT NULL` (element_at yields
+    NULL on a missing key)."""
+    rows = constant_dim_rows(sf_dir, name)
+    args = []
+    for r in rows:
+        args.append(F.lit(r[key]))
+        args.append(F.lit(value(r) if callable(value) else r[value]))
+    return F.create_map(*args)
+
+
 def events_since(spark: SparkSession, sf_dir: str, watermark: str) -> DataFrame:
     """Watermark scan of `events` with the predicate pushed to the parquet
     reader (reference R2, updatescript.py:59).

@@ -64,6 +64,32 @@ class ConcurrentWriteError(RuntimeError):
 SCHEMA_MARKER = "_schema.json"
 
 
+def _can_upcast(spark: SparkSession, from_type, to_type) -> bool:
+    """True iff `from_type` → `to_type` is a lossless (widening) cast.
+
+    Delegates to Spark's `Cast.canUpCast` — the planner's own up-cast rule
+    (int→long, float→double, decimal widening, anything→string on 4.x) —
+    via the JVM DataType json bridge, with a conservative Python fallback
+    covering the numeric ladder if the internal class ever moves."""
+    try:
+        jvm = spark._jvm
+        dt = jvm.org.apache.spark.sql.types.DataType
+        return bool(
+            jvm.org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(
+                dt.fromJson(from_type.json()), dt.fromJson(to_type.json())
+            )
+        )
+    except Exception:
+        ladder = ["byte", "short", "int", "bigint", "decimal", "float", "double"]
+
+        def rank(t) -> int:
+            s = t.simpleString().split("(")[0]
+            return ladder.index(s) if s in ladder else -1
+
+        a, b = rank(from_type), rank(to_type)
+        return a >= 0 and b >= 0 and a <= b
+
+
 def _write_schema_marker(data_dir: str, schema) -> None:
     """Persist the version's COMMITTED schema inside its (still-staged)
     data dir. Underscore-prefixed files are invisible to Spark's file
@@ -784,6 +810,28 @@ class VersionedSnapshot:
         # mismatched-type eqNullSafe.
         types = {f.name: f.dataType for f in old.schema.fields}
         types.update({f.name: f.dataType for f in new.schema.fields})
+        # The old→new casts must be LOSSLESS (widening): a long→int or
+        # string→int "alignment" would silently truncate or nullify
+        # old-side values in the CDF output. Gate on Spark's own up-cast
+        # rule (Cast.canUpCast — the same predicate Dataset.as uses) and
+        # surface narrowing as an error instead of corrupt diffs.
+        narrowing = [
+            (f.name, f.dataType, types[f.name])
+            for f in old.schema.fields
+            if f.dataType != types[f.name]
+            and not _can_upcast(self.spark, f.dataType, types[f.name])
+        ]
+        if narrowing:
+            detail = ", ".join(
+                f"{n}: {a.simpleString()} -> {b.simpleString()}"
+                for n, a, b in narrowing
+            )
+            raise ValueError(
+                "changes(): schema evolution across the diffed versions "
+                f"narrows column types ({detail}); refusing to cast the old "
+                "side lossily. Diff adjacent versions that share a lossless "
+                "type lineage, or read both sides explicitly."
+            )
         if old.columns != new.columns or any(
             f.dataType != types[f.name] for f in old.schema.fields
         ):

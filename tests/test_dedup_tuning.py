@@ -142,7 +142,8 @@ def test_star_components_equal_clique_components(spark):
 
 def test_connected_components_long_chain_converges_log_rounds(spark):
     """Path halving: a 2 000-node path graph (diameter 2 000) must converge
-    within the default 20-round cap — plain min-label propagation would
+    within an explicit 20-round cap (default is 50) — plain min-label
+    propagation would
     need ~2 000 rounds (this is the SFXL failure mode: LSH buckets chain
     duplicate clusters into long paths)."""
     from pyspark.sql import functions as F

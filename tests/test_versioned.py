@@ -757,6 +757,24 @@ def test_changes_across_type_widening(spark, tmp_path):
     assert keyed.filter("k = 1").count() == 0
 
 
+def test_changes_across_type_narrowing_raises(spark, tmp_path):
+    """Round-5 advice: changes() used to cast shared columns to the NEW
+    version's type unconditionally — a long→int or string→int narrowing
+    silently truncated/nullified old-side values in the CDF output. A
+    narrowing evolution must surface as an error, not corrupt diffs."""
+    import pytest
+
+    t = VersionedSnapshot(spark, str(tmp_path / "snap"))
+    t.overwrite(
+        spark.createDataFrame([(1, 2**40), (2, 20)], "k int, v long")
+    )
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 21)], "k int, v int"))
+    with pytest.raises(ValueError, match="narrows"):
+        t.changes(0, 1)
+    with pytest.raises(ValueError, match="narrows"):
+        t.changes(0, 1, keys=["k"])
+
+
 def test_partitioned_merge_partition_type_drift_no_duplicates(spark, tmp_path):
     """Regression (round-4 advice): carry-forward matched old partition
     dirs to staged dirs by literal name. A batch whose partition_col type
