@@ -22,6 +22,10 @@ drain iff the two trees' load_table sized them differently.
 Timing = bench.py's own metric on the steady state (count() on the
 registry-cached plan, min over rounds).
 
+Round 6 adds per-query job/task counts for BOTH sides (verdict item 4):
+an interleaved delta now decomposes into "structure changed (jobs/tasks
+moved, floor moved with it)" vs "identical structure -> load/floor noise".
+
 Usage: python bench_drift_ab.py [rounds]      # default 7
 Writes one JSON line (committed as BENCH_DRIFT_AB.json).
 """
@@ -96,8 +100,10 @@ def main() -> None:
 
     # x_near_dup_minhash changed banding deliberately in round 5 (tuner
     # default 16x4 → 8x2): it is not the same operator anymore, so it is
-    # compared but flagged; every other headline query claims unchanged
-    # semantics.
+    # compared but flagged. c_multi_join / c_tpch_q9_shape /
+    # x_near_dup_minhash changed PLANS deliberately in round 6 (inlined
+    # constant dims, size-carry through banding) with identical output —
+    # those comparisons are exactly the point.
     changed_semantics = {"x_near_dup_minhash"}
 
     r3_dfs, r3_confs, _keep3 = build_tree_plans(R3_ROOT, spark, sf_dir, HEADLINE)
@@ -108,6 +114,35 @@ def main() -> None:
         t0 = time.perf_counter()
         assert df.count() >= 0
         return time.perf_counter() - t0
+
+    def jobs_tasks(df, tag: str) -> tuple[int, int]:
+        """Plan-structural job/task counts of one drain (round-6 verdict
+        item 4: a +15 ms delta must decompose into 'extra job/stage' vs
+        'noise'). Same stage-dedup logic as bench.run_query."""
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, "drift-attrib")
+        try:
+            df.count()
+            tr = sc.statusTracker()
+            ids = tr.getJobIdsForGroup(tag)
+            seen: set[int] = set()
+            tasks = 0
+            for jid in ids:
+                ji = tr.getJobInfo(jid)
+                if ji is None:
+                    continue
+                for sid in ji.stageIds:
+                    if sid in seen:
+                        continue
+                    seen.add(sid)
+                    si = tr.getStageInfo(sid)
+                    if si is not None:
+                        tasks += si.numTasks
+            return len(ids), tasks
+        except Exception:
+            return -1, -1
+        finally:
+            sc.setJobGroup("", "")
 
     # warm both sides untimed (codegen, page cache, first-materialization)
     for name in HEADLINE:
@@ -135,11 +170,28 @@ def main() -> None:
         b5 = min(times[name]["r5"])
         tot3 += b3
         tot5 += b5
+        j3, t3 = jobs_tasks(r3_dfs[name], f"attrib-r3-{name}")
+        j5, t5 = jobs_tasks(r5_dfs[name], f"attrib-cur-{name}")
+        if j3 >= 0 and j5 >= 0:
+            if (j5, t5) == (j3, t3):
+                attrib = "identical job/task structure -> delta is load/floor noise"
+            else:
+                attrib = (
+                    f"structure changed: jobs {j3}->{j5}, tasks {t3}->{t5} "
+                    "(fixed-cost floor moved with it)"
+                )
+        else:
+            attrib = "statusTracker unavailable"
         out_q[name] = {
             "r3_s": round(b3, 3),
-            "r5_s": round(b5, 3),
-            "ratio_r5_over_r3": round(b5 / b3, 3) if b3 > 0 else None,
+            "cur_s": round(b5, 3),
+            "ratio_cur_over_r3": round(b5 / b3, 3) if b3 > 0 else None,
             "regressed_gt_10pct": b5 > 1.1 * b3,
+            "r3_jobs": j3,
+            "r3_tasks": t3,
+            "cur_jobs": j5,
+            "cur_tasks": t5,
+            "attribution": attrib,
             **(
                 {"note": "banding retuned in r5 (different operator)"}
                 if name in changed_semantics
@@ -149,7 +201,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "drift_ab_r3_vs_r5",
+                "metric": "drift_ab_r3_vs_current",
                 "protocol": "one session, prebuilt plans, interleaved "
                 "drains, alternating order per round, min-of-rounds",
                 "r3_commit": R3_COMMIT,
@@ -159,7 +211,7 @@ def main() -> None:
                 "r3_confs": r3_confs,
                 "r5_confs": r5_confs,
                 "total_r3_s": round(tot3, 3),
-                "total_r5_s": round(tot5, 3),
+                "total_current_s": round(tot5, 3),
                 "total_ratio": round(tot5 / tot3, 3),
                 "regressed": sorted(
                     n

@@ -236,10 +236,58 @@ def main() -> None:
             "docs_labeled": row["docs_labeled"],
         }
 
-    comps, wall_star = _timed(
-        lambda: star_stats(D.minhash_components_star(docs, shingles=shingles))
+    def clique_quality(comps_df):
+        """Pair-level cluster quality against the corpus's KNOWN truth:
+        gen_sfxl replicas of base doc b share doc_id % DOC_STRIDE == b, so
+        the true near-dup cliques are the (doc_id mod stride) classes.
+        recall = same-clique pairs co-clustered / all same-clique pairs;
+        precision = same-clique pairs / all co-clustered pairs. Pure
+        aggregations (Σ C(k,2)), never pair enumeration."""
+        comps_df = comps_df.withColumn(
+            "clique", F.pmod("doc_id", F.lit(DOC_STRIDE))
+        ).persist()
+
+        def pair_sum(*keys):
+            return (
+                comps_df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("k"))
+                .agg(F.sum(F.col("k") * (F.col("k") - 1) / 2))
+                .collect()[0][0]
+                or 0
+            )
+
+        both = pair_sum("clique", "component")  # co-clustered AND same clique
+        clust = pair_sum("component")
+        truth = pair_sum("clique")
+        comps_df.unpersist()
+        return {
+            "pair_recall": round(both / truth, 6) if truth else None,
+            "pair_precision": round(both / clust, 6) if clust else None,
+        }
+
+    star_df, wall_star_build = _timed(
+        lambda: D.minhash_components_star(docs, shingles=shingles).persist()
     )
-    _phase("clusters_star_minhash", {**comps, "wall_s": wall_star})
+    comps, wall_star_stats = _timed(lambda: star_stats(star_df))
+    wall_star = round(wall_star_build + wall_star_stats, 3)
+    star_q = clique_quality(star_df)
+    star_df.unpersist()
+    _phase("clusters_star_minhash", {**comps, **star_q, "wall_s": wall_star})
+
+    # ---- precision-guarded star components (round-6 verdict item 3) -------
+    ver_df, wall_ver_build = _timed(
+        lambda: D.minhash_components_verified(docs, shingles=shingles).persist()
+    )
+    compsv, wall_ver_stats = _timed(lambda: star_stats(ver_df))
+    ver_q = clique_quality(ver_df)
+    ver_df.unpersist()
+    _phase("clusters_star_verified", {
+        **compsv,
+        **ver_q,
+        "wall_s": round(wall_ver_build + wall_ver_stats, 3),
+        "components_delta_vs_unverified": compsv["n_components"]
+        - comps["n_components"],
+    })
     shingles.unpersist()
 
     comps8, wall_star8 = _timed(
@@ -299,6 +347,44 @@ def main() -> None:
             "pair_mass_wall_s": wall_mass,
             "clusters_star_minhash": {**dcomps, "wall_s": wall_dstar},
             "star_scaleup_vs_sfxl": round(wall_dstar / wall_star, 2),
+        })
+
+        # ---- decade cluster refresh from the persisted band index --------
+        # (round-6 verdict item 7): the corpus's (doc_id, band, band_sig)
+        # rows are state written when each doc entered the corpus; a daily
+        # refresh pays signature compute for the BATCH only, then
+        # star+components over index ∪ batch-bands. The full-recompute
+        # wall above is ~90% signature compute, so this is the shape that
+        # makes daily cluster maintenance viable at 12.8 M docs.
+        idx_path = os.path.join(here, ".bench_cache", "decade-band-index")
+        dcorpus = ddocs.filter(F.col("doc_id") >= DOC_STRIDE)
+        dbatch = ddocs.filter(F.col("doc_id") < BASE_DOCS)
+
+        def _build_index():
+            D.lsh_bands_portable(
+                D.minhash_signatures_portable(
+                    D.word_shingles(dcorpus, hashed=False)
+                )
+            ).write.mode("overwrite").parquet(idx_path)
+
+        _, wall_index = _timed(_build_index)
+        index = spark.read.parquet(idx_path)
+        rdf, wall_refresh_build = _timed(
+            lambda: D.minhash_components_star_refresh(index, dbatch)
+        )
+        rstats, wall_refresh_stats = _timed(lambda: star_stats(rdf))
+        wall_refresh = round(wall_refresh_build + wall_refresh_stats, 3)
+        _phase("decade_incremental", {
+            "corpus_docs": dn - BASE_DOCS,
+            "batch_docs": BASE_DOCS,
+            "index_rows": index.count(),
+            "index_build_wall_s": wall_index,
+            "refresh_wall_s": wall_refresh,
+            "full_recompute_wall_s": wall_dstar,
+            "refresh_vs_full": round(wall_refresh / wall_dstar, 3),
+            **rstats,
+            "components_match_full": rstats["n_components"]
+            == dcomps["n_components"],
         })
 
     print(json.dumps(out))
