@@ -67,17 +67,36 @@ def main() -> None:
     )
 
     con = duckdb_connect(sf_dir)
+    # warm the DuckDB side too (page cache + its own plan cache) so the
+    # interleaved rounds below compare steady states
+    for name in HEADLINE:
+        if name in ORACLES:
+            con.execute(ORACLES[name]).fetchall()
     out = {}
     agg_s = agg_d = 0.0
     for name in HEADLINE:
-        r = run_query(spark, QUERIES[name], sf_dir, runs=5)
-        best_s = r["s"]
         if name in ORACLES:
-            best_d = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                con.execute(ORACLES[name]).fetchall()
-                best_d = min(best_d, time.perf_counter() - t0)
+            # INTERLEAVED per-round engine order (the BENCH_DRIFT_AB
+            # protocol): spark,duck / duck,spark alternating, min-of-7.
+            # The old all-spark-then-all-duck loop let machine state
+            # (page cache, CPU clocks, background load) drift between
+            # the two engines' windows — measured swinging the aggregate
+            # ratio ±0.5 between otherwise identical runs.
+            df = QUERIES[name](spark, sf_dir)
+            sql = ORACLES[name]
+            best_s = best_d = float("inf")
+            for i in range(7):
+                for side in (("s", "d") if i % 2 == 0 else ("d", "s")):
+                    t0 = time.perf_counter()
+                    if side == "s":
+                        df.count()
+                        best_s = min(best_s, time.perf_counter() - t0)
+                    else:
+                        con.execute(sql).fetchall()
+                        best_d = min(best_d, time.perf_counter() - t0)
+            r = run_query(spark, QUERIES[name], sf_dir, runs=1)  # jobs/tasks
+            best_s = min(best_s, r["s"])
+            best_s = round(best_s, 3)
             agg_s += best_s
             agg_d += best_d
             # irreducible fixed-cost floor: this query's plan executes as
@@ -111,10 +130,12 @@ def main() -> None:
                 ),
             }
         else:
+            r = run_query(spark, QUERIES[name], sf_dir, runs=5)
             out[name] = {
-                "spark_s": best_s,
+                "spark_s": r["s"],
                 "spark_max_s": r["max_s"],
                 "spark_jobs": r["jobs"],
+                "spark_tasks": r["tasks"],
                 "duckdb_s": None,
                 "ratio": None,
             }
@@ -122,6 +143,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "spark_vs_duckdb",
+                "protocol": "interleaved per-round engine order, "
+                "min-of-7 per engine (BENCH_DRIFT_AB protocol)",
                 "sf": sf_dir,
                 "layout": "presplit" if sf_dir != src_dir else "raw",
                 "aggregate_ratio": round(agg_s / agg_d, 2) if agg_d > 0 else None,

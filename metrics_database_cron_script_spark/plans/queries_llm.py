@@ -296,9 +296,30 @@ def x_embed_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-k — hash-checked against DuckDB's
     list_dot_product (both sides accumulate in double and RANK ON THE
     ROUNDED cosine with vec_id tie-break, so the ordering is engine-stable;
-    verified identical at sf0.001/0.01/0.1)."""
+    verified identical at sf0.001/0.01/0.1). Scoring partitions are sized
+    to ~32 MB of vectors per Python dispatch (a no-op reduction beyond
+    the scan width at cluster scale — see brute_force_topk)."""
+    import os as _os
+
+    from metrics_database_cron_script_spark.sources.tables import (
+        table_path as _tp,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.brute_force_topk(emb, _queries_table(spark, sf_dir), k=5)
+    p = _tp(sf_dir, "embeddings")
+    nbytes = (
+        sum(
+            _os.path.getsize(_os.path.join(dp, f))
+            for dp, _d, fs in _os.walk(p)
+            for f in fs
+        )
+        if _os.path.isdir(p)
+        else _os.path.getsize(p)
+    )
+    parts = max(1, nbytes // (32 << 20))
+    return S.brute_force_topk(
+        emb, _queries_table(spark, sf_dir), k=5, score_partitions=parts
+    )
 
 
 def _lsh_topk_oracle(num_bits: int = 8, dim: int = 64, k: int = 5) -> str:
