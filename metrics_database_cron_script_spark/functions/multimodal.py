@@ -113,12 +113,159 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img if top_down else img[::-1]
 
 
+# ------------------------------------------------------------ PNG codec
+# Real COMPRESSED-format decode, still dependency-free: PNG's critical
+# path is zlib (python stdlib) + the five per-row reconstruction filters
+# (None/Sub/Up/Average/Paeth) — numpy handles the byte math. Covers 8-bit
+# RGB non-interlaced images (the synthetic-fixture contract); anything
+# else raises rather than returning garbage. JPEG (DCT entropy coding)
+# stays behind the PIL fallback in decode_image.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor
+    non-interlaced PNG. Each row's filter type is `row % 5`, so a decoder
+    must implement ALL five reconstruction filters correctly to round-trip
+    — deliberately adversarial for the oracle-checked decode."""
+    import struct
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    img = pixels.astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros((w, 3), dtype=np.int16)
+    for y in range(h):
+        row = img[y]
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub: left neighbor
+            left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+            ul = np.vstack([np.zeros((1, 3), np.int16), prev[:-1]])
+            filt = row - _paeth(left, prev, ul)
+        raw.append(ft)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over a row."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor non-interlaced PNG to (H, W, 3) uint8 RGB:
+    chunk walk (IHDR/IDAT+/IEND, CRC-checked), zlib inflate, then undo the
+    per-row filter (None/Sub/Up/Average/Paeth). Raises ValueError on any
+    unsupported layout (bit depth, palette, alpha, interlace) or corrupt
+    structure instead of returning garbage pixels."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG layout: depth={depth} color={color} "
+            f"interlace={interlace} (8-bit RGB non-interlaced only)"
+        )
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    if raw.size != stride * h:
+        raise ValueError(f"bad IDAT size {raw.size}, need {stride * h}")
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w, 3), dtype=np.int16)
+    zero = np.zeros((1, 3), dtype=np.int16)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].reshape(w, 3).astype(np.int16)
+        prev = out[y - 1] if y else np.zeros((w, 3), dtype=np.int16)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:
+            rec = (cur + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-dependent filters reconstruct serially across the row
+            rec = np.zeros((w, 3), dtype=np.int16)
+            for x in range(w):
+                left = rec[x - 1] if x else zero[0]
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + prev[x]) // 2
+                else:
+                    ul = prev[x - 1] if x else zero[0]
+                    pred = _paeth(
+                        left.reshape(1, 3),
+                        prev[x].reshape(1, 3),
+                        ul.reshape(1, 3),
+                    )[0]
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft} in row {y}")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
 def decode_image(payload: bytes):
-    """Dependency-free decode for uncompressed BMP (numpy, see decode_bmp);
-    compressed formats fall back to PIL when installed. Returns an
-    (H, W, 3) uint8 RGB numpy array either way."""
+    """Dependency-free decode for uncompressed BMP (decode_bmp) and 8-bit
+    RGB PNG (decode_png — zlib + the five row filters, no codec library);
+    remaining formats (JPEG et al.) fall back to PIL when installed.
+    Returns an (H, W, 3) uint8 RGB numpy array either way."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     try:
         import io
 
@@ -128,8 +275,8 @@ def decode_image(payload: bytes):
         return _np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "non-BMP image decode requires PIL; install pillow on the "
-            "cluster image"
+            "JPEG/other compressed decode requires PIL; install pillow on "
+            "the cluster image (BMP and 8-bit RGB PNG decode natively)"
         ) from exc
 
 
@@ -279,11 +426,31 @@ def synthetic_bmp_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _synth_pngs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].tolist()
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [encode_png(synth_pixels(int(d))) for d in ids],
+            }
+        )
+
+
+def synthetic_png_blobs(docs: DataFrame) -> DataFrame:
+    """doc_id → real zlib-compressed PNG bytes with the row filter
+    cycling through all five types (encode_png), one per document —
+    the COMPRESSED-format twin of synthetic_bmp_blobs."""
+    return docs.select("doc_id").mapInPandas(
+        _synth_pngs, schema="doc_id long, payload binary"
+    )
+
+
 def _pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            img = decode_bmp(bytes(payload)).astype(np.int64)
+            img = decode_image(bytes(payload)).astype(np.int64)
             h, w = img.shape[:2]
             # order-sensitive digest: a plain sum cannot distinguish a
             # correct decode from a row-flipped or BGR-swapped one; the

@@ -667,6 +667,38 @@ def x_phash_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "x_png_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, x.x AS x, y.y AS y, c.c AS c,
+         (d.doc_id * 31 + x.x * 7 + y.y * 13 + c.c * 101) % 256 AS val
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+       (SELECT unnest([0, 1, 2]) AS c) c
+)
+SELECT doc_id, MIN(w) AS width, MIN(h) AS height, MIN(w * h) AS n_pixels,
+       CAST(SUM(val) AS BIGINT) AS px_sum,
+       CAST(SUM(val * (((y * w + x) * 3 + c) % 97)) AS BIGINT) AS px_weighted
+FROM px GROUP BY doc_id""",
+)
+def x_png_decode(spark, sf_dir):
+    """REAL compressed-image decode, no codec libraries: synthetic 8-bit
+    RGB PNGs are zlib-ENCODED executor-side with the row filter cycling
+    through all five types (None/Sub/Up/Average/Paeth — encode_png), then
+    DECODED by the stdlib-zlib + numpy PNG parser (multimodal.decode_png:
+    chunk walk, CRC checks, inflate, per-row filter reconstruction) and
+    reduced to the same position-weighted pixel digest as
+    `x_multimodal_decode` — a decoder with any filter/CRC/stride bug
+    cannot hash-match the pixel-formula oracle. Closes the last
+    'compressed formats need PIL' gap for PNG; JPEG stays PIL-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_pixel_stats(M.synthetic_png_blobs(docs))
+
+
 @query("x_embed_ivf_topk", oracle=None)  # approximate → rows-only
 def x_embed_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

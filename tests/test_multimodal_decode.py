@@ -39,8 +39,10 @@ def test_decode_image_non_bmp_raises_without_pil():
         pytest.skip("PIL installed: fallback path is live")
     except ImportError:
         pass
+    # JPEG magic: PNG now decodes natively (decode_png), so only formats
+    # outside the BMP/PNG native set exercise the PIL gate
     with pytest.raises(NotImplementedError, match="requires PIL"):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
 
 
 def test_top_down_layout():
@@ -91,4 +93,74 @@ def test_decode_query_matches_oracle(spark):
     from metrics_database_cron_script_spark.oracle import check_query
 
     res = check_query(spark, "/root/testdata/sf0.001", "x_multimodal_decode")
+    assert res["ok"], res
+
+
+# ------------------------------------------------------------- PNG codec
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png cycles the row filter through all five types (row % 5),
+    so a 10-row image exercises None/Sub/Up/Average/Paeth twice each; the
+    decode must reconstruct exactly."""
+    import numpy as np
+
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    for shape in [(1, 1), (5, 8), (10, 3), (11, 16), (64, 40)]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all(), shape
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        _PNG_MAGIC,
+        decode_png,
+        encode_png,
+        synth_pixels,
+    )
+
+    raw = bytearray(encode_png(synth_pixels(7)))
+    # flip one IDAT byte -> CRC check must catch it
+    raw[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|IHDR"):
+        decode_png(bytes(raw))
+    # 16-bit depth is unsupported -> explicit refusal, not garbage
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(_PNG_MAGIC + chunk)
+    assert isinstance(synth_pixels(0), np.ndarray)
+
+
+def test_decode_image_dispatches_png():
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        decode_image,
+        encode_png,
+        synth_pixels,
+    )
+
+    img = synth_pixels(99)
+    assert (decode_image(encode_png(img)) == img).all()
+
+
+def test_png_decode_query_matches_oracle(spark):
+    from metrics_database_cron_script_spark.oracle import check_query
+
+    res = check_query(spark, "/root/testdata/sf0.001", "x_png_decode")
     assert res["ok"], res
