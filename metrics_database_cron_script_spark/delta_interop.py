@@ -151,16 +151,53 @@ class DeltaSnapshotTable:
         return reader.load(self.path)
 
 
+# Iceberg carries the same commit-log semantics; its runtime jar is also
+# absent from this image, so the interop surface is the bootstrap recipe
+# plus the SQL each operation maps to (MERGE INTO / VERSION AS OF /
+# changelog reads are catalog-level SQL in Iceberg, not a DataFrame API,
+# so unlike Delta there is no python package half to wrap offline).
+ICEBERG_BOOTSTRAP = (
+    "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 "
+    "--conf spark.sql.extensions="
+    "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions "
+    "--conf spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog "
+    "--conf spark.sql.catalog.local.type=hadoop "
+    "--conf spark.sql.catalog.local.warehouse=<warehouse path>"
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime jar is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def snapshot_table(spark: SparkSession, path: str, format: str = "auto"):
     """Environment-dispatched snapshot table: (table, backend) where
     backend ∈ {"delta", "occ"}. `format="auto"` prefers Delta when the
     runtime carries it (interop with the lakehouse's existing log) and
     falls back to the OCC table; an explicit `format="delta"` on a
     jar-less runtime raises the bootstrap recipe instead of silently
-    degrading. Callers/tests assert the returned backend — dispatch is an
-    environment fact, never a skipped test."""
-    if format not in ("auto", "delta", "occ"):
+    degrading. `format="iceberg"` likewise raises its bootstrap when the
+    runtime jar is absent (when present, keep-latest MERGE maps to
+    `MERGE INTO ... WHEN MATCHED AND s.ord > t.ord THEN UPDATE`, time
+    travel to `VERSION AS OF`, CDF to the changelog read — catalog-level
+    SQL, so there is no offline wrapper class to ship). Callers/tests
+    assert the returned backend — dispatch is an environment fact, never
+    a skipped test."""
+    if format not in ("auto", "delta", "occ", "iceberg"):
         raise ValueError(f"unknown format {format!r}")
+    if format == "iceberg" and not iceberg_available(spark):
+        raise NotImplementedError(
+            "Iceberg interop needs the Spark runtime jar; bootstrap: "
+            f"spark-submit {ICEBERG_BOOTSTRAP} your_job.py. The OCC "
+            "backend covers the same semantics in this environment."
+        )
     if format == "delta" or (format == "auto" and delta_available(spark)):
         return DeltaSnapshotTable(spark, path), "delta"
     from metrics_database_cron_script_spark.versioned import VersionedSnapshot

@@ -84,3 +84,20 @@ def test_backend_parity_or_dispatch(spark, tmp_path):
     feed = dt.changes(0)
     post = feed.filter("_change_type IN ('insert', 'update_postimage')")
     assert _rows(post, ["k", "v"]) == [(2, 21.0), (4, 40.0)]
+
+
+def test_iceberg_dispatch(spark, tmp_path):
+    from metrics_database_cron_script_spark.delta_interop import (
+        ICEBERG_BOOTSTRAP,
+        iceberg_available,
+        snapshot_table,
+    )
+
+    if iceberg_available(spark):
+        # jar-present env: the explicit request must not raise
+        snapshot_table(spark, str(tmp_path / "ice"), format="iceberg")
+    else:
+        with pytest.raises(NotImplementedError) as exc:
+            snapshot_table(spark, str(tmp_path / "ice"), format="iceberg")
+        assert "iceberg-spark-runtime" in str(exc.value)
+        assert "IcebergSparkSessionExtensions" in ICEBERG_BOOTSTRAP
