@@ -72,6 +72,36 @@ def bench_dir(src_sf_dir: str) -> str:
         return src_sf_dir  # raw fixtures remain a correct fallback
 
 
+def count_jobs_tasks(spark, group: str) -> tuple[int, int]:
+    """Plan-structural (jobs, tasks) launched under job group `group` —
+    the two halves of the local fixed-cost floor. Tasks are deduped by
+    STAGE id: under AQE a downstream job's stageIds lists upstream
+    already-executed stages too, and counting them once per referencing
+    job would inflate the floor ~2×. Returns (-1, -1) when the status
+    tracker is unavailable (callers must treat that as 'no floor claim',
+    never a negative bound). Shared by run_query and bench_drift_ab so
+    the counting rules cannot drift between artifacts."""
+    try:
+        tracker = spark.sparkContext.statusTracker()
+        job_ids = tracker.getJobIdsForGroup(group)
+        seen_stages: set[int] = set()
+        tasks = 0
+        for jid in job_ids:
+            jinfo = tracker.getJobInfo(jid)
+            if jinfo is None:
+                continue
+            for sid in jinfo.stageIds:
+                if sid in seen_stages:
+                    continue
+                seen_stages.add(sid)
+                sinfo = tracker.getStageInfo(sid)
+                if sinfo is not None:
+                    tasks += sinfo.numTasks
+        return len(job_ids), tasks
+    except Exception:
+        return -1, -1
+
+
 def run_query(spark, fn, sf_dir: str, runs: int = 3) -> dict:
     """Time one registered query: min/max of `runs` full materializations
     plus the Spark job count of the final run (job count is the per-action
@@ -83,36 +113,12 @@ def run_query(spark, fn, sf_dir: str, runs: int = 3) -> dict:
     for i in range(runs):
         group = f"bench-{id(fn)}-{i}"
         spark.sparkContext.setJobGroup(group, "bench")
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        times.append(time.perf_counter() - t0)
-        assert n >= 0
         try:
-            tracker = spark.sparkContext.statusTracker()
-            job_ids = tracker.getJobIdsForGroup(group)
-            jobs = len(job_ids)
-            # total task launches of this run — the other half of the
-            # fixed-cost floor (each task pays scheduling + launch even if
-            # its work is microseconds). Deduped by STAGE id: under AQE a
-            # downstream job's stageIds lists upstream already-executed
-            # stages too, and counting them once per referencing job would
-            # inflate the floor ~2×.
-            seen_stages: set[int] = set()
-            tasks = 0
-            for jid in job_ids:
-                jinfo = tracker.getJobInfo(jid)
-                if jinfo is None:
-                    continue
-                for sid in jinfo.stageIds:
-                    if sid in seen_stages:
-                        continue
-                    seen_stages.add(sid)
-                    sinfo = tracker.getStageInfo(sid)
-                    if sinfo is not None:
-                        tasks += sinfo.numTasks
-        except Exception:
-            jobs = -1
-            tasks = -1
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            times.append(time.perf_counter() - t0)
+            assert n >= 0
+            jobs, tasks = count_jobs_tasks(spark, group)
         finally:
             spark.sparkContext.setJobGroup("", "")
     return {

@@ -118,27 +118,15 @@ def main() -> None:
     def jobs_tasks(df, tag: str) -> tuple[int, int]:
         """Plan-structural job/task counts of one drain (round-6 verdict
         item 4: a +15 ms delta must decompose into 'extra job/stage' vs
-        'noise'). Same stage-dedup logic as bench.run_query."""
+        'noise'). Counting itself lives in bench.count_jobs_tasks so the
+        rules cannot drift between this artifact and BENCH_COMPARE."""
+        from bench import count_jobs_tasks
+
         sc = spark.sparkContext
         sc.setJobGroup(tag, "drift-attrib")
         try:
             df.count()
-            tr = sc.statusTracker()
-            ids = tr.getJobIdsForGroup(tag)
-            seen: set[int] = set()
-            tasks = 0
-            for jid in ids:
-                ji = tr.getJobInfo(jid)
-                if ji is None:
-                    continue
-                for sid in ji.stageIds:
-                    if sid in seen:
-                        continue
-                    seen.add(sid)
-                    si = tr.getStageInfo(sid)
-                    if si is not None:
-                        tasks += si.numTasks
-            return len(ids), tasks
+            return count_jobs_tasks(spark, tag)
         except Exception:
             return -1, -1
         finally:

@@ -222,14 +222,20 @@ def main() -> None:
 
     # ---- cluster path: star edges (the clique-immune shape) ---------------
     def star_stats(comps_df):
-        comps_df = comps_df.persist()
+        # respect caller-owned caches: unpersist() is not refcounted, so
+        # evicting an input the caller persisted for a later consumer
+        # (clique_quality) would force recomputation of the compose join
+        own_cache = not comps_df.is_cached
+        if own_cache:
+            comps_df = comps_df.persist()
         agg = comps_df.groupBy("component").agg(F.count(F.lit(1)).alias("k"))
         row = agg.agg(
             F.count(F.lit(1)).alias("n_components"),
             F.max("k").alias("max_cluster"),
             F.sum("k").alias("docs_labeled"),
         ).collect()[0]
-        comps_df.unpersist()
+        if own_cache:
+            comps_df.unpersist()
         return {
             "n_components": row["n_components"],
             "max_cluster": row["max_cluster"],

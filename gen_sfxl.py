@@ -116,11 +116,15 @@ def replicate(
             continue
         m = 0
         for t, c in cols:
-            col = (
-                base[t].column(c)
-                if t in base
-                else pq.read_table(table_path(src, t), columns=[c]).column(c)
-            )
+            if t in base:
+                col = base[t].column(c)
+            elif os.path.exists(table_path(src, t)):
+                col = pq.read_table(table_path(src, t), columns=[c]).column(c)
+            else:
+                # a trimmed source fixture may legitimately lack a sibling
+                # table; it then can't appear in ANY run over this source,
+                # so skipping it keeps strides consistent across runs
+                continue
             m = max(m, pc.max(col).as_py() or 0)
         strides[ent] = _stride(int(m))
 

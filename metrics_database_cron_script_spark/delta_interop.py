@@ -66,10 +66,15 @@ def _require_delta(spark: SparkSession) -> None:
 
 class DeltaSnapshotTable:
     """`VersionedSnapshot`'s public surface re-expressed on Delta Lake:
-    same keep-latest MERGE semantics (per-key max over order columns, ties
-    broken by the batch row), same overwrite/time-travel/CDF behavior —
-    asserted 1:1 against the OCC table by tests/test_delta_interop.py on
-    jar-present environments. Delta's own transaction log supplies the
+    same keep-latest MERGE semantics (per-key max over order columns),
+    same overwrite/time-travel/CDF behavior — asserted 1:1 against the
+    OCC table by tests/test_delta_interop.py on jar-present environments.
+
+    Tie contract: `order_cols` must totally order the rows that can share
+    a key (the OCC backend's row_number over a non-unique ordering picks
+    an UNSPECIFIED winner on ties; this backend's strictly-greater MERGE
+    keeps the STORED row). Callers that need batch-wins-on-equal must add
+    an explicit tiebreaker column, as r_upsert_evolution does. Delta's own transaction log supplies the
     concurrency control the OCC table implements by hand, so there is no
     retry loop here: conflicting writers surface Delta's
     ConcurrentModificationException contract."""
@@ -192,11 +197,25 @@ def snapshot_table(spark: SparkSession, path: str, format: str = "auto"):
     a skipped test."""
     if format not in ("auto", "delta", "occ", "iceberg"):
         raise ValueError(f"unknown format {format!r}")
-    if format == "iceberg" and not iceberg_available(spark):
+    if format == "iceberg":
+        # No wrapper class exists in EITHER jar state (Iceberg's surface
+        # here is catalog-level SQL): an explicit iceberg request must
+        # never silently dispatch to another backend. Jar-absent gets the
+        # bootstrap; jar-present gets the SQL mapping to use instead.
+        if not iceberg_available(spark):
+            raise NotImplementedError(
+                "Iceberg interop needs the Spark runtime jar; bootstrap: "
+                f"spark-submit {ICEBERG_BOOTSTRAP} your_job.py. The OCC "
+                "backend covers the same semantics in this environment."
+            )
         raise NotImplementedError(
-            "Iceberg interop needs the Spark runtime jar; bootstrap: "
-            f"spark-submit {ICEBERG_BOOTSTRAP} your_job.py. The OCC "
-            "backend covers the same semantics in this environment."
+            "Iceberg runtime detected, but this engine ships no Iceberg "
+            "wrapper class — the operations are catalog-level SQL on your "
+            "Iceberg table: keep-latest MERGE = `MERGE INTO t USING s ON "
+            "t.key = s.key WHEN MATCHED AND s.ord > t.ord THEN UPDATE SET "
+            "* WHEN NOT MATCHED THEN INSERT *`; time travel = `SELECT ... "
+            "VERSION AS OF <snapshot>`; change feed = the changelog read. "
+            "Use spark.sql directly, or format='occ'/'delta'."
         )
     if format == "delta" or (format == "auto" and delta_available(spark)):
         return DeltaSnapshotTable(spark, path), "delta"

@@ -908,17 +908,28 @@ def minhash_components_verified(
     has a true near-dup elsewhere in the bucket — cluster recall can dip
     below the unverified star path. `bench_neardup_sfxl.py` measures both
     deltas at 12.8 M docs."""
-    if shingles is None:
+    own_persist = shingles is None
+    if own_persist:
         shingles = word_shingles(docs, hashed=False).persist()
-    banded = lsh_bands_portable(
-        minhash_signatures_portable(shingles, num_hashes), num_hashes, band_size
-    )
-    edges = star_edges(banded, ["band", "band_sig"])
-    scored = verified_jaccard(shingles, edges)
-    good = scored.filter(F.col("jaccard") >= min_jaccard).select(
-        "doc_a", "doc_b"
-    )
-    return connected_components(good)
+    try:
+        banded = lsh_bands_portable(
+            minhash_signatures_portable(shingles, num_hashes),
+            num_hashes,
+            band_size,
+        )
+        edges = star_edges(banded, ["band", "band_sig"])
+        scored = verified_jaccard(shingles, edges)
+        good = scored.filter(F.col("jaccard") >= min_jaccard).select(
+            "doc_a", "doc_b"
+        )
+        # connected_components materializes eagerly (localCheckpoint /
+        # parquet loop state), so the returned frame no longer reads the
+        # shingle cache — a locally created persist can be released here
+        # instead of leaking one cached relation per call
+        return connected_components(good)
+    finally:
+        if own_persist:
+            shingles.unpersist()
 
 
 

@@ -198,6 +198,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            # a short slice would make struct.unpack raise struct.error,
+            # escaping the documented ValueError contract callers
+            # quarantine on
+            raise ValueError(
+                f"truncated PNG: chunk {tag!r} needs {length + 12} bytes "
+                f"at offset {pos}, payload has {len(payload)}"
+            )
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]

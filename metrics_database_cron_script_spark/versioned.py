@@ -80,14 +80,28 @@ def _can_upcast(spark: SparkSession, from_type, to_type) -> bool:
             )
         )
     except Exception:
-        ladder = ["byte", "short", "int", "bigint", "decimal", "float", "double"]
+        # Fallback must be conservative in the REFUSING direction: this
+        # gate exists to block lossy casts, so when the JVM probe is
+        # unavailable only approve the unambiguous widenings (integral
+        # ladder, float→double, identical types). Decimals are NOT ranked
+        # as one type — decimal(38,18)→decimal(5,0) is narrowing — so any
+        # decimal change is refused here; worst case a legitimate widen
+        # errors out, never a silent truncation.
+        if from_type == to_type:
+            return True
+        ladder = ["byte", "short", "int", "bigint"]
 
         def rank(t) -> int:
-            s = t.simpleString().split("(")[0]
+            s = t.simpleString()
             return ladder.index(s) if s in ladder else -1
 
         a, b = rank(from_type), rank(to_type)
-        return a >= 0 and b >= 0 and a <= b
+        if a >= 0 and b >= 0 and a <= b:
+            return True
+        return (
+            from_type.simpleString() == "float"
+            and to_type.simpleString() == "double"
+        )
 
 
 def _write_schema_marker(data_dir: str, schema) -> None:

@@ -93,11 +93,13 @@ def test_iceberg_dispatch(spark, tmp_path):
         snapshot_table,
     )
 
-    if iceberg_available(spark):
-        # jar-present env: the explicit request must not raise
+    # an explicit iceberg request NEVER silently dispatches elsewhere: no
+    # wrapper class exists in either jar state — jar-absent raises the
+    # bootstrap, jar-present raises the catalog-SQL mapping to use instead
+    with pytest.raises(NotImplementedError) as exc:
         snapshot_table(spark, str(tmp_path / "ice"), format="iceberg")
+    if iceberg_available(spark):
+        assert "MERGE INTO" in str(exc.value)
     else:
-        with pytest.raises(NotImplementedError) as exc:
-            snapshot_table(spark, str(tmp_path / "ice"), format="iceberg")
         assert "iceberg-spark-runtime" in str(exc.value)
-        assert "IcebergSparkSessionExtensions" in ICEBERG_BOOTSTRAP
+    assert "IcebergSparkSessionExtensions" in ICEBERG_BOOTSTRAP

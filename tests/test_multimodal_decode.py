@@ -164,3 +164,20 @@ def test_png_decode_query_matches_oracle(spark):
 
     res = check_query(spark, "/root/testdata/sf0.001", "x_png_decode")
     assert res["ok"], res
+
+
+def test_png_truncated_raises_valueerror_not_struct_error():
+    """Review fix: a payload cut off mid-chunk must surface as the
+    documented ValueError (quarantine-able), never struct.error."""
+    import pytest
+
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+        synth_pixels,
+    )
+
+    raw = encode_png(synth_pixels(5))
+    for cut in (len(raw) // 2, len(raw) - 3, 20):
+        with pytest.raises(ValueError):
+            decode_png(raw[:cut])

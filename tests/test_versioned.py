@@ -914,3 +914,27 @@ def test_compact_and_restore_preserve_evolved_schema(spark, tmp_path):
     t.restore(0)
     assert t.read().columns == ["k", "v", "day"]
     assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
+def test_can_upcast_fallback_refuses_decimal_narrowing():
+    """Review fix: if the JVM Cast.canUpCast probe is unavailable, the
+    pure-python fallback must refuse anything but the unambiguous
+    widenings — especially decimal precision narrowing, the exact lossy
+    cast the gate exists to block."""
+    from pyspark.sql import types as T
+
+    from metrics_database_cron_script_spark.versioned import _can_upcast
+
+    class BrokenJvm:
+        @property
+        def _jvm(self):
+            raise RuntimeError("probe unavailable")
+
+    fs = BrokenJvm()
+    assert _can_upcast(fs, T.IntegerType(), T.LongType())
+    assert _can_upcast(fs, T.FloatType(), T.DoubleType())
+    assert _can_upcast(fs, T.DecimalType(10, 2), T.DecimalType(10, 2))
+    assert not _can_upcast(fs, T.DecimalType(38, 18), T.DecimalType(5, 0))
+    assert not _can_upcast(fs, T.LongType(), T.DecimalType(1, 0))
+    assert not _can_upcast(fs, T.LongType(), T.IntegerType())
+    assert not _can_upcast(fs, T.StringType(), T.IntegerType())
