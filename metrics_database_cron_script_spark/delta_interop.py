@@ -70,10 +70,12 @@ class DeltaSnapshotTable:
     same overwrite/time-travel/CDF behavior — asserted 1:1 against the
     OCC table by tests/test_delta_interop.py on jar-present environments.
 
-    Tie contract: `order_cols` must totally order the rows that can share
-    a key (the OCC backend's row_number over a non-unique ordering picks
-    an UNSPECIFIED winner on ties; this backend's strictly-greater MERGE
-    keeps the STORED row). Callers that need batch-wins-on-equal must add
+    Tie contract: on a stored-vs-batch tie (equal order tuples) the STORED
+    row wins on BOTH backends — here via the strictly-greater MERGE
+    condition, on the OCC backend via a stored-first origin flag in the
+    row_number ordering. Ties WITHIN one batch are unspecified on both
+    backends unless `order_cols` totally orders the rows sharing a key.
+    Callers that need batch-wins-on-equal must add
     an explicit tiebreaker column, as r_upsert_evolution does. Delta's own transaction log supplies the
     concurrency control the OCC table implements by hand, so there is no
     retry loop here: conflicting writers surface Delta's
@@ -98,9 +100,11 @@ class DeltaSnapshotTable:
         self, new: DataFrame, key: str, order_cols: list[str]
     ) -> None:
         """Keep-latest MERGE: the batch row wins iff its order tuple is
-        strictly greater than the stored row's (matching the OCC table's
-        row_number over desc(order_cols) with the union put batch-last —
-        equal order keys keep the STORED row on both backends)."""
+        strictly greater than the stored row's. Equal order tuples keep the
+        STORED row on both backends — here by the strict `>` MERGE
+        condition, on the OCC backend by the stored-first origin tiebreaker
+        in `VersionedSnapshot.merge_keep_latest`'s window ordering (ties
+        WITHIN one batch remain unspecified on both backends)."""
         from delta.tables import DeltaTable
         from pyspark.sql import Window
         from pyspark.sql import functions as F

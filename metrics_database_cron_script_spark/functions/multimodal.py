@@ -227,7 +227,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"unsupported PNG layout: depth={depth} color={color} "
             f"interlace={interlace} (8-bit RGB non-interlaced only)"
         )
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # chunks can be individually CRC-valid while the concatenated IDAT
+        # stream is incomplete/corrupt (e.g. a trailing IDAT chunk missing);
+        # re-raise under the documented ValueError quarantine contract
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     stride = 1 + w * 3
     if raw.size != stride * h:
         raise ValueError(f"bad IDAT size {raw.size}, need {stride * h}")

@@ -267,6 +267,29 @@ def _queries_table(spark, sf_dir, n=10):
     )
 
 
+def _score_partitions_for(path: str, target_bytes: int = 32 << 20):
+    """Coalesce width for mapInArrow scoring: ~`target_bytes` of input per
+    Python dispatch (the per-dispatch fixed cost is ~10-15 ms; see
+    similarity.score_partitions). Sizing walks the DRIVER's local
+    filesystem, so a non-local `path` (hdfs://, s3a://, or simply absent
+    here) returns None — scan-width parallelism, which is the right
+    dispatch granularity at cluster scale anyway (the 32 MB coalesce is a
+    local-floor shave)."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    if os.path.isdir(path):
+        nbytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _d, fs in os.walk(path)
+            for f in fs
+        )
+    else:
+        nbytes = os.path.getsize(path)
+    return max(1, nbytes // target_bytes)
+
+
 @query(
     "x_embed_cosine_topk",
     oracle="""
@@ -299,26 +322,16 @@ def x_embed_cosine_topk(spark, sf_dir):
     verified identical at sf0.001/0.01/0.1). Scoring partitions are sized
     to ~32 MB of vectors per Python dispatch (a no-op reduction beyond
     the scan width at cluster scale — see brute_force_topk)."""
-    import os as _os
-
     from metrics_database_cron_script_spark.sources.tables import (
         table_path as _tp,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    p = _tp(sf_dir, "embeddings")
-    nbytes = (
-        sum(
-            _os.path.getsize(_os.path.join(dp, f))
-            for dp, _d, fs in _os.walk(p)
-            for f in fs
-        )
-        if _os.path.isdir(p)
-        else _os.path.getsize(p)
-    )
-    parts = max(1, nbytes // (32 << 20))
     return S.brute_force_topk(
-        emb, _queries_table(spark, sf_dir), k=5, score_partitions=parts
+        emb,
+        _queries_table(spark, sf_dir),
+        k=5,
+        score_partitions=_score_partitions_for(_tp(sf_dir, "embeddings")),
     )
 
 

@@ -406,6 +406,14 @@ class VersionedSnapshot:
         on a lost race re-read (now INCLUDING the winner's rows) and retry —
         no update is ever silently dropped. Returns the committed version.
 
+        Tie semantics match the Delta MERGE wrapper exactly: the batch row
+        replaces the stored row only when its order tuple is STRICTLY
+        greater — on equal tuples the stored row wins, deterministically
+        (the window tiebreaks on a stored-first origin flag, not on
+        whichever row the shuffle happened to order first). Ties WITHIN one
+        batch remain unspecified on both backends unless order tuples are
+        unique per key.
+
         Rewrites the WHOLE snapshot per commit — right for small dimension /
         stats tables (the reference's case). For a large fact table use
         `merge_keep_latest_partitioned`, which rewrites only the partitions
@@ -421,14 +429,16 @@ class VersionedSnapshot:
                 if v >= 0
                 else self.spark.createDataFrame([], new.schema)
             )
-            merged = base.unionByName(new, allowMissingColumns=True)
+            merged = base.withColumn("__src", F.lit(0)).unionByName(
+                new.withColumn("__src", F.lit(1)), allowMissingColumns=True
+            )
             w = Window.partitionBy(key).orderBy(
-                *[F.col(c).desc() for c in order_cols]
+                *[F.col(c).desc() for c in order_cols], F.col("__src").asc()
             )
             latest = (
                 merged.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .drop("__rn")
+                .drop("__rn", "__src")
             )
             # materialize BEFORE commit: the plan reads version v's files,
             # which stay immutable — but localCheckpoint also keeps the
@@ -543,16 +553,22 @@ class VersionedSnapshot:
                 )
                 # else: previous version predates partitioning — fall back to
                 # a full rewrite this once; subsequent commits are pruned
-                merged = base.unionByName(new, allowMissingColumns=True)
+                # stored-first origin flag: equal order tuples keep the
+                # STORED row deterministically (same tie rule as
+                # merge_keep_latest and the Delta MERGE wrapper)
+                merged = base.withColumn("__src", F.lit(0)).unionByName(
+                    new.withColumn("__src", F.lit(1)),
+                    allowMissingColumns=True,
+                )
             else:
-                merged = new
+                merged = new.withColumn("__src", F.lit(1))
             w = Window.partitionBy(key).orderBy(
-                *[F.col(c).desc() for c in order_cols]
+                *[F.col(c).desc() for c in order_cols], F.col("__src").asc()
             )
             latest = (
                 merged.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .drop("__rn")
+                .drop("__rn", "__src")
             )
             latest.write.mode("overwrite").partitionBy(partition_col).parquet(
                 target_stage
