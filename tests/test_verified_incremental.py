@@ -1,0 +1,139 @@
+"""Round-7 flagship: verified star components composed with the incremental
+band-index refresh (round-6 verdict item 1). Pins the two equivalences the
+design rests on:
+
+1. `verified_star_state(docs)` edges, thresholded, give the SAME components
+   as `minhash_components_verified(docs)` — bucket attribution and the
+   0.0-score totalization change nothing semantically.
+2. `minhash_components_verified_refresh(state(corpus), batch)` equals the
+   full verified recompute over corpus ∪ batch — for a MONOTONE batch (the
+   production append contract, O(batch) verification) AND for an
+   interleaved batch that displaces bucket hubs (the correctness-over-
+   assumptions case the score-reuse join must survive).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrics_database_cron_script_spark.functions import dedup as D
+from metrics_database_cron_script_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _comp_set(df):
+    return {(r["doc_id"], r["component"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_state_edges_reproduce_verified_components(spark, docs):
+    _bands, _store, edges = D.verified_star_state(docs)
+    via_state = D.connected_components(
+        edges.filter(F.col("jaccard") >= 0.8).select("doc_a", "doc_b").distinct()
+    )
+    direct = D.minhash_components_verified(docs, min_jaccard=0.8)
+    assert _comp_set(via_state) == _comp_set(direct)
+
+
+def test_state_edge_rows_match_band_index_postings(spark, docs):
+    """Edge-state cardinality = postings − one hub row per bucket (the
+    linear-growth invariant the docstring claims), and every score is the
+    exact pair Jaccard (spot-checked via verified_jaccard)."""
+    bands, store, edges = D.verified_star_state(docs)
+    n_postings = bands.count()
+    n_buckets = bands.select("band", "band_sig").distinct().count()
+    assert edges.count() == n_postings - n_buckets
+    sample = edges.select("doc_a", "doc_b").distinct().limit(20)
+    expect = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.verified_jaccard(store, sample).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in edges.join(sample, ["doc_a", "doc_b"], "leftsemi")
+        .select("doc_a", "doc_b", "jaccard")
+        .distinct()
+        .collect()
+    }
+    for pair, j in got.items():
+        assert expect.get(pair, 0.0) == j
+
+
+@pytest.mark.parametrize(
+    "split_col",
+    [
+        # monotone batch: new docs carry the largest ids (production append)
+        lambda n_max: F.col("doc_id") > n_max * 0.9,
+        # interleaved batch: hub displacement in existing buckets
+        lambda n_max: F.pmod("doc_id", F.lit(10)) == 0,
+    ],
+    ids=["monotone_batch", "interleaved_batch"],
+)
+def test_refresh_equals_full_verified_recompute(spark, docs, split_col):
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    is_batch = split_col(n_max)
+    corpus = docs.filter(~is_batch)
+    batch = docs.filter(is_batch)
+    assert batch.count() > 0 and corpus.count() > 0
+    bands, store, edges = D.verified_star_state(corpus)
+    refreshed = D.minhash_components_verified_refresh(
+        bands, store, edges, batch, min_jaccard=0.8
+    )
+    full = D.minhash_components_verified(docs, min_jaccard=0.8)
+    assert _comp_set(refreshed) == _comp_set(full)
+
+
+def test_refresh_edge_state_equals_full_build(spark, docs):
+    """The refreshed EDGE STATE itself (not just the components) matches a
+    full `verified_star_state` over corpus ∪ batch — the invariant that
+    lets day N+1 refresh from day N's output forever without drift."""
+    corpus = docs.filter(F.pmod("doc_id", F.lit(7)) != 0)
+    batch = docs.filter(F.pmod("doc_id", F.lit(7)) == 0)
+    bands, store, edges = D.verified_star_state(corpus)
+    refreshed = D.refresh_verified_star_edges(bands, store, edges, batch)
+    _b, _s, full_edges = D.verified_star_state(docs)
+
+    def rows(df):
+        return {
+            (r["band"], r["band_sig"], r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in df.collect()
+        }
+
+    assert rows(refreshed) == rows(full_edges)
+
+
+def test_refresh_tolerates_reingested_batch_docs(spark, docs):
+    """A batch containing already-indexed docs must not duplicate edge
+    rows or change components (the distinct() membership guard)."""
+    corpus = docs
+    batch = docs.filter(F.pmod("doc_id", F.lit(13)) == 0)
+    bands, store, edges = D.verified_star_state(corpus)
+    refreshed = D.refresh_verified_star_edges(bands, store, edges, batch)
+    base = {
+        (r["band"], r["band_sig"], r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in edges.collect()
+    }
+    got = [
+        (r["band"], r["band_sig"], r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in refreshed.collect()
+    ]
+    assert len(got) == len(set(got)), "duplicate edge rows after re-ingest"
+    assert set(got) == base
+
+
+def test_refresh_rejects_mismatched_shingle_keyspace(spark, docs):
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    bands, _store, edges = D.verified_star_state(corpus)
+    raw_store = D.word_shingles(corpus, hashed=False)
+    hashed_batch_sh = D.word_shingles(batch, hashed=True)
+    with pytest.raises(ValueError, match="keyspace mismatch"):
+        D.refresh_verified_star_edges(
+            bands, raw_store, edges, batch, batch_shingles=hashed_batch_sh
+        ).collect()
