@@ -5,7 +5,7 @@ The driver ships sf up to 0.1 (~600 k lineitem rows) — small enough that
 local Spark latency is dominated by per-action fixed cost, which makes the
 DuckDB ratio uninformative about plan quality. This builds an N× replica
 dataset (default 10× ≈ "sf1": 6 M lineitem rows, 1 M events) so
-SCALING.md/bench_compare can show the regime where compute, not overhead,
+SCALE.md-Appendix-A/bench_compare can show the regime where compute, not overhead,
 dominates — the trend that predicts cluster-scale behavior.
 
 Replication is KEY-CONSISTENT, not naive duplication:
