@@ -1,0 +1,337 @@
+#!/usr/bin/env python
+"""End-to-end DAILY-RUN benchmark at SFXL (round-6 verdict item 2).
+
+Every pipeline has been measured in isolation; this measures the
+reference's actual workload — ONE cron-equivalent daily job — at the scale
+the joins/aggs were calibrated at:
+
+- `run_batch` (pipelines.py: P1 prices, P2 tx-enrich, P3 stats, P5 routing,
+  P6 rollup, watermark committed LAST) over the 4.6 GiB SFXL events table
+  (256× sf0.1, ~15.5 M events), instrumented per step through run_batch's
+  own `step_timer` hook — the bench drives the REAL driver, it does not
+  re-implement the sequence;
+- the LLM-data half of a daily run against the 12.8 M-doc decade corpus:
+  incremental EXACT dedup (bloom-pruned anti-join of the batch against the
+  persisted seen-hash set) and the verified near-dup CLUSTER REFRESH from
+  persisted state (refresh_verified_star_edges → components), with the
+  refreshed edge state written for day N+1;
+- a REPLAY of the same run_batch: the idempotency contract (anti-join
+  sinks, in-state rollup frontier, keep-latest stats with the stored-wins
+  tie rule) must make the second run a no-op — append sinks byte-identical
+  (digested), snapshot state content-identical (value-hashed; the OCC
+  tables write a new version DIRECTORY on replay, so byte-identity is the
+  wrong check there and the artifact says which check each table got).
+
+Day-0 bootstrap (state built from everything before the last day) is
+measured separately — it is the one-time cost, not the daily one. The
+daily batch is the final day of events / the top replica of docs.
+
+Usage:
+    python bench_daily_sfxl.py [sfxl_dir] [--decade DIR]
+
+Writes BENCH_DAILY_SFXL.json (one JSON object, indent=1).
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DOC_STRIDE = 10_000
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, round(time.perf_counter() - t0, 3)
+
+
+def _tree_digest(root: str) -> str:
+    """Order-independent byte digest of every file under `root`."""
+    h = hashlib.md5()
+    for dp, _dn, fs in sorted(os.walk(root)):
+        for f in sorted(fs):
+            p = os.path.join(dp, f)
+            h.update(os.path.relpath(p, root).encode())
+            with open(p, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+    return h.hexdigest()
+
+
+def main() -> None:
+    args = list(sys.argv[1:])
+    decade_dir = None
+    if "--decade" in args:
+        i = args.index("--decade")
+        decade_dir = args[i + 1]
+        del args[i : i + 2]
+    here = os.path.dirname(os.path.abspath(__file__))
+    sfxl = args[0] if args else os.path.join(here, ".bench_cache", "sfxl")
+    if decade_dir is None:
+        decade_dir = os.path.join(here, ".bench_cache", "sfxl-docs")
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    from pyspark.sql import functions as F
+
+    from bench_neardup_sfxl import build_fastpath_state
+    from metrics_database_cron_script_spark import get_spark
+    from metrics_database_cron_script_spark.functions import bloom as B
+    from metrics_database_cron_script_spark.functions import dedup as D
+    from metrics_database_cron_script_spark.pipelines import run_batch
+    from metrics_database_cron_script_spark.sources.tables import load_table
+
+    spark = get_spark("bench_daily_sfxl")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict = {"metric": "daily_sfxl", "sf_dir": sfxl, "decade_dir": decade_dir}
+
+    def phase(key, obj):
+        out[key] = obj
+        print(json.dumps({key: obj}, default=str), file=sys.stderr, flush=True)
+
+    scratch = os.path.join(here, ".bench_cache", "daily-sfxl")
+    shutil.rmtree(scratch, ignore_errors=True)
+    state_dir = os.path.join(scratch, "state")
+    day0_dir = os.path.join(scratch, "day0")
+    os.makedirs(day0_dir, exist_ok=True)
+
+    # ---- source fencing: yesterday's view of the events table -------------
+    events = load_table(spark, sfxl, "events")
+    max_ts = events.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    cutoff = (max_ts - datetime.timedelta(days=1)).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    n_total = events.count()
+    _, wall_fence = _timed(
+        lambda: events.filter(F.col("ts") <= F.lit(cutoff))
+        .write.parquet(os.path.join(day0_dir, "events.parquet"))
+    )
+    n_day0 = spark.read.parquet(os.path.join(day0_dir, "events.parquet")).count()
+    phase("corpus", {
+        "events_total": n_total,
+        "events_day0": n_day0,
+        "events_daily_batch": n_total - n_day0,
+        "cutoff": str(cutoff),
+        "fence_write_s": wall_fence,
+    })
+
+    # ---- day 0: bootstrap the pipeline state (one-time) -------------------
+    steps0: dict[str, float] = {}
+    rep0, wall_day0 = _timed(
+        lambda: run_batch(
+            spark, day0_dir, state_dir, run_ts=cutoff,
+            step_timer=lambda s, t: steps0.__setitem__(s, t),
+        )
+    )
+    phase("day0_bootstrap", {
+        "wall_s": wall_day0,
+        "steps": steps0,
+        "tx_appended": rep0["tx_appended"],
+        "routing_appended": rep0["routing_appended"],
+    })
+
+    # ---- THE daily job, pipelines half: run_batch over the grown source ---
+    steps: dict[str, float] = {}
+    rep, wall_daily = _timed(
+        lambda: run_batch(
+            spark, sfxl, state_dir, run_ts=max_ts,
+            step_timer=lambda s, t: steps.__setitem__(s, t),
+        )
+    )
+    sink_digests = {
+        name: _tree_digest(os.path.join(state_dir, f"{name}.parquet"))
+        for name in (
+            "prices", "tx_enriched", "sink_nominations",
+            "sink_amountstaked", "sink_aum",
+        )
+    }
+    phase("daily_pipelines", {
+        "wall_s": wall_daily,
+        "steps": steps,
+        "prices_appended": rep["prices_appended"],
+        "tx_appended": rep["tx_appended"],
+        "routing_appended": rep["routing_appended"],
+        "rollup_days_touched": rep["rollup_days_touched"],
+        "watermark_out": str(rep["watermark_out"]),
+    })
+
+    # ---- THE daily job, training-data half (decade docs corpus) -----------
+    ddocs = load_table(spark, decade_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    batch_lo = (
+        ddocs.agg(F.max("doc_id")).collect()[0][0] // DOC_STRIDE
+    ) * DOC_STRIDE
+    corpus = ddocs.filter(F.col("doc_id") < batch_lo)
+    batch = ddocs.filter(F.col("doc_id") >= batch_lo)
+    n_corpus, n_batch = corpus.count(), batch.count()
+
+    # state: the verified-star state over the corpus (reuse the other
+    # bench's build when present — identical builder) + the seen-hash set
+    # for exact dedup
+    vstate = os.path.join(here, ".bench_cache", "decade-vstate")
+    state_reused = os.path.isdir(os.path.join(vstate, "edges"))
+    if not state_reused:
+        walls_vstate = build_fastpath_state(spark, corpus, vstate)
+        phase("dedup_state_build", {"reused": False, **walls_vstate})
+    else:
+        phase("dedup_state_build", {"reused": True})
+    seen_path = os.path.join(scratch, "seen-hashes")
+    _, wall_seen = _timed(
+        lambda: corpus.select(
+            F.xxhash64(D.normalized_text()).alias("h")
+        ).distinct().write.parquet(seen_path)
+    )
+    phase("dedup_day0_seen_hashes", {"wall_s": wall_seen})
+
+    dedup_steps: dict[str, float] = {}
+    # step 1: incremental exact dedup — bloom-pruned anti-join vs the
+    # persisted seen-hash set (O(batch) probe; only bloom-positive rows
+    # reach the anti-join)
+    t0 = time.perf_counter()
+    batch_keys = batch.select(
+        "doc_id", F.xxhash64(D.normalized_text()).alias("h")
+    )
+    seen = spark.read.parquet(seen_path)
+    fresh = B.bloom_pruned_anti_join(
+        batch_keys, seen.select(F.col("h")), key="h",
+        expected_items=max(1, n_corpus),
+    )
+    n_fresh = fresh.count()
+    dedup_steps["exact_dedup_s"] = round(time.perf_counter() - t0, 3)
+    # step 2: append today's new hashes into the seen set (day N+1 input)
+    t0 = time.perf_counter()
+    fresh.select("h").distinct().write.mode("append").parquet(seen_path)
+    dedup_steps["seen_append_s"] = round(time.perf_counter() - t0, 3)
+    # step 3: verified near-dup cluster refresh from persisted state
+    bands = spark.read.parquet(os.path.join(vstate, "bands"))
+    store = spark.read.parquet(os.path.join(vstate, "store"))
+    edges = spark.read.parquet(os.path.join(vstate, "edges"))
+    next_edges = os.path.join(scratch, "edges-next")
+    t0 = time.perf_counter()
+    D.refresh_verified_star_edges(bands, store, edges, batch).write.parquet(
+        next_edges
+    )
+    dedup_steps["edge_refresh_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    comps = D.connected_components(
+        spark.read.parquet(next_edges)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    comp_row = (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("k").alias("max_cluster"),
+        )
+        .collect()[0]
+    )
+    dedup_steps["components_s"] = round(time.perf_counter() - t0, 3)
+    dedup_steps["total_s"] = round(sum(dedup_steps.values()), 3)
+    phase("daily_dedup", {
+        "corpus_docs": n_corpus,
+        "batch_docs": n_batch,
+        "exact_fresh_docs": n_fresh,
+        "n_components": comp_row["n_components"],
+        "max_cluster": comp_row["max_cluster"],
+        "steps": dedup_steps,
+        "wall_s": dedup_steps["total_s"],
+    })
+
+    out["daily_total_wall_s"] = round(
+        out["daily_pipelines"]["wall_s"] + out["daily_dedup"]["wall_s"], 3
+    )
+
+    # ---- replay: the same daily run must be a no-op ------------------------
+    def content_hash(df):
+        return str(
+            df.agg(
+                F.sum(
+                    F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")
+                ).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0].asDict()
+        )
+
+    stats_path = os.path.join(state_dir, "stats.parquet")
+    _STATS_SCHEMA = (
+        "chain string, totalAmountCurrentlyManaged double, "
+        "totalAmountStaked double, percentMarketCaptured double, "
+        "date timestamp"
+    )
+    from metrics_database_cron_script_spark import state as ST
+
+    stats_before = content_hash(
+        ST.read_or_empty(spark, stats_path, _STATS_SCHEMA)
+    )
+
+    steps_r: dict[str, float] = {}
+    rep_r, wall_replay = _timed(
+        lambda: run_batch(
+            spark, sfxl, state_dir, run_ts=max_ts,
+            step_timer=lambda s, t: steps_r.__setitem__(s, t),
+        )
+    )
+    sink_digests_r = {
+        name: _tree_digest(os.path.join(state_dir, f"{name}.parquet"))
+        for name in sink_digests
+    }
+
+    # replay the dedup refresh too: re-ingesting the same batch must leave
+    # the edge state content-identical (the distinct membership guard)
+    next_edges_r = os.path.join(scratch, "edges-next-replay")
+    D.refresh_verified_star_edges(
+        bands, store, spark.read.parquet(next_edges), batch
+    ).write.parquet(next_edges_r)
+    edges_equal = content_hash(
+        spark.read.parquet(next_edges)
+    ) == content_hash(spark.read.parquet(next_edges_r))
+    phase("replay", {
+        "wall_s": wall_replay,
+        "steps": steps_r,
+        "appends": {
+            "prices": rep_r["prices_appended"],
+            "tx": rep_r["tx_appended"],
+            "routing": rep_r["routing_appended"],
+            "rollup_days": rep_r["rollup_days_touched"],
+        },
+        "append_sinks_byte_identical": sink_digests_r == sink_digests,
+        "stats_content_identical": content_hash(
+            ST.read_or_empty(spark, stats_path, _STATS_SCHEMA)
+        ) == stats_before,
+        "rollup_days_touched_on_replay": rep_r["rollup_days_touched"],
+        "dedup_edge_state_content_identical": edges_equal,
+        "note": "append sinks are BYTE-identical (untouched dirs); stats "
+        "is an OCC keep-latest snapshot — replay writes a new version "
+        "directory with identical CONTENT (stored-wins tie rule), so the "
+        "check there is the value hash; the rollup frontier makes the "
+        "replay interval empty (0 days touched, no write)",
+    })
+
+    ok = (
+        rep_r["prices_appended"] == 0
+        and rep_r["tx_appended"] == 0
+        and all(v == 0 for v in rep_r["routing_appended"].values())
+        and rep_r["rollup_days_touched"] == 0
+        and sink_digests_r == sink_digests
+        and edges_equal
+    )
+    out["replay_noop"] = ok
+    print(json.dumps(out, indent=1, default=str))
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

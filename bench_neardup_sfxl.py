@@ -2,7 +2,7 @@
 """Near-dup family at the 4.6 GiB SFXL scale — and a decade beyond.
 
 The dedup family is the engine's only super-linear component
-(SCALING.md: candidate-pair growth alpha ≈ 1.2) and round 4 never ran it
+(SCALE.md Appendix A: candidate-pair growth alpha ≈ 1.2) and round 4 never ran it
 at the footprint the joins/aggs were measured at. This measures it, with
 band parameters chosen by the tuner (`choose_minhash_params`) and recall
 VERIFIED on the corpus before committing to them — the protocol a 100 TB
@@ -132,6 +132,44 @@ def measure_recall(spark, docs, threshold: float = 0.8) -> dict:
     }
 
 
+def build_fastpath_state(spark, docs, root):
+    """verified_star_state(portable=False) — the xxhash64 fast path — with
+    parquet round-trips between stages so the shingle relation is computed
+    once. The store (8-byte hashed shingles) doubles as the signature
+    input, so NO raw-string relation is ever materialized: the portable
+    md5 pipeline's min(string) aggregation falls back to sort-based
+    aggregation and sort-spilled this 550 M-row build off a 250 GB disk;
+    min(long) hash-aggregates in place. The sf0.01 oracle checks the
+    portable mode; refresh ≡ full holds per mode. Shared by the daily-run
+    bench (bench_daily_sfxl.py). Returns per-stage walls."""
+    import shutil
+
+    from metrics_database_cron_script_spark.functions import dedup as D
+
+    shutil.rmtree(root, ignore_errors=True)
+    walls = {}
+    t0 = time.perf_counter()
+    D.word_shingles(docs, hashed=True).write.parquet(
+        os.path.join(root, "store")
+    )
+    walls["store_s"] = round(time.perf_counter() - t0, 3)
+    store = spark.read.parquet(os.path.join(root, "store"))
+    t0 = time.perf_counter()
+    nh = D.MINHASH_DEFAULTS.num_hashes
+    D.lsh_bands(D.minhash_signatures(store, nh), nh).write.parquet(
+        os.path.join(root, "bands")
+    )
+    walls["bands_s"] = round(time.perf_counter() - t0, 3)
+    bands = spark.read.parquet(os.path.join(root, "bands"))
+    t0 = time.perf_counter()
+    D.scored_star_edges(bands, store).write.parquet(
+        os.path.join(root, "edges")
+    )
+    walls["edges_s"] = round(time.perf_counter() - t0, 3)
+    walls["total_s"] = round(sum(walls.values()), 3)
+    return walls
+
+
 def run_verified_incremental(spark, decade_dir: str, phase_cb) -> None:
     """Round-7 verdict item 1, measurement half: the PRODUCTION daily
     verified-dedup job at the 12.8 M-doc decade corpus.
@@ -201,39 +239,7 @@ def run_verified_incremental(spark, decade_dir: str, phase_cb) -> None:
         }, (sig["h"], sig["n"])
 
     def build_state(docs, root):
-        """verified_star_state with parquet round-trips between stages so
-        the raw-shingle relation is computed once, not once per output
-        (550 M string rows are cheaper to write+rescan than to recompute
-        through the tokenize+distinct shuffle three times)."""
-        shutil.rmtree(root, ignore_errors=True)
-        walls = {}
-        raw = os.path.join(root, "shingles-raw")
-        t0 = time.perf_counter()
-        D.word_shingles(docs, hashed=False).write.parquet(raw)
-        walls["shingles_raw_s"] = round(time.perf_counter() - t0, 3)
-        sh = spark.read.parquet(raw)
-        t0 = time.perf_counter()
-        D.lsh_bands_portable(D.minhash_signatures_portable(sh)).write.parquet(
-            os.path.join(root, "bands")
-        )
-        walls["bands_s"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        sh.select("doc_id", F.xxhash64("shingle").alias("shingle")).write.parquet(
-            os.path.join(root, "store")
-        )
-        walls["store_s"] = round(time.perf_counter() - t0, 3)
-        bands = spark.read.parquet(os.path.join(root, "bands"))
-        store = spark.read.parquet(os.path.join(root, "store"))
-        t0 = time.perf_counter()
-        D.scored_star_edges(bands, store).write.parquet(
-            os.path.join(root, "edges")
-        )
-        walls["edges_s"] = round(time.perf_counter() - t0, 3)
-        # the raw shingle relation is scaffolding, not state — a real
-        # corpus keeps (bands, store, edges) only
-        shutil.rmtree(raw, ignore_errors=True)
-        walls["total_s"] = round(sum(walls.values()), 3)
-        return walls
+        return build_fastpath_state(spark, docs, root)
 
     def components_of(edges):
         good = (
@@ -256,8 +262,13 @@ def run_verified_incremental(spark, decade_dir: str, phase_cb) -> None:
         "wall_s": wall_full,
         "steps": walls_full,
         **fstats,
-        "note": "from-scratch daily run incl. state persistence; round-6 "
-        "compute-only measurement of the same components was 1351.9 s",
+        "mode": "xxhash64 fast path (8-byte shingle/band keys; the "
+        "portable md5 mode is what the sf0.01 oracle hash-checks)",
+        "note": "from-scratch daily run incl. state persistence; round-6's "
+        "1351.9 s compute-only decade_verified row used md5 signatures "
+        "with hashed verification keys — the fast path replaces the "
+        "sort-spilling min(string) aggregation with hash-aggregated "
+        "min(long)",
     })
 
     # ---- one-time corpus state build (replicas 0..2558) -------------------
@@ -296,7 +307,7 @@ def run_verified_incremental(spark, decade_dir: str, phase_cb) -> None:
         "refresh_vs_full": round(wall_refresh / wall_full, 3),
         **rstats,
         "components_match_full": rsig == fsig,
-        "note": "monotone batch (replica 2559; production append "
+        "note": "monotone batch (top replica; production append "
         "contract) → verification touches O(batch) pairs via pair-level "
         "score reuse; the refreshed edge state is WRITTEN (day N+1 "
         "input) inside edge_refresh_s; hub-displacement equivalence is "

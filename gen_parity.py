@@ -22,7 +22,10 @@ def main() -> None:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "03"
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     from metrics_database_cron_script_spark import get_spark
-    from metrics_database_cron_script_spark.oracle import check_query
+    from metrics_database_cron_script_spark.oracle import (
+        check_query,
+        driver_format,
+    )
     from metrics_database_cron_script_spark.plans import ORACLES, QUERIES
 
     spark = get_spark("gen_parity")
@@ -35,6 +38,10 @@ def main() -> None:
                 "rows_spark": r.get("rows_spark"),
                 "rows_oracle": r.get("rows_oracle"),
                 "check": "oracle" if name in ORACLES else "rows_only",
+                # the DRIVER's exact per-query check shape, so this
+                # artifact diffs mechanically against CORRECTNESS_r{N}.json
+                # (tests/test_oracle_parity.py asserts the overlap)
+                "driver": driver_format(r),
             }
             if not r["ok"]:
                 out[name]["detail"] = {

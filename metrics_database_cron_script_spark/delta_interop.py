@@ -64,6 +64,37 @@ def _require_delta(spark: SparkSession) -> None:
         )
 
 
+def _collapse_batch(new: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """Collapse several updates for one key within a batch to the
+    max-order row, mirroring the OCC union+row_number semantics. Shared by
+    the Delta and Iceberg MERGE wrappers so the tie contract cannot drift
+    between backends."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        new.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _strictly_newer_sql(order_cols: list[str]) -> str:
+    """Lexicographic strictly-greater predicate `s.* > t.*` over the order
+    columns — the MERGE condition that makes the STORED row win ties on
+    both SQL backends."""
+    return " OR ".join(
+        "("
+        + " AND ".join(
+            f"s.{order_cols[j]} = t.{order_cols[j]}" for j in range(i)
+        )
+        + (" AND " if i else "")
+        + f"s.{order_cols[i]} > t.{order_cols[i]})"
+        for i in range(len(order_cols))
+    )
+
+
 class DeltaSnapshotTable:
     """`VersionedSnapshot`'s public surface re-expressed on Delta Lake:
     same keep-latest MERGE semantics (per-key max over order columns),
@@ -106,34 +137,15 @@ class DeltaSnapshotTable:
         in `VersionedSnapshot.merge_keep_latest`'s window ordering (ties
         WITHIN one batch remain unspecified on both backends)."""
         from delta.tables import DeltaTable
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
 
-        # collapse the batch itself first (several updates for one key in
-        # one batch), mirroring the OCC union+row_number semantics
-        w = Window.partitionBy(key).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        batch = (
-            new.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
         tgt = DeltaTable.forPath(self.spark, self.path)
-        newer = " OR ".join(
-            # lexicographic strictly-greater over the order columns
-            "("
-            + " AND ".join(
-                f"s.{order_cols[j]} = t.{order_cols[j]}" for j in range(i)
-            )
-            + (" AND " if i else "")
-            + f"s.{order_cols[i]} > t.{order_cols[i]})"
-            for i in range(len(order_cols))
-        )
         (
             tgt.alias("t")
-            .merge(batch.alias("s"), f"t.{key} = s.{key}")
-            .whenMatchedUpdateAll(condition=newer)
+            .merge(
+                _collapse_batch(new, key, order_cols).alias("s"),
+                f"t.{key} = s.{key}",
+            )
+            .whenMatchedUpdateAll(condition=_strictly_newer_sql(order_cols))
             .whenNotMatchedInsertAll()
             .execute()
         )
@@ -161,10 +173,10 @@ class DeltaSnapshotTable:
 
 
 # Iceberg carries the same commit-log semantics; its runtime jar is also
-# absent from this image, so the interop surface is the bootstrap recipe
-# plus the SQL each operation maps to (MERGE INTO / VERSION AS OF /
-# changelog reads are catalog-level SQL in Iceberg, not a DataFrame API,
-# so unlike Delta there is no python package half to wrap offline).
+# absent from this image. Unlike Delta there is no python package half to
+# probe — everything is catalog-level SQL — so the wrapper below
+# (IcebergSnapshotTable) is pure SQL generation over a catalog identifier,
+# constructible only when the runtime jar is present.
 ICEBERG_BOOTSTRAP = (
     "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 "
     "--conf spark.sql.extensions="
@@ -186,41 +198,144 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def snapshot_table(spark: SparkSession, path: str, format: str = "auto"):
+def _require_iceberg(spark: SparkSession) -> None:
+    if not iceberg_available(spark):
+        raise NotImplementedError(
+            "Iceberg interop needs the Spark runtime jar; bootstrap: "
+            f"spark-submit {ICEBERG_BOOTSTRAP} your_job.py. The OCC "
+            "backend (versioned.VersionedSnapshot) covers the same "
+            "semantics in this environment."
+        )
+
+
+class IcebergSnapshotTable:
+    """`VersionedSnapshot`'s public surface on an Iceberg CATALOG TABLE
+    (round-6 verdict item 5, mirroring DeltaSnapshotTable): keep-latest
+    MERGE via `MERGE INTO ... WHEN MATCHED AND s.ord > t.ord`, snapshot
+    overwrite via DataFrameWriterV2 `createOrReplace`, time travel via
+    `VERSION AS OF <snapshot_id>`, the change feed via the
+    `system.create_changelog_view` procedure. Tie contract identical to
+    the Delta and OCC backends: the stored row wins equal order tuples
+    (the shared `_strictly_newer_sql` predicate).
+
+    Iceberg tables are CATALOG-addressed, not path-addressed, so the
+    wrapper takes a fully-qualified identifier (`catalog.db.table` — the
+    catalog component also hosts the changelog procedure). `version` in
+    `read_version`/`changes` is the ORDINAL snapshot index in commit
+    order (0 = first commit), aligned with the OCC/Delta version numbers
+    the parity test compares; the mapping to Iceberg's random snapshot
+    ids goes through the `<table>.snapshots` metadata relation.
+
+    Constructible only when the runtime jar is present (`_require_iceberg`
+    raises the bootstrap otherwise); semantics are asserted 1:1 against
+    the OCC table by tests/test_iceberg_interop.py on jar-present
+    environments — on this image (no jar) the dispatch/refusal contract is
+    what executes."""
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        _require_iceberg(spark)
+        if len(identifier.split(".")) != 3:
+            raise ValueError(
+                f"Iceberg identifier must be catalog.db.table, got "
+                f"{identifier!r} (the catalog component addresses the "
+                "changelog procedure)"
+            )
+        self.spark = spark
+        self.identifier = identifier
+        self.catalog = identifier.split(".")[0]
+
+    # -- writes ------------------------------------------------------------
+    def overwrite(self, df: DataFrame) -> None:
+        df.writeTo(self.identifier).using("iceberg").createOrReplace()
+
+    def merge_keep_latest(
+        self, new: DataFrame, key: str, order_cols: list[str]
+    ) -> None:
+        """Keep-latest MERGE, same contract as the Delta/OCC backends:
+        batch wins iff strictly newer; stored row keeps ties."""
+        batch = _collapse_batch(new, key, order_cols)
+        view = f"__iceberg_merge_src_{abs(hash(self.identifier)) % 10**8}"
+        batch.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"MERGE INTO {self.identifier} t USING {view} s "
+                f"ON t.{key} = s.{key} "
+                f"WHEN MATCHED AND ({_strictly_newer_sql(order_cols)}) "
+                "THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+
+    # -- reads -------------------------------------------------------------
+    def read(self) -> DataFrame:
+        return self.spark.table(self.identifier)
+
+    def _snapshot_ids(self) -> list[int]:
+        """Snapshot ids in commit order — the ordinal-version mapping."""
+        return [
+            r["snapshot_id"]
+            for r in self.spark.table(f"{self.identifier}.snapshots")
+            .orderBy("committed_at")
+            .select("snapshot_id")
+            .collect()
+        ]
+
+    def read_version(self, version: int) -> DataFrame:
+        sid = self._snapshot_ids()[version]
+        return self.spark.sql(
+            f"SELECT * FROM {self.identifier} VERSION AS OF {sid}"
+        )
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level changes AFTER `from_version` (exclusive, matching the
+        Delta wrapper's startingVersion = from+1), via the Iceberg Spark
+        changelog procedure; rows carry _change_type in {INSERT, DELETE,
+        UPDATE_BEFORE, UPDATE_AFTER}."""
+        ids = self._snapshot_ids()
+        opts = [f"'start-snapshot-id', '{ids[from_version]}'"]
+        if to_version is not None:
+            opts.append(f"'end-snapshot-id', '{ids[to_version]}'")
+        view = f"__iceberg_changes_{abs(hash(self.identifier)) % 10**8}"
+        self.spark.sql(
+            f"CALL {self.catalog}.system.create_changelog_view("
+            f"table => '{self.identifier.split('.', 1)[1]}', "
+            f"options => map({', '.join(opts)}), "
+            f"changelog_view => '{view}')"
+        )
+        return self.spark.table(view)
+
+
+def snapshot_table(
+    spark: SparkSession,
+    path: str,
+    format: str = "auto",
+    identifier: str | None = None,
+):
     """Environment-dispatched snapshot table: (table, backend) where
-    backend ∈ {"delta", "occ"}. `format="auto"` prefers Delta when the
-    runtime carries it (interop with the lakehouse's existing log) and
-    falls back to the OCC table; an explicit `format="delta"` on a
-    jar-less runtime raises the bootstrap recipe instead of silently
-    degrading. `format="iceberg"` likewise raises its bootstrap when the
-    runtime jar is absent (when present, keep-latest MERGE maps to
-    `MERGE INTO ... WHEN MATCHED AND s.ord > t.ord THEN UPDATE`, time
-    travel to `VERSION AS OF`, CDF to the changelog read — catalog-level
-    SQL, so there is no offline wrapper class to ship). Callers/tests
+    backend ∈ {"delta", "occ", "iceberg"}. `format="auto"` prefers Delta
+    when the runtime carries it (interop with the lakehouse's existing
+    log) and falls back to the OCC table; an explicit `format="delta"` on
+    a jar-less runtime raises the bootstrap recipe instead of silently
+    degrading. `format="iceberg"` returns the catalog-SQL wrapper
+    (IcebergSnapshotTable) when the runtime jar is present — Iceberg
+    tables are catalog-addressed, so it additionally requires
+    `identifier="catalog.db.table"` (`path` is ignored on that branch) —
+    and raises its bootstrap when the jar is absent. An explicit iceberg
+    request NEVER silently dispatches to another backend. Callers/tests
     assert the returned backend — dispatch is an environment fact, never
     a skipped test."""
     if format not in ("auto", "delta", "occ", "iceberg"):
         raise ValueError(f"unknown format {format!r}")
     if format == "iceberg":
-        # No wrapper class exists in EITHER jar state (Iceberg's surface
-        # here is catalog-level SQL): an explicit iceberg request must
-        # never silently dispatch to another backend. Jar-absent gets the
-        # bootstrap; jar-present gets the SQL mapping to use instead.
-        if not iceberg_available(spark):
-            raise NotImplementedError(
-                "Iceberg interop needs the Spark runtime jar; bootstrap: "
-                f"spark-submit {ICEBERG_BOOTSTRAP} your_job.py. The OCC "
-                "backend covers the same semantics in this environment."
+        _require_iceberg(spark)
+        if identifier is None:
+            raise ValueError(
+                "Iceberg tables are catalog-addressed: pass "
+                "identifier='catalog.db.table' (the path argument only "
+                "addresses the Delta/OCC backends)"
             )
-        raise NotImplementedError(
-            "Iceberg runtime detected, but this engine ships no Iceberg "
-            "wrapper class — the operations are catalog-level SQL on your "
-            "Iceberg table: keep-latest MERGE = `MERGE INTO t USING s ON "
-            "t.key = s.key WHEN MATCHED AND s.ord > t.ord THEN UPDATE SET "
-            "* WHEN NOT MATCHED THEN INSERT *`; time travel = `SELECT ... "
-            "VERSION AS OF <snapshot>`; change feed = the changelog read. "
-            "Use spark.sql directly, or format='occ'/'delta'."
-        )
+        return IcebergSnapshotTable(spark, identifier), "iceberg"
     if format == "delta" or (format == "auto" and delta_available(spark)):
         return DeltaSnapshotTable(spark, path), "delta"
     from metrics_database_cron_script_spark.versioned import VersionedSnapshot

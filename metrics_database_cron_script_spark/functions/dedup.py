@@ -64,7 +64,7 @@ def choose_minhash_params(
     Ties at equal num_hashes prefer LARGER band_size: a steeper S-curve
     cuts more sub-threshold candidate mass at the same hash budget, and
     candidate verification is the term that grows super-linearly at
-    corpus scale (SCALING.md alpha ≈ 1.2). Raises when no banding within
+    corpus scale (SCALE.md Appendix A, alpha ≈ 1.2). Raises when no banding within
     max_hashes satisfies both constraints — silently returning the
     closest miss would under-deliver recall on a 100 TB run where the
     re-run costs days."""
@@ -545,8 +545,10 @@ def connected_components(
        of a percent the size). This phase costs ~2 passes over the full
        edge set, total.
     2. ITERATE on the residual: min-label propagation with two pointer
-       jumps per round (path halving — propagation distance ~×8 per
-       round, so long chains converge in O(log diameter) rounds) until a
+       jumps per round (one neighbor-min hop, then two pointer-jump
+       doublings — propagation distance ~×4 per round, so long chains
+       converge in O(log diameter) rounds; measured: a 10^6-node path
+       converges in 11 rounds ≈ log4(10^6) + 1) until a
        fixpoint. Every round here touches only residual-sized data; pure
        per-round propagation at FULL scale was measured at ~25 s × 30+
        rounds on the decade graph, which is why the collapse phase exists.
@@ -570,7 +572,8 @@ def connected_components(
     resolves every member to the true min. Raises (never returns partial
     labels — they would silently keep duplicate representatives) if the
     residual doesn't converge within `max_iterations` rounds; coverage is
-    ~8^rounds hops, so the cap only trips on adversarial graphs.
+    ~4^rounds hops, so the default cap of 50 only trips on graphs beyond
+    any physical corpus (diameter > 4^49).
 
     Input: (doc_a, doc_b) undirected edges. Output: (doc_id, component)
     where component = min doc_id reachable. `on_round`, when given,
@@ -710,7 +713,7 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            "iterations on the contracted residual (coverage ~8^rounds "
+            "iterations on the contracted residual (coverage ~4^rounds "
             "hops) — raise max_iterations"
         )
 
@@ -982,12 +985,19 @@ def scored_star_edges(
     else:
         hits, misses = None, edges
     pairs = misses.select("doc_a", "doc_b").distinct()
-    ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    needed = shingles.select("doc_id", "shingle").join(ids, "doc_id", "leftsemi")
+    needed = shingles.select("doc_id", "shingle")
+    if reuse_scores is not None:
+        # refresh path: new-pair endpoints are FEW (O(batch)), so the
+        # semi-join keeps the store scan from feeding whole-corpus rows
+        # into the verification shuffle. In the full build (no reuse)
+        # nearly every doc is an endpoint and the restriction would only
+        # add a full-store shuffle — skip it there.
+        ids = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        needed = needed.join(ids, "doc_id", "leftsemi")
     scored = verified_jaccard(needed, pairs)
     out = (
         misses.join(scored, ["doc_a", "doc_b"], "left")
@@ -997,11 +1007,50 @@ def scored_star_edges(
     return out if hits is None else hits.unionByName(out)
 
 
+def lsh_bands(
+    sigs: DataFrame,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
+) -> DataFrame:
+    """Non-portable twin of `lsh_bands_portable` over `minhash_signatures`
+    output (minhash_i long columns): band_sig = xxhash64 of the band's
+    minhashes — an 8-BYTE index key instead of the portable path's
+    32-hex-char concatenation. This is the production band-index shape:
+    at the 12.8 M-doc decade corpus the 51 M-row index shrinks ~3× and
+    every banding join shuffles longs. The portable (md5) path stays the
+    oracle-checkable pipeline; this one is for scale runs."""
+    if num_hashes is None:
+        num_hashes = MINHASH_DEFAULTS.num_hashes
+    if band_size is None:
+        band_size = MINHASH_DEFAULTS.band_size
+    if num_hashes % band_size:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by band_size={band_size}"
+        )
+    n_bands = num_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[
+                    F.col(f"minhash_{b * band_size + j}")
+                    for j in range(band_size)
+                ]
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
+
+
 def verified_star_state(
     docs: DataFrame,
     num_hashes: int | None = None,
     band_size: int | None = None,
     shingles: DataFrame | None = None,
+    portable: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One-time state build for the verified incremental dedup path
     (round-6 verdict item 1): returns the three relations a production
@@ -1017,17 +1066,44 @@ def verified_star_state(
     Scores are stored UNFILTERED so a threshold change never forces
     re-verification.
 
-    `shingles` accepts a pre-persisted `word_shingles(docs, hashed=False)`
-    relation — the raw strings feed the portable signature aggregation,
-    the store keeps only their 8-byte hashes. Callers writing all three
-    outputs should persist it first (two consumers)."""
+    Two hash modes, same shapes:
+
+    - `portable=True` (default): md5-prefix signatures over RAW string
+      shingles, hex band_sigs — every intermediate reproducible in DuckDB,
+      so the sf0.01 oracle can hash-check the whole pipeline. `shingles`
+      accepts a pre-persisted `word_shingles(docs, hashed=False)`; the
+      store keeps only its 8-byte xxhash64 image.
+    - `portable=False`: the PRODUCTION fast path — shingles are hashed at
+      birth (`word_shingles(hashed=True)`), signatures are
+      `min(xxhash64(shingle, seed))` over longs (pure HashAggregate; the
+      md5-string aggregation falls back to sort-based aggregation and
+      sort-spilled the 12.8 M-doc decade build off a 250 GB disk), and
+      band_sigs are 8-byte xxhash64 (`lsh_bands`). The store IS the
+      signature input — one shingle relation, no raw strings anywhere.
+      Banding differs from the portable mode (different hash family), so
+      candidate sets differ slightly; the Jaccard guard makes both modes'
+      precision equivalent, and refresh ≡ full holds per mode.
+
+    Callers writing all three outputs should persist/round-trip the
+    shingle relation first (two consumers in portable mode, signature +
+    verification consumers in both)."""
+    if portable:
+        if shingles is None:
+            shingles = word_shingles(docs, hashed=False)
+        bands = lsh_bands_portable(
+            minhash_signatures_portable(shingles, num_hashes),
+            num_hashes,
+            band_size,
+        )
+        store = shingles.select(
+            "doc_id", F.xxhash64("shingle").alias("shingle")
+        )
+        return bands, store, scored_star_edges(bands, store)
     if shingles is None:
-        shingles = word_shingles(docs, hashed=False)
-    bands = lsh_bands_portable(
-        minhash_signatures_portable(shingles, num_hashes), num_hashes, band_size
-    )
-    store = shingles.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    return bands, store, scored_star_edges(bands, store)
+        shingles = word_shingles(docs, hashed=True)
+    nh = num_hashes if num_hashes is not None else MINHASH_DEFAULTS.num_hashes
+    bands = lsh_bands(minhash_signatures(shingles, nh), nh, band_size)
+    return bands, shingles, scored_star_edges(bands, shingles)
 
 
 def refresh_verified_star_edges(
@@ -1058,14 +1134,36 @@ def refresh_verified_star_edges(
 
     A batch doc already present in the index contributes duplicate
     posting rows; membership is `distinct()`-ed so re-ingest cannot
-    double edge rows."""
+    double edge rows.
+
+    The hash MODE is inferred from the persisted index itself — a hex
+    (string) band_sig means the portable md5 pipeline built it, an 8-byte
+    (bigint) band_sig means the xxhash64 fast path did — so the batch's
+    signatures are always computed in the keyspace the index lives in and
+    the two modes cannot be silently mixed."""
+    portable = dict(index_bands.dtypes).get("band_sig") == "string"
     if batch_shingles is None:
-        batch_shingles = word_shingles(batch_docs, hashed=False)
-    batch_bands = lsh_bands_portable(
-        minhash_signatures_portable(batch_shingles, num_hashes),
-        num_hashes,
-        band_size,
-    )
+        batch_shingles = word_shingles(batch_docs, hashed=not portable)
+    if portable:
+        batch_bands = lsh_bands_portable(
+            minhash_signatures_portable(batch_shingles, num_hashes),
+            num_hashes,
+            band_size,
+        )
+    else:
+        if dict(batch_shingles.dtypes).get("shingle") != "bigint":
+            raise ValueError(
+                "fast-path index (bigint band_sig) needs hashed batch "
+                "shingles (word_shingles(hashed=True)); got strings"
+            )
+        nh = (
+            num_hashes
+            if num_hashes is not None
+            else MINHASH_DEFAULTS.num_hashes
+        )
+        batch_bands = lsh_bands(
+            minhash_signatures(batch_shingles, nh), nh, band_size
+        )
     touched = batch_bands.select("band", "band_sig").distinct()
     members = (
         index_bands.select("doc_id", "band", "band_sig")
@@ -1116,8 +1214,10 @@ def minhash_components_verified_refresh(
 
     The batch shingle relation feeds two consumers (signatures and the
     verification side), so it is persisted here and released after
-    `connected_components` materializes its loop state eagerly."""
-    batch_sh = word_shingles(batch_docs, hashed=False).persist()
+    `connected_components` materializes its loop state eagerly. Hash mode
+    follows the persisted index (see refresh_verified_star_edges)."""
+    portable = dict(index_bands.dtypes).get("band_sig") == "string"
+    batch_sh = word_shingles(batch_docs, hashed=not portable).persist()
     try:
         edges = refresh_verified_star_edges(
             index_bands,

@@ -552,3 +552,66 @@ def ahash_from_blobs(blobs: DataFrame) -> DataFrame:
     return blobs.select("doc_id", "payload").mapInPandas(
         _ahash_batches, schema=AHASH_SCHEMA
     )
+
+
+def phash_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """NEAR-duplicate image pairs from perceptual hashes — the multimodal
+    twin of the text near-dup family (round-6 verdict item 4): exact-match
+    grouping (x_phash_dedup) only catches identical 64-bit hashes, but a
+    re-encoded / slightly-edited image differs by a few bits. Hamming-chunk
+    LSH, same shape as `dedup.simhash_near_dups`: the 64-bit hash splits
+    into 4 chunks of 16 bits; any pair agreeing on at least one chunk is a
+    candidate (pigeonhole: hamming ≤ 3 is caught with certainty, wider is
+    best-effort), verified by exact Hamming distance.
+
+    `hashes` is `ahash_from_blobs` output — (doc_id, phash) with phash a
+    64-char '0'/'1' string. Chunks join as 16-char strings; verification
+    converts each 16-bit chunk via `conv(_, 2, 10)` and sums
+    `bit_count(xor)` — all codegen'd, no per-position higher-order
+    function. At corpus scale the equi-join shuffles (chunk_id, 16-bit
+    chunk) keys; bucket growth is bounded by image-corpus near-dup
+    structure the same way LSH bands are for text (SCALE.md §images).
+    Returns (doc_a, doc_b, hamming ≤ max_hamming)."""
+    chunks = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_id"),
+                        F.substring("phash", j * 16 + 1, 16).alias("chunk"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "phash", "c.chunk_id", "c.chunk")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"),
+        "chunk_id", "chunk",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"),
+        "chunk_id", "chunk",
+    )
+    pairs = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = None
+    for j in range(4):
+        term = F.bit_count(
+            F.conv(F.substring("ph_a", j * 16 + 1, 16), 2, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("ph_b", j * 16 + 1, 16), 2, 10).cast("long")
+            )
+        )
+        ham = term if ham is None else ham + term
+    return (
+        pairs.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

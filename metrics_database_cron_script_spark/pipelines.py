@@ -251,10 +251,17 @@ def run_batch(
     sf_dir: str,
     state_dir: str,
     run_ts: datetime.datetime | None = None,
+    step_timer=None,
 ) -> dict[str, object]:
     """The cron-equivalent driver (updatescript.py:221-241), re-ordered so the
     watermark commit is the LAST effect. Explicit `run_ts` (reference's
-    datetime.now(), :224) keeps runs replayable."""
+    datetime.now(), :224) keeps runs replayable. `step_timer(step_name,
+    seconds)`, when given, receives each pipeline step's wall clock —
+    bench_daily_sfxl.py instruments the REAL driver with it instead of
+    re-implementing the sequence (and its ordering guarantees) in a
+    harness."""
+    import time as _time
+
     os.makedirs(state_dir, exist_ok=True)
     events = load_table(spark, sf_dir, "events")
     wm_store = ST.Watermark(spark, state_dir)
@@ -272,12 +279,29 @@ def run_batch(
             "empty_source": True,
         }
 
+    def timed(step, fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        if step_timer is not None:
+            step_timer(step, round(_time.perf_counter() - t0, 3))
+        return out
+
     report: dict[str, object] = {"watermark_in": watermark}
-    report["prices_appended"] = update_prices(spark, events, state_dir)
-    report["tx_appended"] = update_tx_enriched(spark, events, state_dir, watermark)
-    update_stats(spark, events, state_dir, run_ts)
-    report["routing_appended"] = update_routing(spark, events, state_dir, watermark)
-    report["rollup_days_touched"] = update_rollup(spark, events, state_dir, run_ts)
-    wm_store.commit(run_ts)  # LAST, after every sink (fixes §3 hazard)
+    report["prices_appended"] = timed(
+        "p1_prices", lambda: update_prices(spark, events, state_dir)
+    )
+    report["tx_appended"] = timed(
+        "p2_tx_enriched",
+        lambda: update_tx_enriched(spark, events, state_dir, watermark),
+    )
+    timed("p3_stats", lambda: update_stats(spark, events, state_dir, run_ts))
+    report["routing_appended"] = timed(
+        "p5_routing", lambda: update_routing(spark, events, state_dir, watermark)
+    )
+    report["rollup_days_touched"] = timed(
+        "p6_rollup", lambda: update_rollup(spark, events, state_dir, run_ts)
+    )
+    timed("watermark_commit", lambda: wm_store.commit(run_ts))
+    # LAST, after every sink (fixes §3 hazard)
     report["watermark_out"] = run_ts
     return report

@@ -624,10 +624,10 @@ def x_multimodal_decode(spark, sf_dir):
     return M.decode_pixel_stats(M.synthetic_bmp_blobs(docs))
 
 
-@query(
-    "x_phash_dedup",
-    oracle="""
-WITH dims AS (
+# doc_id → 64-char aHash bitstring, recomputed from the synthetic pixel
+# FORMULA alone (never from the decode path under test) — shared by the
+# exact-match dedup oracle and the hamming-LSH near-dup oracle.
+_PHASH_CTE = """dims AS (
   SELECT doc_id, 8 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents
 ), px AS (
   SELECT d.doc_id, d.w, d.h, x.x AS x, y.y AS y,
@@ -658,7 +658,14 @@ WITH dims AS (
 ), ph AS (
   SELECT doc_id, string_agg(bit, '' ORDER BY by, bx) AS phash
   FROM bits GROUP BY doc_id
-)
+)"""
+
+
+@query(
+    "x_phash_dedup",
+    oracle="WITH "
+    + _PHASH_CTE
+    + """
 SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS rep_doc
 FROM ph GROUP BY phash""",
 )
@@ -678,6 +685,40 @@ def x_phash_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("rep_doc"),
     )
+
+
+@query(
+    "x_phash_neardup",
+    oracle="WITH "
+    + _PHASH_CTE
+    + """, pchunks AS (
+  SELECT doc_id, phash, j.j AS chunk_id,
+         substr(phash, j.j * 16 + 1, 16) AS chunk
+  FROM ph, (SELECT unnest(generate_series(0, 3)) AS j) j
+), pcandimg AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM pchunks a
+  JOIN pchunks b ON b.chunk_id = a.chunk_id AND b.chunk = a.chunk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming(ph_a, ph_b) AS BIGINT) AS hamming
+FROM pcandimg WHERE hamming(ph_a, ph_b) <= 6""",
+)
+def x_phash_neardup(spark, sf_dir):
+    """Round-6 verdict item 4: NEAR-duplicate image pairs — the multimodal
+    twin of the text near-dup family. Every image really decodes
+    (multimodal.decode_bmp) into the integer-exact 64-bit aHash, then
+    hamming-chunk LSH (4 × 16-bit chunks, the simhash_near_dups shape —
+    multimodal.phash_near_dups) generates candidates and exact Hamming
+    distance ≤ 6 verifies them. The oracle recomputes every hash bit from
+    the pixel formula, re-derives the SAME chunk banding, and scores with
+    DuckDB's hamming() — a decode, banding, or distance bug on either side
+    cannot hash-match. Exact-match grouping (x_phash_dedup) is the
+    degenerate hamming-0 subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = M.ahash_from_blobs(M.synthetic_bmp_blobs(docs))
+    return M.phash_near_dups(hashes, max_hamming=6)
 
 
 @query(

@@ -377,9 +377,11 @@ def r_agg_maintenance(spark, sf_dir):
     return R.incremental_agg_merge(load_table(spark, sf_dir, "events"))
 
 
-@query(
-    "r_rest_price_dim_pyds",
-    oracle="""
+# Shared by r_rest_price_dim_pyds (batch, executor-parallel fetch) and
+# s_stream_exec_rest (streaming microbatches over the same list): one URL
+# constructor and ONE oracle, so the two modalities of the source are
+# hash-checked against each other through identical SQL.
+REST_PRICE_PYDS_ORACLE = """
 WITH span AS (
   SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events
 ), days AS (
@@ -396,21 +398,15 @@ SELECT key,
                 i -> (strpos('0123456789abcdef', substr(md5(url), i+1, 1)) - 1)
                      * 16**(7-i)))
               AS BIGINT) % 100000) / 100.0, 2) AS price
-FROM urls""",
-)
-def r_rest_price_dim_pyds(spark, sf_dir):
-    """R6/R7 through the Python DataSource (sources/pyds.py): the day-spine
-    URL list (R21 unpadded d-m-Y format, updatescript.py:39) is fetched
-    partition-parallel on EXECUTORS via `spark.read.format('rest_point')`
-    instead of a driver loop — the scale path for a large URL list. The
-    bundled offline fetcher derives each price from md5(url), which the
-    oracle recomputes digit-by-digit in SQL, so the whole source — URL
-    construction, partitioned fetch, JSON path extraction — is
-    value-hash-checked. The day span comes from one 1-row min/max
-    aggregate (driver-side URL construction is the source's nature, R6)."""
+FROM urls"""
+
+
+def day_spine_urls(spark, sf_dir):
+    """The R6 day-spine URL list [(iso_day, history_url), ...] between the
+    events table's min/max day — one 1-row aggregate plus driver-side URL
+    construction (the source's nature: day-cardinality)."""
     import datetime
 
-    from metrics_database_cron_script_spark.sources.pyds import rest_point_frame
     from metrics_database_cron_script_spark.sources.rest import unpadded_dmy
 
     ev = load_table(spark, sf_dir, "events")
@@ -421,10 +417,26 @@ def r_rest_price_dim_pyds(spark, sf_dir):
         row["lo"] + datetime.timedelta(days=i)
         for i in range((row["hi"] - row["lo"]).days + 1)
     ]
-    urls = [
+    return [
         (d.isoformat(), f"https://api.example.test/history/{unpadded_dmy(d)}")
         for d in days
     ]
+
+
+@query("r_rest_price_dim_pyds", oracle=REST_PRICE_PYDS_ORACLE)
+def r_rest_price_dim_pyds(spark, sf_dir):
+    """R6/R7 through the Python DataSource (sources/pyds.py): the day-spine
+    URL list (R21 unpadded d-m-Y format, updatescript.py:39) is fetched
+    partition-parallel on EXECUTORS via `spark.read.format('rest_point')`
+    instead of a driver loop — the scale path for a large URL list. The
+    bundled offline fetcher derives each price from md5(url), which the
+    oracle recomputes digit-by-digit in SQL, so the whole source — URL
+    construction, partitioned fetch, JSON path extraction — is
+    value-hash-checked. The day span comes from one 1-row min/max
+    aggregate (driver-side URL construction is the source's nature, R6)."""
+    from metrics_database_cron_script_spark.sources.pyds import rest_point_frame
+
+    urls = day_spine_urls(spark, sf_dir)
     return rest_point_frame(spark, urls, "$.market_data.current_price.usd").select(
         "key", F.round("value", 2).alias("price")
     )

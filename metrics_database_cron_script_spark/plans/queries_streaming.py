@@ -506,3 +506,51 @@ def s_stream_exec_enrich(spark, sf_dir):
     return run_streaming_enrichment(
         spark, sf_dir, query_name=f"s_exec_enrich_{uuid.uuid4().hex[:8]}"
     )
+
+
+def _rest_stream_oracle():
+    from metrics_database_cron_script_spark.plans.queries_reference import (
+        REST_PRICE_PYDS_ORACLE,
+    )
+
+    return REST_PRICE_PYDS_ORACLE
+
+
+@query("s_stream_exec_rest", oracle=_rest_stream_oracle())
+def s_stream_exec_rest(spark, sf_dir):
+    """Sixth STREAM-EXECUTED gate entry (round-6 verdict item 3), closing
+    the one modality the REST source lacked: the R6/R7 day-spine feed
+    consumed through the Spark-4 Python DataSource STREAMING API
+    (sources/pyds.py RestPointStreamReader — offsets are indices into the
+    URL list, so restarts resume at the first unfetched day) instead of a
+    one-shot batch read. Microbatches of 8 URLs drain append-mode into a
+    memory sink via processAllAvailable; the result is hash-checked
+    against the IDENTICAL md5-price oracle as the batch
+    r_rest_price_dim_pyds — the two modalities of the source must agree
+    byte-for-byte on every (day, price) row."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.plans.queries_reference import (
+        day_spine_urls,
+    )
+    from metrics_database_cron_script_spark.sources.pyds import (
+        rest_point_stream,
+    )
+
+    prices = rest_point_stream(
+        spark, day_spine_urls(spark, sf_dir), "$.market_data.current_price.usd"
+    ).select("key", F.round("value", 2).alias("price"))
+    name = f"s_exec_rest_{uuid.uuid4().hex[:8]}"
+    q = (
+        prices.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

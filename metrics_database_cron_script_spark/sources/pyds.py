@@ -25,7 +25,12 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 FORMAT_NAME = "rest_point"
 
@@ -70,9 +75,55 @@ class RestPointReader(DataSourceReader):
             yield (key, fetch(url))
 
 
+class RestPointStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the REST source (round-6 verdict item 3): the
+    day-spine URL list consumed as MICROBATCHES of `batchSize` urls, with
+    the stream OFFSET = the index into the list. That makes the source a
+    real Structured Streaming citizen: offsets checkpoint/restart exactly
+    (an interrupted run resumes at the first unfetched URL), and replay of
+    a committed range (`readBetweenOffsets`) re-fetches deterministically
+    — sound for the history endpoint because each URL names an immutable
+    past day (R6's contract; a mutable endpoint would need the fetch
+    payloads checkpointed instead, which is the WAL-sink job, not the
+    source's). New days append to the list in a live deployment, so the
+    latest offset keeps advancing exactly like a file-source listing.
+
+    SimpleDataSourceStreamReader runs driver-side — the right half of the
+    trade for a day-cardinality feed (one HTTP call per day per batch);
+    the partition-parallel executor fetch stays the BATCH reader's job."""
+
+    def __init__(self, options):
+        self.urls = json.loads(options["urls"])
+        self.fetcher_ref = options["fetcher"]
+        self.batch_size = int(options.get("batchSize", "8"))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, i: int, j: int):
+        fetch = resolve_fetcher(self.fetcher_ref)
+        return iter([(key, fetch(url)) for key, url in self.urls[i:j]])
+
+    def read(self, start):
+        i = int(start["i"])
+        j = min(len(self.urls), i + max(1, self.batch_size))
+        return self._rows(i, j), {"i": j}
+
+    def readBetweenOffsets(self, start, end):
+        # replay after restart: same urls → same deterministic payloads
+        return self._rows(int(start["i"]), int(end["i"]))
+
+    def commit(self, end):
+        # nothing to release: the URL list is immutable input, offsets are
+        # plain indices, and the fetcher holds no per-range resources
+        pass
+
+
 class RestPointDataSource(DataSource):
     """format('rest_point'): options urls (JSON [[key, url], ...]),
-    fetcher ('module:attr'), numPartitions."""
+    fetcher ('module:attr'), numPartitions (batch) / batchSize (stream).
+    Readable as a batch source (executor-parallel fetch) AND as a
+    streaming source (offset-checkpointed microbatches over the list)."""
 
     @classmethod
     def name(cls):
@@ -83,6 +134,9 @@ class RestPointDataSource(DataSource):
 
     def reader(self, schema):
         return RestPointReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return RestPointStreamReader(self.options)
 
 
 def register(spark: SparkSession) -> None:
@@ -107,6 +161,35 @@ def rest_point_frame(
         .option("urls", json.dumps([list(p) for p in urls]))
         .option("fetcher", fetcher_ref)
         .option("numPartitions", str(num_partitions))
+        .load()
+    )
+    return raw.select(
+        "key",
+        F.get_json_object(F.col("payload"), json_path)
+        .cast("double")
+        .alias(value_alias),
+    )
+
+
+def rest_point_stream(
+    spark: SparkSession,
+    urls,
+    json_path: str,
+    fetcher_ref: str = f"{__name__}:deterministic_fake_fetch",
+    value_alias: str = "value",
+    batch_size: int = 8,
+) -> DataFrame:
+    """Streaming twin of `rest_point_frame`: the same DataFrame[key, value]
+    contract as an unbounded `readStream` — microbatches of `batch_size`
+    URLs, offsets = list indices (RestPointStreamReader). Feed it to any
+    writeStream sink; tests drain it with processAllAvailable into a
+    memory sink and hash-check against the BATCH source's oracle."""
+    register(spark)
+    raw = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("urls", json.dumps([list(p) for p in urls]))
+        .option("fetcher", fetcher_ref)
+        .option("batchSize", str(batch_size))
         .load()
     )
     return raw.select(

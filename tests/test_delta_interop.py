@@ -89,17 +89,29 @@ def test_backend_parity_or_dispatch(spark, tmp_path):
 def test_iceberg_dispatch(spark, tmp_path):
     from metrics_database_cron_script_spark.delta_interop import (
         ICEBERG_BOOTSTRAP,
+        IcebergSnapshotTable,
         iceberg_available,
         snapshot_table,
     )
 
-    # an explicit iceberg request NEVER silently dispatches elsewhere: no
-    # wrapper class exists in either jar state — jar-absent raises the
-    # bootstrap, jar-present raises the catalog-SQL mapping to use instead
-    with pytest.raises(NotImplementedError) as exc:
-        snapshot_table(spark, str(tmp_path / "ice"), format="iceberg")
+    # an explicit iceberg request NEVER silently dispatches elsewhere:
+    # jar-absent raises the bootstrap; jar-present returns the catalog-SQL
+    # wrapper (round-7 verdict item 5) — which additionally requires a
+    # catalog identifier, since Iceberg tables are not path-addressed
     if iceberg_available(spark):
-        assert "MERGE INTO" in str(exc.value)
+        table, backend = snapshot_table(
+            spark, str(tmp_path / "ice"), format="iceberg",
+            identifier="local.db.ice",
+        )
+        assert backend == "iceberg"
+        assert isinstance(table, IcebergSnapshotTable)
+        with pytest.raises(ValueError, match="catalog-addressed"):
+            snapshot_table(spark, str(tmp_path / "ice"), format="iceberg")
     else:
+        with pytest.raises(NotImplementedError) as exc:
+            snapshot_table(
+                spark, str(tmp_path / "ice"), format="iceberg",
+                identifier="local.db.ice",
+            )
         assert "iceberg-spark-runtime" in str(exc.value)
     assert "IcebergSparkSessionExtensions" in ICEBERG_BOOTSTRAP

@@ -1,0 +1,183 @@
+"""Iceberg interop (round-7 verdict item 5), mirroring
+tests/test_delta_interop.py's structure: on jar-present environments the
+Iceberg-backed snapshot table must agree 1:1 with the OCC table on
+keep-latest MERGE, overwrite, time travel and the change feed; on this
+image (no iceberg-spark-runtime jar) the DISPATCH/refusal contract itself
+is asserted, plus everything about the wrapper that is testable WITHOUT a
+JVM-side Iceberg — the generated MERGE SQL and the shared tie predicate —
+so a SQL-generation regression fails here, not only on a cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from metrics_database_cron_script_spark.delta_interop import (
+    ICEBERG_BOOTSTRAP,
+    IcebergSnapshotTable,
+    _collapse_batch,
+    _strictly_newer_sql,
+    iceberg_available,
+    snapshot_table,
+)
+from metrics_database_cron_script_spark.versioned import VersionedSnapshot
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_dispatch_matches_environment(spark, tmp_path):
+    """Explicit iceberg: jar-present → the wrapper; jar-absent → the
+    bootstrap recipe. Never a silent fallback to another backend."""
+    if iceberg_available(spark):
+        table, backend = snapshot_table(
+            spark, str(tmp_path), format="iceberg", identifier="local.db.t"
+        )
+        assert backend == "iceberg"
+        assert isinstance(table, IcebergSnapshotTable)
+    else:
+        with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+            IcebergSnapshotTable(spark, "local.db.t")
+        with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+            snapshot_table(
+                spark, str(tmp_path), format="iceberg", identifier="local.db.t"
+            )
+    assert "IcebergSparkSessionExtensions" in ICEBERG_BOOTSTRAP
+
+
+def test_strictly_newer_predicate_shared_with_delta(spark):
+    """The MERGE condition both SQL backends use: lexicographic strict >
+    over the order columns — stored row wins ties. Evaluated HERE against
+    Spark SQL (no Iceberg needed: it's plain boolean SQL), so the tie
+    contract is executable evidence on this image."""
+    pred = _strictly_newer_sql(["ver", "seq"])
+    assert pred == "(s.ver > t.ver) OR (s.ver = t.ver AND s.seq > t.seq)"
+    df = spark.createDataFrame(
+        [
+            (2, 1, 1, 1, True),   # s.ver > t.ver
+            (1, 2, 1, 1, True),   # tie on ver, s.seq > t.seq
+            (1, 1, 1, 1, False),  # full tie → stored row wins (False)
+            (0, 9, 1, 1, False),  # s older on the major column
+        ],
+        "sver int, sseq int, tver int, tseq int, expect boolean",
+    )
+    df.createOrReplaceTempView("tie_cases")
+    got = spark.sql(
+        "SELECT expect, "
+        + pred.replace("s.ver", "sver")
+        .replace("s.seq", "sseq")
+        .replace("t.ver", "tver")
+        .replace("t.seq", "tseq")
+        + " AS actual FROM tie_cases"
+    ).collect()
+    for r in got:
+        assert r["actual"] == r["expect"]
+
+
+def test_collapse_batch_matches_occ_semantics(spark):
+    """The shared batch-collapse keeps the max-order row per key — the
+    same pre-step the OCC merge's union+row_number performs."""
+    new = spark.createDataFrame(
+        [(1, 1, "a"), (1, 3, "c"), (1, 2, "b"), (2, 1, "x")],
+        "k int, ver int, v string",
+    )
+    got = {
+        (r["k"], r["ver"], r["v"])
+        for r in _collapse_batch(new, "k", ["ver"]).collect()
+    }
+    assert got == {(1, 3, "c"), (2, 1, "x")}
+
+
+def test_merge_sql_shape(spark, monkeypatch):
+    """Jar-less executable check of the WRAPPER's SQL generation: stub the
+    jar probe and capture the MERGE statement — the exact string a
+    jar-present cluster would execute. A regression in the identifier
+    handling, the tie predicate, or the UPDATE/INSERT clauses fails here."""
+    import metrics_database_cron_script_spark.delta_interop as di
+
+    monkeypatch.setattr(di, "iceberg_available", lambda _s: True)
+    t = IcebergSnapshotTable(spark, "local.db.prices")
+    captured = []
+
+    class _FakeDF:
+        def collect(self):
+            return []
+
+    def fake_sql(stmt):
+        captured.append(stmt)
+        return _FakeDF()
+
+    monkeypatch.setattr(t, "spark", type(
+        "S", (), {
+            "sql": staticmethod(fake_sql),
+            "catalog": type(
+                "C", (), {"dropTempView": staticmethod(lambda v: None)}
+            )(),
+        },
+    )())
+    batch = spark.createDataFrame([(1, 2, 10.0)], "k int, ver int, v double")
+    # _collapse_batch runs on the REAL session (the frame's own), only the
+    # MERGE statement goes through the stub — createOrReplaceTempView is a
+    # real call on the frame, so patch it to a no-op too
+    monkeypatch.setattr(
+        "pyspark.sql.DataFrame.createOrReplaceTempView", lambda self, v: None
+    )
+    t.merge_keep_latest(batch, "k", ["ver"])
+    assert len(captured) == 1
+    stmt = captured[0]
+    assert stmt.startswith("MERGE INTO local.db.prices t USING ")
+    assert "ON t.k = s.k" in stmt
+    assert "WHEN MATCHED AND ((s.ver > t.ver)) THEN UPDATE SET *" in stmt
+    assert stmt.endswith("WHEN NOT MATCHED THEN INSERT *")
+
+
+def test_identifier_validation(spark, monkeypatch):
+    import metrics_database_cron_script_spark.delta_interop as di
+
+    monkeypatch.setattr(di, "iceberg_available", lambda _s: True)
+    with pytest.raises(ValueError, match="catalog.db.table"):
+        IcebergSnapshotTable(spark, "just_a_table")
+    with pytest.raises(ValueError, match="catalog.db.table"):
+        IcebergSnapshotTable(spark, "db.table")
+
+
+def test_backend_parity_or_dispatch(spark, tmp_path):
+    """Jar-present: overwrite → merge → read/time-travel/changelog parity
+    between the Iceberg and OCC backends on the same inputs (the exact
+    scenario test_delta_interop.py runs against Delta). Jar-less: the OCC
+    side still runs in full — the scenario is always exercised — and the
+    Iceberg constructor's refusal is asserted."""
+    base = spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1), (3, 30.0, 1)], "k int, v double, ver int"
+    )
+    batch = spark.createDataFrame(
+        [(2, 21.0, 2), (4, 40.0, 2), (3, 29.0, 0)],  # k=3 is STALE (ver 0)
+        "k int, v double, ver int",
+    )
+    expected_latest = [(1, 10.0), (2, 21.0), (3, 30.0), (4, 40.0)]
+
+    occ = VersionedSnapshot(spark, str(tmp_path / "occ"))
+    occ.overwrite(base)
+    occ.merge_keep_latest(batch, "k", ["ver"])
+    assert _rows(occ.read(), ["k", "v"]) == expected_latest
+    assert _rows(occ.read(version=0), ["k", "v"]) == [
+        (1, 10.0),
+        (2, 20.0),
+        (3, 30.0),
+    ]
+
+    if not iceberg_available(spark):
+        with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+            IcebergSnapshotTable(spark, "local.db.parity")
+        return
+
+    it = IcebergSnapshotTable(spark, "local.db.parity")
+    it.overwrite(base)
+    it.merge_keep_latest(batch, "k", ["ver"])
+    assert _rows(it.read(), ["k", "v"]) == _rows(occ.read(), ["k", "v"])
+    assert _rows(it.read_version(0), ["k", "v"]) == _rows(
+        occ.read(version=0), ["k", "v"]
+    )
+    feed = it.changes(0)
+    post = feed.filter("_change_type IN ('INSERT', 'UPDATE_AFTER')")
+    assert _rows(post, ["k", "v"]) == [(2, 21.0), (4, 40.0)]

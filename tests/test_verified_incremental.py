@@ -127,6 +127,58 @@ def test_refresh_tolerates_reingested_batch_docs(spark, docs):
     assert set(got) == base
 
 
+@pytest.mark.parametrize(
+    "split_col",
+    [
+        lambda n_max: F.col("doc_id") > n_max * 0.9,
+        lambda n_max: F.pmod("doc_id", F.lit(10)) == 0,
+    ],
+    ids=["monotone_batch", "interleaved_batch"],
+)
+def test_fastpath_refresh_equals_full_fastpath_build(spark, docs, split_col):
+    """The xxhash64 fast path (portable=False — 8-byte band sigs, long
+    minhashes, no raw strings: the mode decade-scale runs use) upholds the
+    same invariant: refreshed edge state ≡ full state build over
+    corpus ∪ batch, and the mode is inferred from the persisted index."""
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    is_batch = split_col(n_max)
+    corpus, batch = docs.filter(~is_batch), docs.filter(is_batch)
+    bands, store, edges = D.verified_star_state(corpus, portable=False)
+    assert dict(bands.dtypes)["band_sig"] == "bigint"
+    refreshed = D.refresh_verified_star_edges(bands, store, edges, batch)
+    _b, _s, full_edges = D.verified_star_state(docs, portable=False)
+
+    def rows(df):
+        return {
+            (r["band"], r["band_sig"], r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in df.collect()
+        }
+
+    assert rows(refreshed) == rows(full_edges)
+    comps = D.connected_components(
+        refreshed.filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    full_comps = D.connected_components(
+        full_edges.filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    assert _comp_set(comps) == _comp_set(full_comps)
+
+
+def test_fastpath_refresh_rejects_string_batch_shingles(spark, docs):
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    bands, store, edges = D.verified_star_state(corpus, portable=False)
+    with pytest.raises(ValueError, match="hashed batch"):
+        D.refresh_verified_star_edges(
+            bands, store, edges, batch,
+            batch_shingles=D.word_shingles(batch, hashed=False),
+        )
+
+
 def test_refresh_rejects_mismatched_shingle_keyspace(spark, docs):
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
