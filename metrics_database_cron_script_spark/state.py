@@ -25,6 +25,7 @@ retry), the hand-rolled form of what Delta/Iceberg provide.
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import os
 import shutil
@@ -36,6 +37,38 @@ from pyspark.sql import functions as F
 
 def _exists(path: str) -> bool:
     return os.path.exists(path)
+
+
+_AQE_EMPTY_RULE = (
+    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+)
+
+
+@contextlib.contextmanager
+def _keep_observed_metrics(spark: SparkSession):
+    """AQE's empty-relation propagation REPLACES a runtime-empty subtree —
+    including any `CollectMetrics` (df.observe) nodes inside it — with an
+    empty relation, so a caller's `Observation.get` on an empty replay
+    batch dies in a JVM assertion instead of returning 0 (reproduced on
+    Spark 4.1: empty filter → observe → join under AQE; the batch-level
+    audits only surfaced this at SFXL because `load_table` gates AQE on at
+    ≥4 GiB). Excluding the rule around the staged write keeps every
+    observation resolvable; the only plans that lose the rewrite are the
+    (near-)empty ones where the saved work is nil — replays, by
+    definition."""
+    key = "spark.sql.adaptive.optimizer.excludedRules"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, (old + "," if old else "") + _AQE_EMPTY_RULE)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def atomic_overwrite(df: DataFrame, path: str) -> None:
@@ -156,13 +189,18 @@ def idempotent_append(
     fresh = fresh.observe(obs, F.count(F.lit(1)).alias("n"))
     stage = f"{path}.stage-{uuid.uuid4().hex[:8]}"
     try:
-        writer = fresh.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(stage)
-        n = int(obs.get["n"])
-        if pre_publish is not None:
-            pre_publish()
+        # the staged write carries this append's count AND any caller
+        # observations (the I3 gate) — run it with observation-eliminating
+        # AQE rewrites off so an empty replay batch resolves to 0 instead
+        # of asserting in the JVM
+        with _keep_observed_metrics(spark):
+            writer = fresh.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(stage)
+            n = int(obs.get["n"])
+            if pre_publish is not None:
+                pre_publish()
         if n:
             _publish_parquet_files(stage, path)
         return n

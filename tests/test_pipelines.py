@@ -268,3 +268,42 @@ def test_stats_replay_tie_breaks_to_new_row(spark, tmp_path):
     a = {r["chain"]: round(r["totalAmountStaked"], 6) for r in got.collect()}
     b = {r["chain"]: round(r["s"], 6) for r in expect.collect()}
     assert a == b
+
+
+def test_run_batch_replay_noop_under_aqe(spark, state_dir, monkeypatch):
+    """Round-7 regression: at SFXL scale (AQE gated ON) the REPLAY run's
+    empty batch crashed the I3 observation gate — AQE's empty-relation
+    propagation eliminated the CollectMetrics nodes and Observation.get
+    died in a JVM assertion. idempotent_append now excludes
+    AQEPropagateEmptyRelation around the staged write
+    (state._keep_observed_metrics); this pins the replay no-op with AQE
+    pinned on at fixture scale, and that the exclusion is scoped (the
+    session conf is restored)."""
+    from metrics_database_cron_script_spark.pipelines import run_batch
+    from metrics_database_cron_script_spark.sources.tables import (
+        invalidate_caches,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_AQE", "on")
+    invalidate_caches()
+    key = "spark.sql.adaptive.optimizer.excludedRules"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+    try:
+        r1 = run_batch(spark, SF_SMOKE, state_dir)
+        assert r1["tx_appended"] > 0
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        r2 = run_batch(spark, SF_SMOKE, state_dir)  # crashed before the fix
+        assert r2["tx_appended"] == 0
+        assert r2["prices_appended"] == 0
+        assert all(v == 0 for v in r2["routing_appended"].values())
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_AQE", raising=False)
+        invalidate_caches()
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before, "excludedRules conf leaked out of the append"
