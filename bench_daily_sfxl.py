@@ -177,13 +177,28 @@ def main() -> None:
     # state: the verified-star state over the corpus (reuse the other
     # bench's build when present — identical builder) + the seen-hash set
     # for exact dedup
+    from bench_neardup_sfxl import state_provenance
+
     vstate = os.path.join(here, ".bench_cache", "decade-vstate")
-    state_reused = os.path.isdir(os.path.join(vstate, "edges"))
+    provenance = {
+        "decade_dir": os.path.realpath(decade_dir),
+        "corpus_filter": f"doc_id < {batch_lo}",
+        "corpus_docs": n_corpus,
+    }
+    # reuse is keyed on PROVENANCE, not mere existence: refreshing this
+    # batch against state built from a different corpus would silently
+    # produce wrong components in the committed artifact
+    state_reused = (
+        os.path.isdir(os.path.join(vstate, "edges"))
+        and state_provenance(vstate) == provenance
+    )
     if not state_reused:
-        walls_vstate = build_fastpath_state(spark, corpus, vstate)
+        walls_vstate = build_fastpath_state(
+            spark, corpus, vstate, provenance=provenance
+        )
         phase("dedup_state_build", {"reused": False, **walls_vstate})
     else:
-        phase("dedup_state_build", {"reused": True})
+        phase("dedup_state_build", {"reused": True, **provenance})
     seen_path = os.path.join(scratch, "seen-hashes")
     _, wall_seen = _timed(
         lambda: corpus.select(

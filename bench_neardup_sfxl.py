@@ -132,7 +132,7 @@ def measure_recall(spark, docs, threshold: float = 0.8) -> dict:
     }
 
 
-def build_fastpath_state(spark, docs, root):
+def build_fastpath_state(spark, docs, root, provenance=None):
     """verified_star_state(portable=False) — the xxhash64 fast path — with
     parquet round-trips between stages so the shingle relation is computed
     once. The store (8-byte hashed shingles) doubles as the signature
@@ -167,7 +167,22 @@ def build_fastpath_state(spark, docs, root):
     )
     walls["edges_s"] = round(time.perf_counter() - t0, 3)
     walls["total_s"] = round(sum(walls.values()), 3)
+    if provenance is not None:
+        # reuse key: a later bench run must not silently refresh a batch
+        # against state built from a DIFFERENT corpus (underscore prefix —
+        # Spark readers ignore the file)
+        with open(os.path.join(root, "_provenance.json"), "w") as fh:
+            json.dump(provenance, fh)
     return walls
+
+
+def state_provenance(root):
+    """The provenance marker written by build_fastpath_state, or None."""
+    p = os.path.join(root, "_provenance.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
 
 
 def run_verified_incremental(spark, decade_dir: str, phase_cb) -> None:
@@ -238,8 +253,8 @@ def run_verified_incremental(spark, decade_dir: str, phase_cb) -> None:
             "docs_labeled": row["docs_labeled"],
         }, (sig["h"], sig["n"])
 
-    def build_state(docs, root):
-        return build_fastpath_state(spark, docs, root)
+    def build_state(docs, root, provenance=None):
+        return build_fastpath_state(spark, docs, root, provenance)
 
     def components_of(edges):
         good = (
@@ -273,7 +288,15 @@ def run_verified_incremental(spark, decade_dir: str, phase_cb) -> None:
 
     # ---- one-time corpus state build (replicas 0..2558) -------------------
     corpus = ddocs.filter(F.col("doc_id") < batch_lo)
-    walls_state = build_state(corpus, state_root)
+    walls_state = build_state(
+        corpus,
+        state_root,
+        provenance={
+            "decade_dir": os.path.realpath(decade_dir),
+            "corpus_filter": f"doc_id < {batch_lo}",
+            "corpus_docs": n_docs - BASE_DOCS,
+        },
+    )
     phase_cb("decade_verified_state_build", {
         "corpus_docs": n_docs - BASE_DOCS,
         "steps": walls_state,

@@ -272,13 +272,37 @@ class IcebergSnapshotTable:
         return self.spark.table(self.identifier)
 
     def _snapshot_ids(self) -> list[int]:
-        """Snapshot ids in commit order — the ordinal-version mapping."""
+        """Snapshot ids in commit order — the ordinal-version mapping.
+        Ordered by the parent_id LINEAGE, not by committed_at alone: two
+        commits can land in the same millisecond (overwrite immediately
+        followed by MERGE — exactly the parity-test sequence), and a
+        timestamp sort would then map ordinals nondeterministically.
+        committed_at order is the fallback only for chains broken by
+        snapshot expiry (the expired prefix is unreadable anyway)."""
+        rows = (
+            self.spark.table(f"{self.identifier}.snapshots")
+            .select("snapshot_id", "parent_id", "committed_at")
+            .collect()
+        )
+        by_parent = {r["parent_id"]: r["snapshot_id"] for r in rows}
+        ids = {r["snapshot_id"] for r in rows}
+        chain: list[int] = []
+        # the root is the snapshot whose parent is absent (None or expired)
+        cur = next(
+            (r["snapshot_id"] for r in rows if r["parent_id"] not in ids),
+            None,
+        )
+        while cur is not None and cur not in chain:
+            chain.append(cur)
+            cur = by_parent.get(cur)
+        if len(chain) == len(rows):
+            return chain
+        # branched/expired history: deterministic fallback
         return [
             r["snapshot_id"]
-            for r in self.spark.table(f"{self.identifier}.snapshots")
-            .orderBy("committed_at")
-            .select("snapshot_id")
-            .collect()
+            for r in sorted(
+                rows, key=lambda r: (r["committed_at"], r["snapshot_id"])
+            )
         ]
 
     def read_version(self, version: int) -> DataFrame:
@@ -292,18 +316,30 @@ class IcebergSnapshotTable:
         Delta wrapper's startingVersion = from+1), via the Iceberg Spark
         changelog procedure; rows carry _change_type in {INSERT, DELETE,
         UPDATE_BEFORE, UPDATE_AFTER}."""
+        import uuid as _uuid
+
         ids = self._snapshot_ids()
         opts = [f"'start-snapshot-id', '{ids[from_version]}'"]
         if to_version is not None:
             opts.append(f"'end-snapshot-id', '{ids[to_version]}'")
-        view = f"__iceberg_changes_{abs(hash(self.identifier)) % 10**8}"
+        # per-CALL view name (two interleaved changes() on one table must
+        # not read each other's range), dropped after the returned frame's
+        # plan is ANALYZED — analysis inlines the view definition, so the
+        # frame survives the drop (same hygiene as merge_keep_latest's
+        # finally-dropped source view)
+        view = f"__iceberg_changes_{_uuid.uuid4().hex[:12]}"
         self.spark.sql(
             f"CALL {self.catalog}.system.create_changelog_view("
             f"table => '{self.identifier.split('.', 1)[1]}', "
             f"options => map({', '.join(opts)}), "
             f"changelog_view => '{view}')"
         )
-        return self.spark.table(view)
+        try:
+            df = self.spark.table(view)
+            df.schema  # force analysis while the view exists
+            return df
+        finally:
+            self.spark.catalog.dropTempView(view)
 
 
 def snapshot_table(

@@ -1164,6 +1164,12 @@ def refresh_verified_star_edges(
         batch_bands = lsh_bands(
             minhash_signatures(batch_shingles, nh), nh, band_size
         )
+    # batch_bands (O(batch · bands) rows) feeds FOUR plan legs — the
+    # touched-bucket key set (itself consumed by two semi-joins and one
+    # anti-join) and the members union. Materialize it once: without the
+    # pin, one refresh action re-runs the batch shingle+signature pipeline
+    # per leg (measured inflating the decade edge_refresh wall)
+    batch_bands = batch_bands.localCheckpoint(eager=True)
     touched = batch_bands.select("band", "band_sig").distinct()
     members = (
         index_bands.select("doc_id", "band", "band_sig")
@@ -1187,7 +1193,15 @@ def refresh_verified_star_edges(
             f"{batch_t} — verification joins would silently find nothing"
         )
     all_sh = index_shingles.select("doc_id", "shingle").unionByName(b_sh)
-    recomputed = scored_star_edges(members, all_sh, reuse_scores=index_edges)
+    # score reuse needs only pairs that can recur in TOUCHED buckets —
+    # semi-filtering the edge state on the (small) touched-bucket keys
+    # turns the reuse join's state side from a full shuffle into a
+    # scan+filter. A pair previously scored ONLY in an untouched bucket
+    # loses its reuse hit and re-verifies to the same value (Jaccard is
+    # intrinsic) — correctness unchanged, and cross-bucket duplicate
+    # pairs are rare.
+    reuse = index_edges.join(touched, ["band", "band_sig"], "leftsemi")
+    recomputed = scored_star_edges(members, all_sh, reuse_scores=reuse)
     cols = ["band", "band_sig", "doc_a", "doc_b", "jaccard"]
     untouched = index_edges.select(*cols).join(
         touched, ["band", "band_sig"], "left_anti"

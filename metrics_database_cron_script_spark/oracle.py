@@ -159,11 +159,26 @@ def driver_format(result: dict[str, Any]) -> dict[str, Any]:
             "oracle_rows": None,
             "err": None if ok else "rows_only check failed",
         }
+    # err is non-null IFF the check failed (the driver's contract); the
+    # local text names which of the three comparisons broke so a red row
+    # is diagnosable from the artifact alone
+    err = None
+    if not result.get("ok"):
+        broken = [
+            k
+            for k, v in (
+                ("rows_match", result.get("rows_match")),
+                ("schema_match", result.get("cols_match")),
+                ("hash_match", result.get("values_match")),
+            )
+            if not v
+        ]
+        err = "failed: " + ", ".join(broken)
     return {
         "rows_match": bool(result.get("rows_match")),
         "schema_match": bool(result.get("cols_match")),
         "hash_match": bool(result.get("values_match")),
         "spark_rows": result.get("rows_spark"),
         "oracle_rows": result.get("rows_oracle"),
-        "err": None,
+        "err": err,
     }

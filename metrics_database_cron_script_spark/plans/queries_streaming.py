@@ -508,15 +508,12 @@ def s_stream_exec_enrich(spark, sf_dir):
     )
 
 
-def _rest_stream_oracle():
-    from metrics_database_cron_script_spark.plans.queries_reference import (
-        REST_PRICE_PYDS_ORACLE,
-    )
-
-    return REST_PRICE_PYDS_ORACLE
+from metrics_database_cron_script_spark.plans.queries_reference import (
+    REST_PRICE_PYDS_ORACLE as _REST_PRICE_PYDS_ORACLE,
+)
 
 
-@query("s_stream_exec_rest", oracle=_rest_stream_oracle())
+@query("s_stream_exec_rest", oracle=_REST_PRICE_PYDS_ORACLE)
 def s_stream_exec_rest(spark, sf_dir):
     """Sixth STREAM-EXECUTED gate entry (round-6 verdict item 3), closing
     the one modality the REST source lacked: the R6/R7 day-spine feed

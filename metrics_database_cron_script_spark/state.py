@@ -29,6 +29,7 @@ import contextlib
 import datetime
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
@@ -42,6 +43,13 @@ def _exists(path: str) -> bool:
 _AQE_EMPTY_RULE = (
     "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
 )
+
+# The excludedRules window below mutates SESSION-level conf; serialize it
+# so two threads appending through one SparkSession cannot restore the
+# conf out from under each other's staged write. (The state module's
+# documented operating model is single-writer — this lock closes the
+# intra-process sharp edge for callers who parallelize independent sinks.)
+_observed_metrics_lock = threading.Lock()
 
 
 @contextlib.contextmanager
@@ -57,18 +65,19 @@ def _keep_observed_metrics(spark: SparkSession):
     (near-)empty ones where the saved work is nil — replays, by
     definition."""
     key = "spark.sql.adaptive.optimizer.excludedRules"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, (old + "," if old else "") + _AQE_EMPTY_RULE)
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    with _observed_metrics_lock:
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = None
+        spark.conf.set(key, (old + "," if old else "") + _AQE_EMPTY_RULE)
+        try:
+            yield
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def atomic_overwrite(df: DataFrame, path: str) -> None:

@@ -135,3 +135,22 @@ def test_score_partitions_guard_on_nonlocal_paths(tmp_path):
     for i in range(3):
         (d / f"part-{i}").write_bytes(b"y" * (40 << 20))
     assert _score_partitions_for(str(d)) == (120 << 20) // (32 << 20)
+
+
+def test_driver_format_err_contract():
+    """err is non-null IFF the check failed — the property the
+    parity-vs-driver artifact diff relies on for red rows."""
+    from metrics_database_cron_script_spark.oracle import driver_format
+
+    green = driver_format(
+        {"ok": True, "rows_match": True, "cols_match": True,
+         "values_match": True, "rows_spark": 5, "rows_oracle": 5}
+    )
+    assert green["err"] is None and green["hash_match"]
+    red = driver_format(
+        {"ok": False, "rows_match": True, "cols_match": True,
+         "values_match": False, "rows_spark": 5, "rows_oracle": 5}
+    )
+    assert red["err"] == "failed: hash_match" and not red["hash_match"]
+    ro = driver_format({"ok": False, "rows_only": True, "rows_spark": -1})
+    assert ro["err"] and not ro["rows_match"]
