@@ -1164,12 +1164,14 @@ def refresh_verified_star_edges(
         batch_bands = lsh_bands(
             minhash_signatures(batch_shingles, nh), nh, band_size
         )
-    # batch_bands (O(batch · bands) rows) feeds FOUR plan legs — the
-    # touched-bucket key set (itself consumed by two semi-joins and one
-    # anti-join) and the members union. Materialize it once: without the
-    # pin, one refresh action re-runs the batch shingle+signature pipeline
-    # per leg (measured inflating the decade edge_refresh wall)
-    batch_bands = batch_bands.localCheckpoint(eager=True)
+    # batch_bands feeds four plan legs and is deliberately NOT
+    # materialized: recomputing the batch signature pipeline per leg costs
+    # seconds (the batch is daily-sized by contract), while a
+    # localCheckpoint's accurate tiny stats cascade into the reuse join —
+    # the semi-filtered edge state inherits a small estimate and Spark
+    # broadcasts a ~30 M-row build relation. Measured on the decade
+    # corpus (same session, warm cache): plain 96 s, checkpoint-only
+    # 336 s, checkpoint + reuse-filter 484 s.
     touched = batch_bands.select("band", "band_sig").distinct()
     members = (
         index_bands.select("doc_id", "band", "band_sig")
@@ -1193,15 +1195,13 @@ def refresh_verified_star_edges(
             f"{batch_t} — verification joins would silently find nothing"
         )
     all_sh = index_shingles.select("doc_id", "shingle").unionByName(b_sh)
-    # score reuse needs only pairs that can recur in TOUCHED buckets —
-    # semi-filtering the edge state on the (small) touched-bucket keys
-    # turns the reuse join's state side from a full shuffle into a
-    # scan+filter. A pair previously scored ONLY in an untouched bucket
-    # loses its reuse hit and re-verifies to the same value (Jaccard is
-    # intrinsic) — correctness unchanged, and cross-bucket duplicate
-    # pairs are rare.
-    reuse = index_edges.join(touched, ["band", "band_sig"], "leftsemi")
-    recomputed = scored_star_edges(members, all_sh, reuse_scores=reuse)
+    # The reuse side is the WHOLE edge state, deliberately: semi-filtering
+    # it to touched buckets first looked like a win (scan+filter instead
+    # of a shuffle) but measured 2.2× SLOWER on the decade corpus — the
+    # filter adds a second full shuffle of the 30 M-row state ahead of the
+    # pair-distinct, and under mis-estimated stats can bait a giant
+    # broadcast. One sort-merge join on the pair key is the quiet shape.
+    recomputed = scored_star_edges(members, all_sh, reuse_scores=index_edges)
     cols = ["band", "band_sig", "doc_a", "doc_b", "jaccard"]
     untouched = index_edges.select(*cols).join(
         touched, ["band", "band_sig"], "left_anti"
