@@ -722,6 +722,49 @@ def x_phash_neardup(spark, sf_dir):
 
 
 @query(
+    "x_phash_components",
+    oracle="WITH RECURSIVE "
+    + _PHASH_CTE
+    + """, ichunks AS (
+  SELECT doc_id, phash, j.j AS chunk_id,
+         substr(phash, j.j * 16 + 1, 16) AS chunk
+  FROM ph, (SELECT unnest(generate_series(0, 3)) AS j) j
+), icand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ichunks a
+  JOIN ichunks b ON b.chunk_id = a.chunk_id AND b.chunk = a.chunk
+  WHERE a.doc_id < b.doc_id
+    AND hamming(a.phash, b.phash) <= 6
+), iedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM icand
+  UNION
+  SELECT doc_b, doc_a FROM icand
+), ireach AS (
+  SELECT u AS doc_id, v AS peer FROM iedges
+  UNION
+  SELECT r.doc_id, e.v FROM ireach r JOIN iedges e ON e.u = r.peer
+)
+SELECT doc_id, LEAST(doc_id, MIN(peer)) AS component
+FROM ireach GROUP BY doc_id""",
+)
+def x_phash_components(spark, sf_dir):
+    """Image near-dup CLUSTERS — the multimodal twin of the text cluster
+    family, completing decode → aHash → hamming-LSH pairs
+    (x_phash_neardup) with connected components, so image dedup gets one
+    representative per perceptual cluster the same way text does. The
+    pair graph is verified (hamming ≤ 6 on candidates only) BEFORE
+    components, mirroring the verified-star precision guard: a chunk
+    collision alone cannot merge clusters. The oracle recomputes the
+    hashes from the pixel formula, re-derives the banding + distances,
+    and resolves components with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = M.phash_near_dups(
+        M.ahash_from_blobs(M.synthetic_bmp_blobs(docs)), max_hamming=6
+    )
+    return D.connected_components(pairs.select("doc_a", "doc_b"))
+
+
+@query(
     "x_png_decode",
     oracle="""
 WITH dims AS (
