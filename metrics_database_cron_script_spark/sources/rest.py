@@ -101,7 +101,8 @@ def live_http_fetcher(
                     raise  # 4xx contract errors must surface immediately
             except (urllib.error.URLError, TimeoutError, OSError) as e:
                 last = e
-            time.sleep(backoff_s * (2**attempt))
+            if attempt + 1 < retries:  # no pointless backoff after the
+                time.sleep(backoff_s * (2**attempt))  # final attempt
         raise RuntimeError(
             f"live_http_fetcher: {url} failed after {retries} attempts"
         ) from last

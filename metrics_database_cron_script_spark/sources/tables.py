@@ -237,16 +237,29 @@ def invalidate_caches(sf_dir: str | None = None) -> None:
     first or later reads see stale files (FileNotFoundException or stale
     rows), and the byte-size-derived shuffle/AQE sizing stays frozen too."""
     from metrics_database_cron_script_spark.plans import registry
+    from metrics_database_cron_script_spark.streaming import structured
 
     if sf_dir is None:
         _table_cache.clear()
         _dir_bytes_cache.clear()
         _sized_dirs.clear()
+        _dim_rows_cache.clear()
+        structured._stream_probe_cache.clear()
         registry.clear_plan_cache()
         return
     root = sf_dir.rstrip("/")
     for k in [k for k in _table_cache if k[1] == root]:
         del _table_cache[k]
+    for k in [k for k in _dim_rows_cache if k[0].rstrip("/") == root]:
+        del _dim_rows_cache[k]
+    for k in [
+        k
+        for k in structured._stream_probe_cache
+        # path is <sf_dir>/events.parquet — match the DIR, not a sibling
+        # that happens to share the prefix (sf0.1 vs sf0.1-presplit)
+        if k[1].startswith(root + "/")
+    ]:
+        del structured._stream_probe_cache[k]
     _dir_bytes_cache.pop(root, None)
     _sized_dirs.pop(root, None)
     registry.clear_plan_cache(root)
@@ -380,10 +393,11 @@ def events_since(spark: SparkSession, sf_dir: str, watermark: str) -> DataFrame:
     if isinstance(raw.schema["ts"].dataType, T.LongType):
         # ns-long layout: compare in raw ns space so the strict-greater
         # predicate reaches the scan before the µs conversion projection
-        ns = (
-            int(wm.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
-            * 1000
-        )
+        # exact integer micros: float .timestamp() carries ~0.4 µs error
+        # near current epochs, enough to truncate a µs-precision watermark
+        # one tick low and re-include the boundary row every run
+        epoch = datetime.datetime(1970, 1, 1)
+        ns = (wm - epoch) // datetime.timedelta(microseconds=1) * 1000
         raw = raw.filter(F.col("ts") > ns)
         return raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")

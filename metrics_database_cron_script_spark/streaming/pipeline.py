@@ -66,4 +66,11 @@ def run_streaming_tx_pipeline(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(sink_path).count()
+    # an all-empty stream publishes nothing (idempotent_append drops empty
+    # batches and never creates the sink) — same guard as
+    # sink.stream_to_idempotent_sink, whose drain this mirrors
+    return (
+        spark.read.parquet(sink_path).count()
+        if os.path.exists(sink_path)
+        else 0
+    )

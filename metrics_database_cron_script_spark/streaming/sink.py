@@ -203,12 +203,19 @@ def stream_rollup_maintenance(
             stream.close()
         return str(json.loads(data)["id"])
 
+    # the query id is constant for the run; resolving it per micro-batch
+    # re-reads the checkpoint metadata (a remote FS round-trip on
+    # hdfs://s3a checkpoints) for an invariant string — cache on first use
+    qid_cache: list[str] = []
+
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         snap_full = read_or_empty(spark, state_path, schema)
         head = snap_full.agg(
             F.max("epoch").alias("e"), F.max("lineage").alias("l")
         ).collect()[0]
-        qid = _query_id()
+        if not qid_cache:
+            qid_cache.append(_query_id())
+        qid = qid_cache[0]
         # Migration: state written before the lineage guard switched from
         # checkpoint PATH to query UUID stores the path. With the original
         # checkpoint still in place that state is intact — accept the legacy

@@ -80,6 +80,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+
+def drain_to_memory(df, query_name: str, output_mode: str):
+    """Shared memory-sink drain: start → processAllAvailable → stop →
+    read the sink table back as a batch frame. One implementation so
+    fixes (stop-in-finally, readback naming) land once — the pattern
+    previously existed as six inline copies in this module alone."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
 def run_streaming_tumbling(
     spark: SparkSession,
     sf_dir: str,
@@ -101,17 +119,7 @@ def run_streaming_tumbling(
             "total",
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return drain_to_memory(agg, query_name, "complete")
 
 
 def run_streaming_dedup(
@@ -150,17 +158,7 @@ def run_streaming_dedup(
         else wm.dropDuplicates(keys)
     )
     counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    q = (
-        counted.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return drain_to_memory(counted, query_name, "complete")
 
 
 def run_streaming_session(
@@ -185,17 +183,7 @@ def run_streaming_session(
             "total",
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return drain_to_memory(agg, query_name, "complete")
 
 
 def run_streaming_enrichment(
@@ -220,17 +208,7 @@ def run_streaming_enrichment(
     agg = enriched.groupBy("date").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return drain_to_memory(agg, query_name, "complete")
 
 
 def run_streaming_interval_self_join(
@@ -259,17 +237,7 @@ def run_streaming_interval_self_join(
         & (b["ts_b"] <= a["ts_a"] + F.expr(f"INTERVAL {minutes} MINUTES"))
     )
     joined = a.join(b, cond).select("first_id", "next_id", "user_id")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return drain_to_memory(joined, query_name, "append")
 
 
 def run_streaming_left_outer_join(
@@ -302,14 +270,4 @@ def run_streaming_left_outer_join(
     joined = a.join(b, cond, "left_outer").select(
         "first_id", "next_id", "user_id"
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return drain_to_memory(joined, query_name, "append")

@@ -129,27 +129,32 @@ def run_tws_running_totals(
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(prov_key, None)
     spark.conf.set(prov_key, ROCKSDB_PROVIDER)
-    events = read_events_stream(spark, sf_dir)
-    out = (
-        events.select("user_id", "ts", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
-            statefulProcessor=_processor(),
-            outputStructType=OUTPUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
-        )
-    )
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    q = None
     try:
+        # everything from here can raise (missing fixture, plan analysis,
+        # .start()) — the finally must restore the provider even then,
+        # not only after a successful drain
+        events = read_events_stream(spark, sf_dir)
+        out = (
+            events.select("user_id", "ts", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_processor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
         q.processAllAvailable()
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         if prev_provider is None:
             spark.conf.unset(prov_key)
         else:

@@ -100,3 +100,62 @@ def test_mongo_incremental_options_push_gt_watermark():
     assert p2 == [
         {"$match": {"updatedAt": {"$gt": {"$date": "2024-03-01T00:30:00.000Z"}}}}
     ]
+
+
+def test_events_since_strict_greater_at_microsecond_boundary(spark, tmp_path):
+    """Round-7 regression: float datetime.timestamp() carries ~0.4 µs error
+    near current epochs, which truncated a µs-precision watermark one tick
+    low and re-included the boundary row on every incremental run. The
+    conversion is now exact integer arithmetic: a row whose ts EQUALS the
+    watermark must be excluded, the next microsecond included."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metrics_database_cron_script_spark.sources.tables import (
+        events_since,
+        invalidate_caches,
+    )
+
+    base_us = 1_717_200_000_000_000  # 2024-06-01T00:00:00 in µs
+    rows = [base_us + 1, base_us + 2, base_us + 1_000_000]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([us * 1000 for us in rows], pa.int64()),  # ns
+        }),
+        os.path.join(sf, "events.parquet"),
+    )
+    invalidate_caches(sf)
+    got = {
+        r["event_id"]
+        for r in events_since(spark, sf, "2024-06-01T00:00:00.000001").collect()
+    }
+    assert got == {2, 3}, got  # the ...000001 row itself is EXCLUDED
+
+
+def test_invalidate_caches_clears_dim_and_stream_probe_caches(tmp_path):
+    """Round-7 regression: 'Drop EVERY cache derived from sf_dir' now
+    includes the constant-dim literal rows and the stream ts-type probe —
+    both previously served stale data after a fixture rewrite."""
+    from metrics_database_cron_script_spark.sources import tables as T
+    from metrics_database_cron_script_spark.streaming import structured as S
+
+    root = str(tmp_path / "sfx")
+    T._dim_rows_cache[(root, "nation")] = [{"n_nationkey": 0}]
+    T._dim_rows_cache[(root + "x", "nation")] = [{"n_nationkey": 1}]
+    S._stream_probe_cache[("app", root + "/events.parquet")] = "long"
+    S._stream_probe_cache[("app", root + "-presplit/events.parquet")] = "long"
+    S._stream_probe_cache[("app", "/elsewhere/events.parquet")] = "long"
+    T.invalidate_caches(root)
+    assert (root, "nation") not in T._dim_rows_cache
+    assert (root + "x", "nation") in T._dim_rows_cache  # sibling survives
+    assert ("app", root + "/events.parquet") not in S._stream_probe_cache
+    # sibling dir sharing the string prefix must NOT be cleared
+    assert ("app", root + "-presplit/events.parquet") in S._stream_probe_cache
+    assert ("app", "/elsewhere/events.parquet") in S._stream_probe_cache
+    T.invalidate_caches()
+    assert not T._dim_rows_cache and not S._stream_probe_cache
