@@ -254,7 +254,14 @@ class IcebergSnapshotTable:
         """Keep-latest MERGE, same contract as the Delta/OCC backends:
         batch wins iff strictly newer; stored row keeps ties."""
         batch = _collapse_batch(new, key, order_cols)
-        view = f"__iceberg_merge_src_{abs(hash(self.identifier)) % 10**8}"
+        # per-CALL uuid view (matching changes()): a name derived from the
+        # identifier is deterministic per table — two concurrent merges in
+        # one session (or a hash collision across tables) would overwrite
+        # each other's source view between createOrReplaceTempView and the
+        # MERGE; the view namespace is session-global, not per-table
+        import uuid as _uuid
+
+        view = f"__iceberg_merge_src_{_uuid.uuid4().hex[:12]}"
         batch.createOrReplaceTempView(view)
         try:
             self.spark.sql(
@@ -323,10 +330,14 @@ class IcebergSnapshotTable:
         if to_version is not None:
             opts.append(f"'end-snapshot-id', '{ids[to_version]}'")
         # per-CALL view name (two interleaved changes() on one table must
-        # not read each other's range), dropped after the returned frame's
-        # plan is ANALYZED — analysis inlines the view definition, so the
-        # frame survives the drop (same hygiene as merge_keep_latest's
-        # finally-dropped source view)
+        # not read each other's range). The view is LEFT IN PLACE: dropping
+        # it after forcing df.schema relies on analysis inlining the view
+        # definition, which is not guaranteed to survive a re-analysis
+        # (cache invalidation, session cloning, adaptive re-resolution) —
+        # and this path can't be integration-tested on a jar-less image,
+        # so we don't bet on it. The uuid name is collision-free; callers
+        # may spark.catalog.dropTempView(df._changelog_view) once done
+        # with the frame.
         view = f"__iceberg_changes_{_uuid.uuid4().hex[:12]}"
         self.spark.sql(
             f"CALL {self.catalog}.system.create_changelog_view("
@@ -334,12 +345,9 @@ class IcebergSnapshotTable:
             f"options => map({', '.join(opts)}), "
             f"changelog_view => '{view}')"
         )
-        try:
-            df = self.spark.table(view)
-            df.schema  # force analysis while the view exists
-            return df
-        finally:
-            self.spark.catalog.dropTempView(view)
+        df = self.spark.table(view)
+        df._changelog_view = view  # handle for caller-side cleanup
+        return df
 
 
 def snapshot_table(

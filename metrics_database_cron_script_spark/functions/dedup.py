@@ -1145,6 +1145,17 @@ def refresh_verified_star_edges(
     if batch_shingles is None:
         batch_shingles = word_shingles(batch_docs, hashed=not portable)
     if portable:
+        if dict(batch_shingles.dtypes).get("shingle") != "string":
+            # Symmetric twin of the fast-path guard below: md5 band_sigs
+            # must be computed over RAW string shingles. A pre-hashed
+            # (bigint) batch relation would band into a keyspace the
+            # string index never collides with — every cross-batch
+            # near-dup silently missed.
+            raise ValueError(
+                "portable index (string band_sig) needs RAW batch shingles "
+                "(word_shingles(hashed=False)); got bigint — md5 over hash "
+                "values would band into a disjoint keyspace"
+            )
         batch_bands = lsh_bands_portable(
             minhash_signatures_portable(batch_shingles, num_hashes),
             num_hashes,

@@ -389,6 +389,11 @@ def events_since(spark: SparkSession, sf_dir: str, watermark: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     wm = datetime.datetime.fromisoformat(watermark)
+    if wm.tzinfo is not None:
+        # tz-aware ISO watermark ('...+00:00'): normalize to naive UTC so
+        # the integer-micros arithmetic below (aware − naive would raise
+        # TypeError) and the naive-timestamp fixture column agree
+        wm = wm.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     raw = spark.read.parquet(table_path(sf_dir, "events"))
     if isinstance(raw.schema["ts"].dataType, T.LongType):
         # ns-long layout: compare in raw ns space so the strict-greater

@@ -49,7 +49,14 @@ _AQE_EMPTY_RULE = (
 # conf out from under each other's staged write. (The state module's
 # documented operating model is single-writer — this lock closes the
 # intra-process sharp edge for callers who parallelize independent sinks.)
-_observed_metrics_lock = threading.Lock()
+# RLock, not Lock: the guarded window spans the staged write, the
+# Observation.get AND the pre_publish callback — a pre_publish that
+# re-enters idempotent_append on the SAME thread (e.g. an audit-table
+# append) must not deadlock. Note the cost either way: while one append's
+# Spark job runs inside the window, concurrent appends from OTHER threads
+# in this process serialize for the full duration of that write, not just
+# the conf flip.
+_observed_metrics_lock = threading.RLock()
 
 
 @contextlib.contextmanager

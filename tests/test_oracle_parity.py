@@ -22,6 +22,38 @@ def test_query_matches_oracle(spark, name):
     assert res["ok"], f"{name}: {res}"
 
 
+# The exact 50-query panel the driver verifies (registry registration-order
+# prefix). Frozen so a plans/ refactor that reorders registration cannot
+# SILENTLY rotate which queries the driver's CORRECTNESS artifact checks —
+# changing this list is a deliberate, reviewable diff.
+DRIVER_PANEL = [
+    "r_daily_price_dim", "r_calendar_fill", "r_incremental_scan",
+    "r_tx_enrich", "r_anti_dedup", "r_first_touch", "r_aum_routing",
+    "r_aum_routing_decimal", "r_stats_ratio", "r_union_chains",
+    "r_upsert_snapshot", "r_upsert_evolution", "r_daily_growth",
+    "r_agg_maintenance", "r_rest_price_dim_pyds", "c_scan_project",
+    "c_filter", "c_case", "c_inner_join", "c_left_join", "c_semi_join",
+    "c_anti_join", "c_broadcast_join", "c_range_join", "c_asof_join",
+    "c_hash_agg", "c_count_distinct", "c_approx_count_distinct",
+    "c_grouping_sets", "c_rollup", "c_cube", "c_window_rank",
+    "c_window_analytic", "c_window_frame", "c_sort_limit",
+    "c_topk_per_group", "c_union_all", "c_union_distinct", "c_intersect",
+    "c_except", "c_string_funcs", "c_date_funcs", "c_math_funcs", "c_json",
+    "c_map_funcs", "c_array_funcs", "c_udf_pandas", "c_pivot", "c_unpivot",
+    "c_percentile",
+]
+
+
+def test_driver_panel_is_pinned():
+    """Round-7 verdict item 7: the driver samples the registry's FIRST 50
+    entries in registration order. Pin that prefix to the exact list the
+    round-7 driver verified, so the verified panel can only change via an
+    explicit edit to DRIVER_PANEL above."""
+    from metrics_database_cron_script_spark.plans import QUERIES
+
+    assert list(QUERIES)[:50] == DRIVER_PANEL
+
+
 def test_parity_artifact_consistent_with_driver_artifact():
     """Round-6 verdict item 7: the driver's CORRECTNESS_r{N}.json samples
     only a registry prefix (all r_* + the first c_*); the committed

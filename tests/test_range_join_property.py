@@ -85,23 +85,71 @@ def test_linear_interpolation_matches_pandas(spark, obs):
         F.first(obs_date, ignorenulls=True).over(wn).alias("next_d"),
     )
     frac = F.datediff("date", "prev_d") / F.datediff("next_d", "prev_d")
+    # Compare the UNROUNDED doubles with a tolerance: rounding both sides
+    # first is tie-fragile (Spark F.round is HALF_UP, Python round is
+    # banker's HALF_EVEN, so an exact .5 tie like 0.0078125 rounds to
+    # 0.007813 vs 0.007812 — a 1e-6 gap that is pure rounding-mode skew).
     got = {
-        r["date"]: round(r["filled"], 6)
+        r["date"]: r["filled"]
         for r in j2.select(
             "date",
-            F.round(
-                F.when(F.col("price").isNotNull(), F.col("price"))
-                .when(F.col("next_d") == F.col("prev_d"), F.col("prev_p"))
-                .otherwise(F.col("prev_p") + (F.col("next_p") - F.col("prev_p")) * frac),
-                6,
-            ).alias("filled"),
+            F.when(F.col("price").isNotNull(), F.col("price"))
+            .when(F.col("next_d") == F.col("prev_d"), F.col("prev_p"))
+            .otherwise(F.col("prev_p") + (F.col("next_p") - F.col("prev_p")) * frac)
+            .alias("filled"),
         ).collect()
     }
 
     s = pd.Series(
         {pd.Timestamp(d): v for d, v in rows}
     ).resample("D").mean().interpolate(method="linear")
-    want = {ts.date(): round(float(v), 6) for ts, v in s.items()}
+    want = {ts.date(): float(v) for ts, v in s.items()}
     assert set(got) == set(want)
     for d in got:
-        assert abs(got[d] - want[d]) < 1e-6, (d, got[d], want[d])
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+
+
+def test_linear_interpolation_half_tie_regression(spark):
+    """Regression pin for the exact .5 rounding tie hypothesis found in
+    round 7: obs day0=0.0, day32=0.25 interpolates day 1 to exactly
+    0.25/32 = 0.0078125, whose 6-decimal rounding differs between Spark's
+    HALF_UP and Python's HALF_EVEN. The engine value itself is exact; this
+    test asserts the unrounded doubles agree to 1e-12."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = datetime.date(2024, 1, 1)
+    rows = [(base, 0.0), (base + datetime.timedelta(days=32), 0.25)]
+    dim = spark.createDataFrame(rows, "date date, price double")
+    bounds = dim.agg(F.min("date").alias("lo"), F.max("date").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("date")
+    )
+    j = spine.join(dim, "date", "left")
+    wp = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("date").rowsBetween(0, Window.unboundedFollowing)
+    obs_date = F.when(F.col("price").isNotNull(), F.col("date"))
+    j2 = j.select(
+        "date", "price",
+        F.last("price", ignorenulls=True).over(wp).alias("prev_p"),
+        F.last(obs_date, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("price", ignorenulls=True).over(wn).alias("next_p"),
+        F.first(obs_date, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    frac = F.datediff("date", "prev_d") / F.datediff("next_d", "prev_d")
+    got = {
+        r["date"]: r["filled"]
+        for r in j2.select(
+            "date",
+            F.when(F.col("price").isNotNull(), F.col("price"))
+            .otherwise(F.col("prev_p") + (F.col("next_p") - F.col("prev_p")) * frac)
+            .alias("filled"),
+        ).collect()
+    }
+    day1 = base + datetime.timedelta(days=1)
+    assert abs(got[day1] - 0.0078125) < 1e-12
+    for k in range(33):
+        d = base + datetime.timedelta(days=k)
+        assert abs(got[d] - 0.25 * k / 32.0) < 1e-12, (d, got[d])

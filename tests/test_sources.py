@@ -136,6 +136,26 @@ def test_events_since_strict_greater_at_microsecond_boundary(spark, tmp_path):
     }
     assert got == {2, 3}, got  # the ...000001 row itself is EXCLUDED
 
+    # round-8 advice fix: a tz-AWARE ISO watermark ('...+00:00') must not
+    # raise (aware − naive TypeError in the integer-micros arithmetic) and
+    # must mean the same instant as the naive-UTC string above
+    got_aware = {
+        r["event_id"]
+        for r in events_since(
+            spark, sf, "2024-06-01T00:00:00.000001+00:00"
+        ).collect()
+    }
+    assert got_aware == {2, 3}, got_aware
+    # and a non-UTC offset converts: 02:00+02:00 == 00:00Z, so all rows
+    # strictly after midnight UTC are included
+    got_offset = {
+        r["event_id"]
+        for r in events_since(
+            spark, sf, "2024-06-01T02:00:00+02:00"
+        ).collect()
+    }
+    assert got_offset == {1, 2, 3}, got_offset
+
 
 def test_invalidate_caches_clears_dim_and_stream_probe_caches(tmp_path):
     """Round-7 regression: 'Drop EVERY cache derived from sf_dir' now

@@ -12,17 +12,26 @@ def test_stateful_running_totals_matches_batch(spark):
     )
 
     got = {
-        (r["user_id"], r["n"], r["total"])
+        r["user_id"]: (r["n"], r["total"])
         for r in run_stateful_running_totals(spark, SF_SMOKE, "t_stateful").collect()
     }
     events = load_table(spark, SF_SMOKE, "events")
     want = {
-        (r["user_id"], r["n"], r["total"])
+        r["user_id"]: (r["n"], r["total"])
         for r in events.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
         .collect()
     }
-    assert got == want and len(got) > 0
+    # The stateful path emits Python round(total, 6) (HALF_EVEN); the batch
+    # oracle uses F.round (HALF_UP). At an exact .5 tie at the 7th decimal
+    # the two legitimately differ by 1e-6, so compare with that tolerance
+    # instead of exact equality (round-7 verdict: .5-tie audit).
+    assert set(got) == set(want) and len(got) > 0
+    for uid in got:
+        assert got[uid][0] == want[uid][0], uid
+        assert abs(got[uid][1] - want[uid][1]) <= 1e-6 + 1e-12, (
+            uid, got[uid][1], want[uid][1],
+        )
 
 
 def test_running_totals_dispatch_matches_batch(spark):
@@ -49,15 +58,22 @@ def test_running_totals_dispatch_matches_batch(spark):
     assert path == (
         "transformWithState" if tws_available() else "applyInPandasWithState"
     )
-    got = {r["user_id"]: (r["n"], round(r["total"], 6)) for r in result.collect()}
+    got = {r["user_id"]: (r["n"], r["total"]) for r in result.collect()}
     want = {
-        r["user_id"]: (r["n"], round(r["total"], 6))
+        r["user_id"]: (r["n"], r["total"])
         for r in load_table(spark, SF_SMOKE, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
         .collect()
     }
-    assert got == want and len(got) > 0
+    # Tolerance, not equality: HALF_EVEN (stateful emission) vs HALF_UP
+    # (F.round oracle) differ by exactly 1e-6 at a .5 tie.
+    assert set(got) == set(want) and len(got) > 0
+    for uid in got:
+        assert got[uid][0] == want[uid][0], uid
+        assert abs(got[uid][1] - want[uid][1]) <= 1e-6 + 1e-12, (
+            uid, got[uid][1], want[uid][1],
+        )
 
     if not tws_available():
         with pytest.raises(ImportError, match="google.protobuf"):

@@ -180,12 +180,32 @@ def test_fastpath_refresh_rejects_string_batch_shingles(spark, docs):
 
 
 def test_refresh_rejects_mismatched_shingle_keyspace(spark, docs):
+    # a portable (string band_sig) index with pre-hashed batch shingles is
+    # now rejected at the BANDING stage (before the store keyspace check):
+    # md5 signatures over hash values would band into a keyspace the index
+    # never collides with, silently missing every cross-batch near-dup
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     bands, _store, edges = D.verified_star_state(corpus)
     raw_store = D.word_shingles(corpus, hashed=False)
     hashed_batch_sh = D.word_shingles(batch, hashed=True)
-    with pytest.raises(ValueError, match="keyspace mismatch"):
+    with pytest.raises(ValueError, match="RAW batch shingles"):
         D.refresh_verified_star_edges(
             bands, raw_store, edges, batch, batch_shingles=hashed_batch_sh
         ).collect()
+
+
+def test_portable_refresh_rejects_prehashed_batch_shingles(spark, docs):
+    """The round-7 advice scenario verbatim: portable index + its OWN
+    bigint shingle store + pre-hashed (bigint) batch shingles used to slip
+    past the store keyspace check (bigint == bigint) and band the batch
+    into a disjoint md5 keyspace — zero collisions, near-dups silently
+    missed. The banding-stage guard must reject it."""
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    bands, store, edges = D.verified_star_state(corpus)  # store is bigint
+    hashed_batch_sh = D.word_shingles(batch, hashed=True)  # also bigint
+    with pytest.raises(ValueError, match="disjoint keyspace"):
+        D.refresh_verified_star_edges(
+            bands, store, edges, batch, batch_shingles=hashed_batch_sh
+        )
