@@ -272,15 +272,543 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# ------------------------------------------------------------ JPEG codec
+# Native BASELINE JPEG (round-7 verdict item 6), closing the last PIL
+# guard: sequential DCT, 8-bit precision, 4:4:4 (or single-component
+# grayscale), one huffman-coded scan. Everything a decoder needs — quant
+# tables, huffman BITS/HUFFVAL — rides in the file's own DQT/DHT segments
+# (ITU-T T.81 §B.2.4), so the encode/decode pair below is self-consistent
+# by construction; the table CONSTANTS are the Annex K defaults every
+# baseline codec ships. DCT/IDCT are one numpy einsum per plane; the
+# entropy coder is per-block Python, which is fine where it runs (inside
+# the same Arrow-batched mapInPandas the BMP/PNG codecs use).
+#
+# Exactness contract for the oracle fixture (synthetic_jpeg_blobs): at
+# quality=100 both quant tables are all-ones, and a block-CONSTANT gray
+# image (R=G=B, constant per 8×8 block, dims multiples of 8) has exactly
+# one nonzero coefficient per block — the integer DC 8·(v−128) — so
+# quantize→dequantize→IDCT reproduces every pixel bit for bit and a SQL
+# oracle can recompute the decoded-pixel stats from the generating
+# formula (x_jpeg_decode), the same way x_png_decode is checked.
+
+_JPEG_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+_JPEG_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K huffman table specs: (BITS[1..16], HUFFVAL)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The 64-entry zigzag scan order, generated (anti-diagonal walk,
+    alternating direction) rather than memorized."""
+    order = []
+    for s in range(15):
+        lo, hi = max(0, s - 7), min(s, 7)
+        rows = range(hi, lo - 1, -1) if s % 2 == 0 else range(lo, hi + 1)
+        order.extend((r, s - r) for r in rows)
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis in JPEG's normalization:
+    M[u,x] = C(u)/2 · cos((2x+1)uπ/16), C(0)=1/√2 — so FDCT is M·B·Mᵀ
+    (flat block of value v → DC exactly 8v) and IDCT is Mᵀ·F·M."""
+    u = np.arange(8, dtype=np.float64)[:, None]
+    x = np.arange(8, dtype=np.float64)[None, :]
+    M = np.cos((2 * x + 1) * u * np.pi / 16) / 2
+    M[0] /= np.sqrt(2)
+    return M
+
+
+_DCT_M = _dct_matrix()
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 1..100, 50 = the Annex K base table,
+    100 = all ones (lossless quantization)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical huffman assignment (T.81 Annex C): symbol → (code, length)."""
+    assert sum(bits) == len(vals)
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {cl: sym for sym, cl in _huff_encode_table(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 §B.1.1.5)
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ],
+        axis=-1,
+    )
+
+
+def _blocks_dct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Pad a component plane to 8-multiples (edge replication), forward-DCT
+    every 8×8 block in one einsum, quantize. Returns int32
+    (by, bx, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    H, W = plane.shape
+    blocks = (
+        plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    )
+    coeff = np.einsum("ux,byxz,vz->byuv", _DCT_M, blocks, _DCT_M)
+    return np.round(coeff / q).astype(np.int32)
+
+
+def _encode_block(
+    coeff: np.ndarray, prev_dc: int, writer: _BitWriter, dc_tab, ac_tab
+) -> int:
+    zz = [int(coeff[r, c]) for r, c in _ZIGZAG]
+    diff = zz[0] - prev_dc
+    mag, ssss = abs(diff), 0
+    while mag:
+        ssss += 1
+        mag >>= 1
+    writer.write(*dc_tab[ssss])
+    if ssss:
+        writer.write(diff if diff > 0 else diff + (1 << ssss) - 1, ssss)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            writer.write(*ac_tab[0xF0])  # ZRL
+            run -= 16
+        mag, size = abs(v), 0
+        while mag:
+            size += 1
+            mag >>= 1
+        writer.write(*ac_tab[(run << 4) | size])
+        writer.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        writer.write(*ac_tab[0x00])  # EOB
+    return zz[0]
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 100) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB (or (H, W) grayscale) array as a
+    BASELINE sequential JPEG: 4:4:4 (every component 1×1 sampling — no
+    chroma subsampling), Annex K quant tables scaled by `quality`
+    (100 → all-ones), Annex K huffman tables carried in DHT. A fully
+    standard JFIF file any decoder reads; decode_jpeg below is its
+    self-consistent inverse."""
+    import struct
+
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError(f"expected (H, W, 3) RGB or (H, W) gray, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    ql = _scaled_quant(_JPEG_QUANT_LUMA, quality)
+    qc = _scaled_quant(_JPEG_QUANT_CHROMA, quality)
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        quants = [ql]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        quants = [ql, qc, qc]
+    coefs = [_blocks_dct_quant(p, q) for p, q in zip(planes, quants)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0]) + bytes(int(ql[r, c]) for r, c in _ZIGZAG)
+    if not gray:
+        dqt += bytes([1]) + bytes(int(qc[r, c]) for r, c in _ZIGZAG)
+    out += seg(0xFFDB, dqt)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    out += seg(0xFFC0, sof)
+    dht = b""
+    tables = [(0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA)]
+    if not gray:
+        tables += [(0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA)]
+    for tclass, (bits, vals) in tables:
+        dht += bytes([tclass]) + bytes(bits) + bytes(vals)
+    out += seg(0xFFC4, dht)
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    out += seg(0xFFDA, sos + b"\x00\x3f\x00")
+
+    dc_l = _huff_encode_table(*_HUFF_DC_LUMA)
+    ac_l = _huff_encode_table(*_HUFF_AC_LUMA)
+    dc_c = _huff_encode_table(*_HUFF_DC_CHROMA)
+    ac_c = _huff_encode_table(*_HUFF_AC_CHROMA)
+    comp_tabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
+    writer = _BitWriter()
+    prev = [0] * ncomp
+    mby, mbx = coefs[0].shape[:2]
+    for by in range(mby):
+        for bx in range(mbx):
+            for ci in range(ncomp):
+                prev[ci] = _encode_block(
+                    coefs[ci][by, bx], prev[ci], writer, *comp_tabs[ci]
+                )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_read(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` raw bits back to a signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a BASELINE sequential JPEG (SOF0, 8-bit, huffman, 4:4:4 or
+    single-component grayscale, no restart intervals) to an (H, W, 3)
+    uint8 RGB array: marker walk, DQT/DHT table load, huffman + DC
+    prediction + EXTEND, dequantize, inverse zigzag, IDCT, level shift,
+    YCbCr→RGB (grayscale replicates). Raises ValueError on any other
+    JPEG flavor (progressive, subsampled, arithmetic, 12-bit, restarts)
+    or corrupt structure rather than returning garbage pixels."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    frame = None  # (h, w, [(cid, tq)])
+    scan = None   # [(cid, td, ta)], entropy data offset
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                vals = body[i + 1 : i + 65]
+                tab = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    tab[r, c] = vals[k]
+                quant[tq] = tab
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG unsupported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (4:4:4/grayscale only)"
+                    )
+                comps.append((cid, tq))
+            if len(comps) not in (1, 3):
+                raise ValueError(f"{len(comps)}-component JPEG unsupported")
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            scan = (scan_comps, pos + 2 + length)
+            break
+        pos += 2 + length
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = frame
+    scan_comps, data_off = scan
+    if [c for c, _, _ in scan_comps] != [cid for cid, _ in comps]:
+        raise ValueError("scan/frame component mismatch")
+
+    # unstuff the entropy-coded bytes up to EOI
+    ecs = bytearray()
+    i = data_off
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < len(payload) else None
+            if nxt == 0x00:
+                ecs.append(0xFF)
+                i += 2
+                continue
+            if nxt == 0xD9:
+                break
+            raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
+        ecs.append(b)
+        i += 1
+
+    reader = _BitReader(bytes(ecs))
+    ncomp = len(comps)
+    mby, mbx = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((mby * 8, mbx * 8), dtype=np.float64) for _ in comps]
+    prev = [0] * ncomp
+    for by in range(mby):
+        for bx in range(mbx):
+            for ci, ((cid, tq), (_c, td, ta)) in enumerate(
+                zip(comps, scan_comps)
+            ):
+                dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+                q = quant.get(tq)
+                if dc_tab is None or ac_tab is None or q is None:
+                    raise ValueError("scan references undefined table")
+                zz = np.zeros(64, dtype=np.int64)
+                ssss = _huff_read(reader, dc_tab)
+                diff = _extend(reader.read_bits(ssss), ssss) if ssss else 0
+                prev[ci] += diff
+                zz[0] = prev[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_read(reader, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError(f"bad AC symbol {sym:#x}")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(reader.read_bits(size), size)
+                    k += 1
+                coeff = np.zeros((8, 8), dtype=np.float64)
+                for kk, (r, c) in enumerate(_ZIGZAG):
+                    coeff[r, c] = zz[kk] * q[r, c]
+                block = _DCT_M.T @ coeff @ _DCT_M + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
 def decode_image(payload: bytes):
-    """Dependency-free decode for uncompressed BMP (decode_bmp) and 8-bit
-    RGB PNG (decode_png — zlib + the five row filters, no codec library);
-    remaining formats (JPEG et al.) fall back to PIL when installed.
-    Returns an (H, W, 3) uint8 RGB numpy array either way."""
+    """Dependency-free decode for uncompressed BMP (decode_bmp), 8-bit RGB
+    PNG (decode_png — zlib + the five row filters) and BASELINE JPEG
+    (decode_jpeg — huffman + dequant + IDCT over numpy). Non-baseline
+    JPEG flavors (progressive, subsampled) and other formats fall back to
+    PIL when installed. Returns an (H, W, 3) uint8 RGB numpy array."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg(payload)
+        except ValueError as native_err:
+            # a JPEG flavor the native decoder doesn't cover — try PIL,
+            # else surface the native decoder's diagnosis
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError:
+                raise native_err from None
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     try:
         import io
 
@@ -290,8 +818,9 @@ def decode_image(payload: bytes):
         return _np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "JPEG/other compressed decode requires PIL; install pillow on "
-            "the cluster image (BMP and 8-bit RGB PNG decode natively)"
+            "decode for this format requires PIL; install pillow on the "
+            "cluster image (BMP, 8-bit RGB PNG and baseline JPEG decode "
+            "natively)"
         ) from exc
 
 
@@ -458,6 +987,48 @@ def synthetic_png_blobs(docs: DataFrame) -> DataFrame:
     the COMPRESSED-format twin of synthetic_bmp_blobs."""
     return docs.select("doc_id").mapInPandas(
         _synth_pngs, schema="doc_id long, payload binary"
+    )
+
+
+def synth_jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """(w, h) multiples of 8 — whole MCUs, so block-constant pixels stay
+    block-constant after encoder padding."""
+    return 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+
+
+def synth_jpeg_pixels(doc_id: int) -> np.ndarray:
+    """(H, W, 3) uint8 GRAY (R=G=B), constant per 8×8 block:
+    v(bx, by) = (doc_id·37 + bx·11 + by·17) mod 256 — mirrored literally
+    by the x_jpeg_decode SQL oracle. Gray + block-constant + whole-MCU
+    dims is exactly the class baseline JPEG at quality 100 round-trips
+    bit for bit: one integer DC per block, zero chroma, all-ones quant."""
+    w, h = synth_jpeg_dims(doc_id)
+    bx = np.arange(w, dtype=np.int64)[None, :] // 8
+    by = np.arange(h, dtype=np.int64)[:, None] // 8
+    v = ((doc_id * 37 + bx * 11 + by * 17) % 256).astype(np.uint8)
+    return np.stack([v, v, v], axis=-1)
+
+
+def _synth_jpegs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].tolist()
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [
+                    encode_jpeg(synth_jpeg_pixels(int(d)), quality=100)
+                    for d in ids
+                ],
+            }
+        )
+
+
+def synthetic_jpeg_blobs(docs: DataFrame) -> DataFrame:
+    """doc_id → real baseline-JPEG bytes (markers, DQT/DHT, huffman-coded
+    4:4:4 scan with byte stuffing), one per document — the DCT-format twin
+    of synthetic_png_blobs."""
+    return docs.select("doc_id").mapInPandas(
+        _synth_jpegs, schema="doc_id long, payload binary"
     )
 
 
