@@ -1116,16 +1116,75 @@ def x_dedup_clusters(spark, sf_dir):
     )
 
 
-@query("x_multimodal_frames", oracle=None)  # mapInPandas plumbing → rows-only
+@query(
+    "x_multimodal_frames",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT b.doc_id, i.i AS frame_idx,
+       substring(b.hx, i.i * 128 + 1, 128) AS frame_hex
+FROM b, LATERAL (
+  SELECT unnest(generate_series(0, CAST(ceil(b.n / 64.0) AS BIGINT) - 1)) AS i
+) i
+WHERE i.i % 4 = 0""",
+)
 def x_multimodal_frames(spark, sf_dir):
+    """Frame sampling over opaque payloads (64-byte frames, every 4th
+    kept), WITH a value oracle (round-7 verdict item 8 — was rows-only):
+    the sampled frame BYTES are projected to hex so DuckDB can recompute
+    them from `substring(hex(payload))` — any off-by-one in the frame
+    boundaries, the stride, or the kept-index arithmetic breaks the
+    hash. The mapInPandas plumbing under test is unchanged; only the
+    comparison projection is hex."""
     blobs = M.blob_table(load_table(spark, sf_dir, "documents"))
-    return M.frame_sample(blobs, frame_size=64, every_k=4)
+    frames = M.frame_sample(blobs, frame_size=64, every_k=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
 
 
-@query("x_multimodal_resize", oracle=None)  # mapInPandas plumbing → rows-only
+@query(
+    "x_multimodal_resize",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), idx AS (
+  SELECT b.doc_id, b.hx, b.n, k.k AS k,
+         CASE
+           WHEN b.n <= 32 THEN k.k
+           WHEN k.k = 31 THEN b.n - 1
+           ELSE CAST(FLOOR(k.k * ((b.n - 1) / 31.0)) AS BIGINT)
+         END AS pos
+  FROM b, LATERAL (
+    SELECT unnest(generate_series(0, LEAST(32, b.n) - 1)) AS k
+  ) k
+), agg AS (
+  SELECT doc_id,
+         string_agg(substring(hx, pos * 2 + 1, 2), '' ORDER BY k) AS resized_hex
+  FROM idx GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(agg.resized_hex, '') AS resized_hex,
+       b.n AS orig_bytes
+FROM b LEFT JOIN agg USING (doc_id)""",
+)
 def x_multimodal_resize(spark, sf_dir):
+    """Uniform byte subsampling to 32 bytes ('thumbnail' batch shape),
+    WITH a value oracle (round-7 verdict item 8 — was rows-only). The
+    subsample indices are np.linspace(0, n-1, 32): the oracle mirrors
+    numpy's exact float64 evaluation order — pos = floor(k · ((n−1)/31.0))
+    with the division FIRST (numpy's arange·delta), and k=31 pinned to
+    n−1 (numpy forces the endpoint) — so truncation boundaries agree bit
+    for bit. Bytes compared as hex, same as x_multimodal_frames."""
     blobs = M.blob_table(load_table(spark, sf_dir, "documents"))
-    return M.resize_bytes(blobs, target_bytes=32)
+    rz = M.resize_bytes(blobs, target_bytes=32)
+    return rz.select(
+        "doc_id", F.hex("resized").alias("resized_hex"), "orig_bytes"
+    )
 
 
 @query(
