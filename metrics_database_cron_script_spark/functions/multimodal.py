@@ -1125,6 +1125,137 @@ def ahash_from_blobs(blobs: DataFrame) -> DataFrame:
     )
 
 
+def phash_chunks(hashes: DataFrame) -> DataFrame:
+    """(doc_id, phash) → (doc_id, chunk_id, chunk): the 64-bit aHash split
+    into 4 × 16-bit chunks — the hamming-LSH index relation the
+    incremental image-dedup state persists (phash column deliberately
+    excluded: the hash store is its own relation, mirroring the text
+    path's band-index/shingle-store separation)."""
+    return hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_id"),
+                        F.substring("phash", j * 16 + 1, 16).alias("chunk"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_id", "c.chunk")
+
+
+def _phash_hamming(ph_a: str = "ph_a", ph_b: str = "ph_b") -> F.Column:
+    """Exact 64-bit Hamming distance between two 64-char '0'/'1' hash
+    columns, fully codegen'd: 4 × (conv 16-bit chunk to long, xor,
+    bit_count) — no per-position higher-order functions."""
+    ham = None
+    for j in range(4):
+        term = F.bit_count(
+            F.conv(F.substring(ph_a, j * 16 + 1, 16), 2, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring(ph_b, j * 16 + 1, 16), 2, 10).cast("long")
+            )
+        )
+        ham = term if ham is None else ham + term
+    return ham.cast("long")
+
+
+def phash_star_edges(chunks: DataFrame, hashes: DataFrame) -> DataFrame:
+    """STAR edges per hamming-LSH bucket, scored with exact Hamming —
+    the image twin of dedup.scored_star_edges: per (chunk_id, chunk)
+    bucket the hub is min(doc_id) over the membership and every other
+    member contributes one (hub, member) edge, so a degenerate bucket
+    (the flat/banner-image all-zero aHash class) costs O(|bucket|)
+    edges, never O(|bucket|²) pairs. Edges are bucket-ATTRIBUTED
+    (chunk_id, chunk ride along) so an incremental refresh can carry
+    untouched buckets forward by one anti-join, and UNFILTERED (hamming
+    always stored) so a threshold change never forces recomputation.
+    Unlike the text path there is no score-reuse join: Hamming is one
+    codegen'd xor/bit_count per edge, cheaper than the join that would
+    dedupe it."""
+    hubs = chunks.groupBy("chunk_id", "chunk").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    members = (
+        chunks.join(hubs, ["chunk_id", "chunk"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("chunk_id", "chunk", "doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))
+    return (
+        members.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "chunk_id", "chunk", "doc_a", "doc_b",
+            _phash_hamming().alias("hamming"),
+        )
+    )
+
+
+def phash_star_state(
+    hashes: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One-time state build for incremental image dedup (round-7 verdict
+    item 3), mirroring dedup.verified_star_state's three relations:
+
+        chunks:  (doc_id, chunk_id, chunk)                 the LSH index
+        hashes:  (doc_id, phash)                           the hash store
+        edges:   (chunk_id, chunk, doc_a, doc_b, hamming)  scored edges
+
+    Components at any hamming threshold t are `connected_components` over
+    `edges.filter(hamming <= t)` — the star semantics of
+    x_phash_components_star. `hashes` is `ahash_from_blobs` output;
+    production persists all three as parquet and refreshes daily via
+    refresh_phash_star_edges."""
+    chunks = phash_chunks(hashes)
+    return chunks, hashes, phash_star_edges(chunks, hashes)
+
+
+def refresh_phash_star_edges(
+    index_chunks: DataFrame,
+    index_hashes: DataFrame,
+    index_edges: DataFrame,
+    batch_hashes: DataFrame,
+) -> DataFrame:
+    """Daily refresh of the image edge state, O(batch + touched-bucket
+    membership) — the image twin of dedup.refresh_verified_star_edges:
+    the batch pays its own decode+aHash (it arrives here as hashes);
+    buckets the batch collides with re-resolve their hub over the FULL
+    membership (index ∪ batch — a batch doc with a smaller id DISPLACES
+    the stored hub, recomputed not assumed away) and re-score their star
+    edges; every untouched bucket's edges carry forward by a bucket-key
+    anti-join, scanning neither the untouched index postings nor the
+    hash store. EXACTLY equals phash_star_state(corpus ∪ batch)[2] for
+    any batch ids (oracled by x_phash_components_incremental against the
+    full-recompute recursive CTE over an interleaved hub-displacing
+    split). Re-ingested batch docs are absorbed by the membership/store
+    distinct()s, so replay cannot double edge rows."""
+    batch_chunks = phash_chunks(batch_hashes)
+    touched = batch_chunks.select("chunk_id", "chunk").distinct()
+    members = (
+        index_chunks.select("doc_id", "chunk_id", "chunk")
+        .join(touched, ["chunk_id", "chunk"], "leftsemi")
+        .unionByName(batch_chunks.select("doc_id", "chunk_id", "chunk"))
+        .distinct()
+    )
+    all_hashes = (
+        index_hashes.select("doc_id", "phash")
+        .unionByName(batch_hashes.select("doc_id", "phash"))
+        .distinct()
+    )
+    recomputed = phash_star_edges(members, all_hashes)
+    cols = ["chunk_id", "chunk", "doc_a", "doc_b", "hamming"]
+    untouched = index_edges.select(*cols).join(
+        touched, ["chunk_id", "chunk"], "left_anti"
+    )
+    return untouched.unionByName(recomputed.select(*cols))
+
+
 def phash_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     """NEAR-duplicate image pairs from perceptual hashes — the multimodal
     twin of the text near-dup family (round-6 verdict item 4): exact-match

@@ -764,6 +764,100 @@ def x_phash_components(spark, sf_dir):
     return D.connected_components(pairs.select("doc_a", "doc_b"))
 
 
+# Full star-recompute oracle, shared by x_phash_components_star AND
+# x_phash_components_incremental: the incremental Spark plan must equal
+# the full recompute exactly, so both check against one SQL (the same
+# one-oracle-two-plans pattern as the text verified family).
+_PHASH_STAR_ORACLE = (
+    "WITH RECURSIVE "
+    + _PHASH_CTE
+    + """, schunks AS (
+  SELECT doc_id, phash, j.j AS chunk_id,
+         substr(phash, j.j * 16 + 1, 16) AS chunk
+  FROM ph, (SELECT unnest(generate_series(0, 3)) AS j) j
+), sstar AS (
+  SELECT DISTINCT hub AS doc_a, doc_id AS doc_b FROM (
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY chunk_id, chunk) AS hub
+    FROM schunks)
+  WHERE doc_id <> hub
+), sgood AS (
+  SELECT s.doc_a, s.doc_b
+  FROM sstar s
+  JOIN ph a ON a.doc_id = s.doc_a
+  JOIN ph b ON b.doc_id = s.doc_b
+  WHERE hamming(a.phash, b.phash) <= 6
+), sedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM sgood
+  UNION
+  SELECT doc_b, doc_a FROM sgood
+), sreach AS (
+  SELECT u AS doc_id, v AS peer FROM sedges
+  UNION
+  SELECT r.doc_id, e.v FROM sreach r JOIN sedges e ON e.u = r.peer
+)
+SELECT doc_id, LEAST(doc_id, MIN(peer)) AS component
+FROM sreach GROUP BY doc_id"""
+)
+
+
+@query("x_phash_components_star", oracle=_PHASH_STAR_ORACLE)
+def x_phash_components_star(spark, sf_dir):
+    """Image near-dup clusters over STAR edges (hub = min doc_id per
+    hamming-LSH bucket, each edge hamming-verified) — the scale shape of
+    x_phash_components: a degenerate bucket (the flat/banner-image
+    all-zero aHash class) costs O(|bucket|) edges instead of the
+    all-pairs O(|bucket|²), the same trade the text family makes in
+    minhash_components_verified. Star verification is stricter than
+    all-pairs (a member pair both within hamming 6 of each other but not
+    of the hub stays split), which the oracle mirrors exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = M.ahash_from_blobs(M.synthetic_bmp_blobs(docs))
+    _chunks, _hashes, edges = M.phash_star_state(hashes)
+    good = (
+        edges.filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return D.connected_components(good)
+
+
+@query("x_phash_components_incremental", oracle=_PHASH_STAR_ORACLE)
+def x_phash_components_incremental(spark, sf_dir):
+    """Round-7 verdict item 3: incremental IMAGE dedup from persisted
+    state — the multimodal twin of x_minhash_components_verified_
+    incremental. The corpus (doc_id ≢ 0 mod 10) contributes its stored
+    chunk index, hash store and hamming-scored star-edge state
+    (multimodal.phash_star_state, built in-plan here for checkability,
+    parquet in production); only the batch pays decode + aHash, only
+    batch-touched buckets re-resolve their hub over the full membership,
+    untouched buckets carry forward by a bucket-key anti-join. The
+    oracle is the IDENTICAL full-recompute recursive CTE as
+    x_phash_components_star over all documents: equal output proves
+    refresh ≡ full — and this split's interleaved ids displace bucket
+    hubs, so the equivalence covers the hard case, not just the
+    monotone-append contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    batch = docs.filter(F.pmod("doc_id", F.lit(10)) == 0)
+    corpus_hashes = M.ahash_from_blobs(M.synthetic_bmp_blobs(corpus))
+    batch_hashes = M.ahash_from_blobs(M.synthetic_bmp_blobs(batch))
+    # materialize state once, as production's parquet reads do (the
+    # refresh references chunks/edges twice each; live subplans would
+    # re-run the whole decode+hash pipeline per reference)
+    chunks, store, edges = (
+        df.localCheckpoint(eager=True)
+        for df in M.phash_star_state(corpus_hashes)
+    )
+    refreshed = M.refresh_phash_star_edges(chunks, store, edges, batch_hashes)
+    good = (
+        refreshed.filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return D.connected_components(good)
+
+
 @query(
     "x_png_decode",
     oracle="""
