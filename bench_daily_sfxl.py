@@ -66,8 +66,164 @@ def _tree_digest(root: str) -> str:
     return h.hexdigest()
 
 
+def run_streaming_twin(spark, sfxl: str, phase) -> None:
+    """Round-7 verdict item 5: the SAME daily work through the STREAMING
+    path at SFXL, with sink equality asserted against the batch
+    computation. Three surfaces, each drained with processAllAvailable
+    (available-now semantics) over multi-file micro-batches
+    (maxFilesPerTrigger=32 → ~8 micro-batches over the 256-file SFXL
+    events table — the per-micro-batch machinery actually executes,
+    instead of one mega-batch):
+
+    - streaming_events_sink (R8 twin): events → idempotent append sink;
+      content-hash equal to the events table itself, and a checkpoint
+      RESTART appends nothing (streaming replay no-op).
+    - streaming_tx_pipeline (P2 twin): tx_view → broadcast price join →
+      conditional dollar value → idempotent sink; content-hash equal to
+      the batch enrichment frame (identical logical functions, per-row
+      deterministic, so the equality is EXACT).
+    - streaming_rollup (P6 twin): epoch-guarded aggregate merge;
+      compared to the batch daily_rollup with sum_value rounded to 6 dp
+      (micro-batch accumulation sums partials in a different order, so
+      the last-ulp float digits legitimately differ — n/min/max are
+      exact)."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.reference_ops import (
+        daily_price_dim,
+        daily_rollup,
+        tx_view,
+    )
+    from metrics_database_cron_script_spark.sources.tables import load_table
+    from metrics_database_cron_script_spark.streaming.pipeline import enrich
+    from metrics_database_cron_script_spark.streaming.sink import (
+        stream_rollup_maintenance,
+        stream_to_idempotent_sink,
+    )
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    scratch = os.path.join(here, ".bench_cache", "daily-sfxl-streaming")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    events = load_table(spark, sfxl, "events")
+    n_events = events.count()
+    mfpt = 32
+
+    def content_hash(df):
+        # timestamps cast to long micros so LTZ-vs-NTZ surface types
+        # (identical instants under the pinned UTC session tz) hash equal
+        cols = [
+            F.col(c).cast("timestamp").cast("long").alias(c)
+            if t.startswith("timestamp")
+            else F.col(c)
+            for c, t in df.dtypes
+        ]
+        proj = df.select(*cols)
+        row = proj.agg(
+            F.sum(
+                F.xxhash64(*sorted(proj.columns)).cast("decimal(38,0)")
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (str(row["h"]), row["n"])
+
+    # ---- R8 twin: raw events through the idempotent append sink -----------
+    sink = os.path.join(scratch, "events_sink.parquet")
+    ckpt = os.path.join(scratch, "ckpt-events")
+    rows, wall = _timed(
+        lambda: stream_to_idempotent_sink(
+            spark, sfxl, sink, ckpt, max_files_per_trigger=mfpt
+        )
+    )
+    h_sink = content_hash(spark.read.parquet(sink))
+    h_batch = content_hash(events)
+    # restart from the same checkpoint: no new files → nothing appended
+    digest_before = _tree_digest(sink)
+    rows2, wall_replay = _timed(
+        lambda: stream_to_idempotent_sink(
+            spark, sfxl, sink, ckpt, max_files_per_trigger=mfpt
+        )
+    )
+    phase("streaming_events_sink", {
+        "rows": rows,
+        "wall_s": wall,
+        "max_files_per_trigger": mfpt,
+        "content_equal_batch": h_sink == h_batch,
+        "restart_wall_s": wall_replay,
+        "restart_rows": rows2,
+        "restart_sink_byte_identical": _tree_digest(sink) == digest_before,
+    })
+    assert h_sink == h_batch, ("events sink != events table", h_sink, h_batch)
+    assert rows2 == rows
+
+    # ---- P2 twin: the enrichment pipeline in streaming execution ----------
+    from metrics_database_cron_script_spark.streaming.pipeline import (
+        run_streaming_tx_pipeline,
+    )
+
+    tx_state = os.path.join(scratch, "txstate")
+    rows, wall = _timed(
+        lambda: run_streaming_tx_pipeline(spark, sfxl, tx_state)
+    )
+    stream_tx = spark.read.parquet(os.path.join(tx_state, "tx_enriched.parquet"))
+    batch_tx = enrich(tx_view(events), daily_price_dim(events))
+    h_stream, h_batch = content_hash(stream_tx), content_hash(batch_tx)
+    phase("streaming_tx_pipeline", {
+        "rows": rows,
+        "wall_s": wall,
+        "content_equal_batch": h_stream == h_batch,
+        "note": "stream-static broadcast price join + CASE dollar value; "
+        "per-row deterministic, so equality with the batch P2 frame is "
+        "exact content-hash",
+    })
+    assert h_stream == h_batch, ("tx stream != batch", h_stream, h_batch)
+
+    # ---- P6 twin: epoch-guarded rollup maintenance ------------------------
+    roll_state = os.path.join(scratch, "rollup.parquet")
+    roll_ckpt = os.path.join(scratch, "ckpt-rollup")
+    roll, wall = _timed(
+        lambda: stream_rollup_maintenance(
+            spark, sfxl, roll_state, roll_ckpt, max_files_per_trigger=mfpt
+        )
+    )
+
+    def rollup_hash(df):
+        return content_hash(
+            df.select(
+                "day", "n",
+                F.round("sum_value", 6).alias("sum_value"),
+                "min_value", "max_value",
+            )
+        )
+
+    h_stream, h_batch = rollup_hash(roll), rollup_hash(daily_rollup(events))
+    # restart: committed epochs are skipped whole, state content unchanged
+    roll2, wall_replay = _timed(
+        lambda: stream_rollup_maintenance(
+            spark, sfxl, roll_state, roll_ckpt, max_files_per_trigger=mfpt
+        )
+    )
+    h_restart = rollup_hash(roll2)
+    phase("streaming_rollup", {
+        "days": roll.count(),
+        "events": n_events,
+        "wall_s": wall,
+        "content_equal_batch": h_stream == h_batch,
+        "restart_wall_s": wall_replay,
+        "restart_content_identical": h_restart == h_stream,
+        "note": "sum_value compared at 6 dp: micro-batch partial-rollup "
+        "merges accumulate in a different order than the batch sum, so "
+        "last-ulp float digits legitimately differ; day/n/min/max exact",
+    })
+    assert h_stream == h_batch, ("rollup stream != batch", h_stream, h_batch)
+    assert h_restart == h_stream
+
+
 def main() -> None:
     args = list(sys.argv[1:])
+    streaming_only = "--streaming-only" in args
+    if streaming_only:
+        args.remove("--streaming-only")
     decade_dir = None
     if "--decade" in args:
         i = args.index("--decade")
@@ -96,6 +252,21 @@ def main() -> None:
     def phase(key, obj):
         out[key] = obj
         print(json.dumps({key: obj}, default=str), file=sys.stderr, flush=True)
+
+    if streaming_only:
+        # merge into the committed artifact: keep every already-measured
+        # batch phase, add/replace only the streaming-twin rows
+        artifact = os.path.join(here, "BENCH_DAILY_SFXL.json")
+        if os.path.exists(artifact):
+            with open(artifact) as fh:
+                prior = json.load(fh)
+            prior.update(out)
+            out.update(prior)
+        run_streaming_twin(spark, sfxl, phase)
+        with open(artifact, "w") as fh:
+            json.dump(out, fh, indent=1, default=str)
+        print(json.dumps(out, indent=1, default=str))
+        return
 
     scratch = os.path.join(here, ".bench_cache", "daily-sfxl")
     shutil.rmtree(scratch, ignore_errors=True)

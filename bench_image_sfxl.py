@@ -1,0 +1,453 @@
+#!/usr/bin/env python
+"""Image near-dup family at decade-ish scale (round-7 verdict item 2).
+
+The image path (decode → aHash → hamming-chunk LSH → star edges →
+components) is the engine's one Python-bound family — decode runs as
+Arrow-batched mapInPandas over real BMP containers — so its bytes/s-per-
+core constant is exactly what a 100 TB plan needs measured (text dedup is
+JVM-side end to end; SCALE.md §4 predicted the image numbers, this
+measures them).
+
+Corpus: BASES × REPLICAS synthetic 32×24 24-bit BMPs (~2.4 KB each),
+doc_id = base·100 + replica. Replica r of a base perturbs r % 4 pixels of
+the base image (XOR 0xFF), so replicas of one base hash within a few
+hamming bits of each other — TRUE near-dup clusters of 64 — while
+distinct bases stay far apart. Every base ≡ 0 (mod 100) is a CONSTANT-
+COLOR image regardless of replica: the flat/banner class whose aHash is
+all-zeros — SCALE.md's predicted hot bucket. All four of its 16-bit
+chunks collide across every flat image in the corpus, so the degenerate
+bucket holds BASES/100 · REPLICAS members; star edges keep it
+O(|bucket|) where all-pairs would be O(|bucket|²) (the measured
+`hot_bucket` row is the evidence).
+
+Phases (each an end-to-end wall including parquet round-trips, since
+state is storage, not a live plan):
+
+- image_corpus_gen: encode + write the blob table (one-time fixture).
+- image_decode_hash: blobs → decode_bmp → ahash_bits → hashes parquet.
+  The Python-bound stage: reports images/s and MB/s per core.
+- image_state_full: phash_star_state over ALL hashes (chunk index +
+  scored star edges), persisted — measured warm (after a page-cache
+  warm-up read of the hashes parquet) so the refresh ratio compares
+  plans, not cache states.
+- image_components_full: components over the full edge state + cluster
+  stats + the hot-bucket distribution. The full DAILY job denominator is
+  decode_hash + state + components: decode is the image family's
+  dominant cost, and the incremental path's main win is decoding ONLY
+  the batch.
+- image_incremental_newbases: the TYPICAL daily batch — the last 1/64 of
+  bases (new content), so only those bases' buckets (plus the flat
+  bucket) are touched. End-to-end wall = batch decode + edge refresh +
+  components; components hash-compared against the full recompute.
+- image_incremental_allbases: the ADVERSARIAL batch — one new replica of
+  EVERY base, touching essentially every bucket. This bounds the refresh
+  from above: edge recompute approaches the full build and the win
+  reduces to the decode delta. Both refreshes must match the full
+  components exactly (the hub-displacement case is oracle-proven at
+  sf0.01 by x_phash_components_incremental).
+
+Usage:
+    python bench_image_sfxl.py [--bases N] [--replicas R] [--regen]
+
+Writes BENCH_IMAGE_SFXL.json (one JSON object, indent=1); per-phase rows
+stream to stderr so a late-phase failure loses nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASES = 40_000
+REPLICAS = 64  # => 2.56 M images
+STRIDE = 100
+IMG_W, IMG_H = 32, 24
+FLAT_EVERY = 100  # base % 100 == 0 -> constant-color (hot-bucket class)
+MAX_HAMMING = 6
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, round(time.perf_counter() - t0, 3)
+
+
+def _dir_bytes(d: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fs in os.walk(d)
+        for f in fs
+    )
+
+
+def bench_pixels(doc_id: int):
+    """Deterministic 32×24 RGB pixels for doc_id = base·100 + replica:
+    base picks the image, replica XOR-flips (replica % 4) pixels — so
+    replicas are near-dups. Flat class: base % FLAT_EVERY == 0."""
+    import numpy as np
+
+    base, replica = divmod(doc_id, STRIDE)
+    if base % FLAT_EVERY == 0:
+        return np.full((IMG_H, IMG_W, 3), base % 256, dtype=np.uint8)
+    x = np.arange(IMG_W, dtype=np.int64)[None, :, None]
+    y = np.arange(IMG_H, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    # base-dependent FREQUENCIES, not just a constant offset: a constant
+    # shift mod 256 moves block means and the global mean together, so
+    # thousands of bases would share one aHash (measured: 15 giant
+    # clusters); distinct gradients give distinct block-vs-global
+    # patterns, i.e. a real cluster-per-base structure
+    ax, by = 3 + base % 13, 5 + base % 11
+    px = ((base * 31 + x * x * ax + y * y * by + c * 101) % 256).astype(
+        np.uint8
+    )
+    for j in range(replica % 4):
+        py = (j * 7 + replica) % IMG_H
+        pxx = (j * 11 + replica) % IMG_W
+        px[py, pxx] ^= 0xFF
+    return px
+
+
+def _gen_blobs(batches):
+    import pandas as pd
+
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        encode_bmp,
+    )
+
+    for pdf in batches:
+        ids = pdf["doc_id"].tolist()
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload": [encode_bmp(bench_pixels(int(d))) for d in ids],
+            }
+        )
+
+
+def _hash_blobs(batches):
+    import pandas as pd
+
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        ahash_bits,
+        decode_bmp,
+    )
+
+    for pdf in batches:
+        rows = [
+            (int(doc_id), ahash_bits(decode_bmp(bytes(payload))))
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+        ]
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+def build_state(spark, hashes_df, root: str) -> dict:
+    """phash_star_state with parquet round-trips between stages (chunks
+    feed both the hub resolution and the edge join; storage, not a live
+    plan). The hash store is the hashes parquet itself."""
+    from metrics_database_cron_script_spark.functions import multimodal as M
+
+    shutil.rmtree(root, ignore_errors=True)
+    walls = {}
+    t0 = time.perf_counter()
+    M.phash_chunks(hashes_df).write.parquet(os.path.join(root, "chunks"))
+    walls["chunks_s"] = round(time.perf_counter() - t0, 3)
+    chunks = spark.read.parquet(os.path.join(root, "chunks"))
+    t0 = time.perf_counter()
+    M.phash_star_edges(chunks, hashes_df).write.parquet(
+        os.path.join(root, "edges")
+    )
+    walls["edges_s"] = round(time.perf_counter() - t0, 3)
+    walls["total_s"] = round(sum(walls.values()), 3)
+    return walls
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    bases, replicas = BASES, REPLICAS
+    if "--bases" in args:
+        i = args.index("--bases")
+        bases = int(args[i + 1])
+        del args[i : i + 2]
+    if "--replicas" in args:
+        i = args.index("--replicas")
+        replicas = int(args[i + 1])
+        del args[i : i + 2]
+    regen = "--regen" in args
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark import get_spark
+    from metrics_database_cron_script_spark.functions import dedup as D
+    from metrics_database_cron_script_spark.functions import multimodal as M
+
+    spark = get_spark("bench_image_sfxl")
+    spark.sparkContext.setLogLevel("ERROR")
+    here = os.path.dirname(os.path.abspath(__file__))
+    blob_dir = os.path.join(here, ".bench_cache", "sfxl-images")
+    state_root = os.path.join(here, ".bench_cache", "image-state")
+
+    out: dict = {
+        "metric": "image_sfxl",
+        "images": bases * replicas,
+        "bases": bases,
+        "replicas": replicas,
+        "img_wh": [IMG_W, IMG_H],
+        "cpus": os.cpu_count(),
+        "max_hamming": MAX_HAMMING,
+    }
+
+    def _phase(key: str, obj) -> None:
+        out[key] = obj
+        print(json.dumps({key: obj}), file=sys.stderr, flush=True)
+
+    n_images = bases * replicas
+
+    # ---- corpus generation (one-time fixture; encode is also Python) -----
+    if regen or not os.path.isdir(blob_dir):
+        shutil.rmtree(blob_dir, ignore_errors=True)
+        ids = (
+            spark.range(bases)
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.col("id") * STRIDE,
+                        F.col("id") * STRIDE + replicas - 1,
+                    )
+                ).alias("doc_id")
+            )
+            .repartition(256)
+        )
+        _, wall = _timed(
+            lambda: ids.mapInPandas(
+                _gen_blobs, schema="doc_id long, payload binary"
+            ).write.parquet(blob_dir)
+        )
+        _phase("image_corpus_gen", {
+            "images": n_images,
+            "wall_s": wall,
+            "bytes": _dir_bytes(blob_dir),
+            "images_per_s": round(n_images / wall, 1),
+        })
+    else:
+        _phase("image_corpus_gen", {"reused": True, "bytes": _dir_bytes(blob_dir)})
+
+    blobs = spark.read.parquet(blob_dir)
+    blob_bytes = _dir_bytes(blob_dir)
+
+    # ---- decode + aHash: THE Python-bound stage ---------------------------
+    hashes_dir = os.path.join(here, ".bench_cache", "image-hashes")
+    shutil.rmtree(hashes_dir, ignore_errors=True)
+    _, wall = _timed(
+        lambda: blobs.mapInPandas(
+            _hash_blobs, schema="doc_id long, phash string"
+        ).write.parquet(hashes_dir)
+    )
+    ncpu = os.cpu_count() or 1
+    # payload bytes/s through the Python decode, per core — the constant a
+    # 100 TB plan multiplies out (payload bytes, not parquet-compressed)
+    payload_bytes = n_images * (54 + IMG_H * ((IMG_W * 3 + 3) & ~3))
+    _phase("image_decode_hash", {
+        "images": n_images,
+        "wall_s": wall,
+        "images_per_s": round(n_images / wall, 1),
+        "payload_mb_per_s": round(payload_bytes / wall / 1e6, 1),
+        "payload_mb_per_s_per_core": round(payload_bytes / wall / 1e6 / ncpu, 3),
+        "parquet_bytes": blob_bytes,
+    })
+    hashes = spark.read.parquet(hashes_dir)
+    decode_wall = wall
+
+    # ---- full state build (denominator) -----------------------------------
+    # warm the page cache + plan first: the first post-write read of the
+    # hashes parquet was measured 40× slower than the second (cold footers
+    # + page cache), and the refresh ratio must compare plans, not caches
+    hashes.count()
+    full_root = os.path.join(here, ".bench_cache", "image-state-full")
+    walls_full = build_state(spark, hashes, full_root)
+    full_edges = spark.read.parquet(os.path.join(full_root, "edges"))
+
+    def comp_stats(comps):
+        comps = comps.persist()
+        row = (
+            comps.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("n_components"),
+                F.max("k").alias("max_cluster"),
+                F.sum("k").alias("docs_labeled"),
+            )
+            .collect()[0]
+        )
+        sig = comps.agg(
+            F.sum(
+                F.xxhash64("doc_id", "component").cast("decimal(38,0)")
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        comps.unpersist()
+        return {
+            "n_components": row["n_components"],
+            "max_cluster": row["max_cluster"],
+            "docs_labeled": row["docs_labeled"],
+        }, (str(sig["h"]), sig["n"])
+
+    def components_of(edges):
+        good = (
+            edges.filter(F.col("hamming") <= MAX_HAMMING)
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return D.connected_components(good)
+
+    t0 = time.perf_counter()
+    fcomps = components_of(full_edges)
+    fstats, fsig = comp_stats(fcomps)
+    wall_comps = round(time.perf_counter() - t0, 3)
+    n_edges = full_edges.count()
+    full_daily_total = round(
+        decode_wall + walls_full["total_s"] + wall_comps, 3
+    )
+    _phase("image_state_full", {
+        "images": n_images,
+        "steps": walls_full,
+        "edges": n_edges,
+        "edges_per_image": round(n_edges / n_images, 2),
+        "wall_s": walls_full["total_s"],
+    })
+    _phase("image_components_full", {
+        "wall_s": wall_comps,
+        **fstats,
+        "full_daily_total_s": full_daily_total,
+        "note": "full daily job = decode_hash + state build + components; "
+        "decode dominates, which is exactly what the incremental path "
+        "avoids paying for the corpus",
+    })
+
+    # ---- hot-bucket evidence (SCALE.md's flat-image prediction) -----------
+    chunks_full = spark.read.parquet(os.path.join(full_root, "chunks"))
+    bucket_sizes = chunks_full.groupBy("chunk_id", "chunk").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = bucket_sizes.orderBy(F.desc("n")).limit(5).collect()
+    flat_bucket = bucket_sizes.filter(
+        (F.col("chunk") == "0" * 16)
+    ).agg(F.max("n")).collect()[0][0]
+    dist = bucket_sizes.agg(
+        F.expr("percentile_approx(n, array(0.5, 0.99, 0.999))").alias("p"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).collect()[0]
+    expected_flat = (bases // FLAT_EVERY) * replicas
+    _phase("hot_bucket", {
+        "expected_flat_images": expected_flat,
+        "flat_allzero_bucket": flat_bucket,
+        "top5_buckets": [
+            {"chunk_id": r["chunk_id"], "n": r["n"]} for r in top
+        ],
+        "bucket_size_p50_p99_p999": [float(v) for v in dist["p"]],
+        "n_buckets": dist["n_buckets"],
+        "note": "star edges bound the degenerate all-zero aHash bucket at "
+        "O(n) edges per chunk (4(n-1) total), where all-pairs banding "
+        "would emit ~n^2/2; the flat class is also groupable/filterable "
+        "BEFORE the join (chunk = '0'*16) if a corpus wants banners "
+        "quarantined instead of clustered",
+    })
+
+    # ---- incremental daily job, two batch shapes ---------------------------
+    def run_incremental(phase_key, batch_pred, batch_images, note):
+        """End-to-end incremental daily wall: decode ONLY the batch (the
+        corpus hashes are yesterday's state), refresh touched buckets,
+        components. Components must hash-equal the full recompute."""
+        corpus_h = hashes.filter(~batch_pred)
+        batch_h = hashes.filter(batch_pred)
+        walls_state = build_state(spark, corpus_h, state_root)
+
+        # run the daily sequence TWICE and report the warm iteration: the
+        # first new-bases run was measured 43 s on a 5.8 s phase purely
+        # from cold page cache on the 5 GB blob scan — the ratio must
+        # compare plans, not cache states (cold walls kept for reference)
+        iters = []
+        for _ in range(2):
+            # the batch's decode+aHash cost, measured on the REAL path:
+            # blobs filtered to the batch, decoded, hashed
+            batch_hash_dir = os.path.join(state_root, "batch-hashes")
+            shutil.rmtree(batch_hash_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            blobs.filter(batch_pred).mapInPandas(
+                _hash_blobs, schema="doc_id long, phash string"
+            ).write.parquet(batch_hash_dir)
+            wall_batch_decode = round(time.perf_counter() - t0, 3)
+
+            chunks = spark.read.parquet(os.path.join(state_root, "chunks"))
+            edges = spark.read.parquet(os.path.join(state_root, "edges"))
+            batch_hh = spark.read.parquet(batch_hash_dir)
+            next_edges = os.path.join(state_root, "edges-next")
+            shutil.rmtree(next_edges, ignore_errors=True)
+            t0 = time.perf_counter()
+            M.refresh_phash_star_edges(
+                chunks, corpus_h, edges, batch_hh
+            ).write.parquet(next_edges)
+            wall_refresh_edges = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            rcomps = components_of(spark.read.parquet(next_edges))
+            rstats, rsig = comp_stats(rcomps)
+            wall_refresh_comps = round(time.perf_counter() - t0, 3)
+            iters.append({
+                "batch_decode_s": wall_batch_decode,
+                "edge_refresh_s": wall_refresh_edges,
+                "components_s": wall_refresh_comps,
+            })
+        warm = iters[-1]
+        wall_incr = round(sum(warm.values()), 3)
+        _phase(phase_key, {
+            "corpus_images": n_images - batch_images,
+            "batch_images": batch_images,
+            "state_build_steps": walls_state,
+            **warm,
+            "cold_iteration": iters[0],
+            "incremental_daily_total_s": wall_incr,
+            "full_daily_total_s": full_daily_total,
+            "incremental_vs_full": round(wall_incr / full_daily_total, 3),
+            **rstats,
+            "components_match_full": rsig == fsig,
+            "note": note,
+        })
+        assert rsig == fsig, (phase_key, "refresh != full", rsig, fsig)
+
+    # typical: the last 1/64 of bases arrive as NEW images — only their
+    # buckets (plus the shared flat bucket) are touched
+    nb_bases = max(1, bases // 64)
+    nb_lo = (bases - nb_bases) * STRIDE
+    run_incremental(
+        "image_incremental_newbases",
+        F.col("doc_id") >= nb_lo,
+        nb_bases * replicas,
+        "batch = last %d bases as new content (monotone ids); touched "
+        "buckets ~ batch's own + the flat hot bucket — the typical daily "
+        "shape, O(batch + touched membership)" % nb_bases,
+    )
+    # adversarial: one new replica of EVERY base — every base bucket is
+    # touched, edge recompute approaches the full build and the win
+    # reduces to the decode delta
+    run_incremental(
+        "image_incremental_allbases",
+        F.pmod("doc_id", F.lit(STRIDE)) == replicas - 1,
+        bases,
+        "batch = top replica of every base: the all-buckets-touched upper "
+        "bound; refresh cost approaches a full edge rebuild and the "
+        "incremental win is the corpus decode avoided",
+    )
+
+    with open(os.path.join(here, "BENCH_IMAGE_SFXL.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -188,6 +188,64 @@ def _topk_per_query(scored: DataFrame, score_col: str, k: int) -> DataFrame:
     )
 
 
+def arrow_pair_topk(pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-query top-k over PRE-PAIRED (q_id, q_vec, vec_id, embedding)
+    rows, scored Arrow-side: row-wise cosine via one vectorized
+    multiply-sum per batch instead of the interpreted per-element
+    `aggregate(zip_with(...))` expression (measured ~25× slower at sf0.1
+    — the brute_force_topk lesson, applied to the candidate-join shape).
+    This is the scale scorer for IVF/LSH probes, where candidates arrive
+    as join output (each query paired with its probed cells' members) and
+    a matmul against ALL queries would score pairs the probe pruned away.
+    Zero-norm rows are excluded (cosine undefined), self-pairs dropped,
+    rounding is HALF_UP to 6 dp — identical contract to the higher-order
+    scorer it replaces."""
+    import numpy as np
+
+    def _mat(col, n):
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        if not len(lens) or lens.min() != lens.max():
+            raise ValueError("ragged embedding lists in pair scorer")
+        return np.asarray(flat[offs[0] : offs[-1]], dtype=np.float64).reshape(
+            n, int(lens[0])
+        )
+
+    def score(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            q_ids = rb.column(0).to_numpy(zero_copy_only=False)
+            vec_ids = rb.column(2).to_numpy(zero_copy_only=False)
+            q_mat = _mat(rb.column(1), n)
+            c_mat = _mat(rb.column(3), n)
+            qn = np.sqrt((q_mat * q_mat).sum(axis=1))
+            cn = np.sqrt((c_mat * c_mat).sum(axis=1))
+            keep = (qn > 0.0) & (cn > 0.0) & (q_ids != vec_ids)
+            if not keep.any():
+                continue
+            raw = (q_mat[keep] * c_mat[keep]).sum(axis=1) / (
+                qn[keep] * cn[keep]
+            )
+            cos = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
+            yield pa.record_batch(
+                {
+                    "q_id": q_ids[keep],
+                    "vec_id": vec_ids[keep],
+                    "cos": cos,
+                }
+            )
+
+    scored = pairs.select("q_id", "q_vec", "vec_id", "embedding").mapInArrow(
+        score, "q_id long, vec_id long, cos double"
+    )
+    return _topk_per_query(scored, "cos", k)
+
+
 def _hyperplane(bit: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component per (bit, dim index):
     sha256-derived uniform in [-0.5, 0.5). Replayable across runs/cluster."""
@@ -271,6 +329,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    arrow: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     partitions the corpus into cells; each query probes its `n_probe`
@@ -280,7 +339,12 @@ def ivf_topk(
     the fit runs on a sample, the cell assignment is one codegen'd pass, and
     the probe is an equi-join on cell id — the same shuffle shape as the LSH
     variant but with data-adaptive cells (better recall on clustered data).
-    """
+
+    `arrow=True` swaps the probe's per-pair scorer from the interpreted
+    higher-order cosine to the Arrow-vectorized pair scorer
+    (arrow_pair_topk) — same contract (HALF_UP 6 dp, self-pairs and
+    zero-norm rows dropped), ~25× cheaper per pair; the default stays the
+    SQL-transparent expression the rows-only registry entry documents."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -328,6 +392,8 @@ def ivf_topk(
     joined = assigned.join(F.broadcast(q_cells), "__cell").filter(
         F.col("vec_id") != F.col("q_id")
     )
+    if arrow:
+        return arrow_pair_topk(joined, k)
     scored = joined.select(
         "q_id",
         "vec_id",

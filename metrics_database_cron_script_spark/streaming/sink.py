@@ -22,10 +22,13 @@ def stream_to_idempotent_sink(
     checkpoint_dir: str,
     key: str = "event_id",
     query_name: str = "stream_sink",
+    max_files_per_trigger: int | None = None,
 ) -> int:
     """Drain the events stream into an idempotent parquet sink. Returns the
     number of rows in the sink afterwards."""
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream(
+        spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+    )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         idempotent_append(batch_df, sink_path, key=key)
@@ -139,6 +142,7 @@ def stream_rollup_maintenance(
     state_path: str,
     checkpoint_dir: str,
     query_name: str = "stream_rollup",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming twin of pipelines.update_rollup (P6): maintain the standing
     daily rollup from the events stream via foreachBatch.
@@ -265,7 +269,9 @@ def stream_rollup_maintenance(
             "along with the state to rebuild from scratch."
         )
 
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream(
+        spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+    )
     q = (
         events.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -29,7 +29,9 @@ from metrics_database_cron_script_spark.sources.tables import TABLES, table_path
 _stream_probe_cache: dict[tuple[str, str], str] = {}
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream over the events fixture. readStream needs a declared
     schema, so probe the parquet footer with a zero-row batch read first
     (cached per (application, path) — same rationale as the batch catalog
@@ -65,6 +67,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     schema = ", ".join(fields)
     reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N source files: a multi-file table
+        # otherwise drains as ONE mega-batch under processAllAvailable,
+        # which exercises none of the per-micro-batch machinery (epoch
+        # guards, incremental appends) the streaming surfaces exist for
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isdir(path):
         raw = reader.load(path)
     else:

@@ -305,3 +305,43 @@ def test_shingle_components_cluster_planted_dups(spark, docs_with_plants):
     comp = connected_components(shingle_edges(docs_with_plants, n=8))
     mine = {r["doc_id"]: r["component"] for r in comp.collect()}
     assert mine.get(100007) == mine.get(100008) == mine.get(7) == 7
+
+
+def test_ivf_arrow_scorer_matches_higher_order(spark):
+    """arrow_pair_topk (the scale probe scorer, round-8) must reproduce the
+    interpreted higher-order cosine path exactly — same HALF_UP 6-dp
+    rounding, same self-pair exclusion, same ranking."""
+    from metrics_database_cron_script_spark.functions.similarity import ivf_topk
+    from metrics_database_cron_script_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    a = {
+        (r["q_id"], r["vec_id"], r["cos"])
+        for r in ivf_topk(emb, queries, k=5, arrow=False).collect()
+    }
+    b = {
+        (r["q_id"], r["vec_id"], r["cos"])
+        for r in ivf_topk(emb, queries, k=5, arrow=True).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_arrow_pair_topk_drops_zero_norm_and_self_pairs(spark):
+    from metrics_database_cron_script_spark.functions.similarity import (
+        arrow_pair_topk,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 2, [1.0, 1.0]),
+            (1, [1.0, 0.0], 1, [1.0, 0.0]),   # self pair
+            (1, [1.0, 0.0], 3, [0.0, 0.0]),   # zero-norm corpus row
+            (2, [0.0, 0.0], 4, [1.0, 0.0]),   # zero-norm query
+        ],
+        "q_id long, q_vec array<float>, vec_id long, embedding array<float>",
+    )
+    got = {(r["q_id"], r["vec_id"]): r["cos"] for r in arrow_pair_topk(pairs, k=5).collect()}
+    assert got == {(1, 2): 0.707107}
