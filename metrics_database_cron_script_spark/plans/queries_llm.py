@@ -585,8 +585,36 @@ def x_multimodal_meta(spark, sf_dir):
     return M.multimodal_meta(load_table(spark, sf_dir, "documents"))
 
 
-@query("x_multimodal_features", oracle=None)  # mapInPandas plumbing → rows-only
+@query(
+    "x_multimodal_features",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, upper(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), bytes AS (
+  SELECT doc_id, n,
+         (strpos('0123456789ABCDEF', substring(hx, i.i * 2 + 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substring(hx, i.i * 2 + 2, 1)) - 1) AS v
+  FROM b, LATERAL (SELECT unnest(generate_series(0, b.n - 1)) AS i) i
+), agg AS (
+  SELECT doc_id, CAST(SUM(v) AS DOUBLE) / MIN(n) AS byte_mean,
+         MIN(v) AS byte_min, MAX(v) AS byte_max
+  FROM bytes GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_bytes,
+       coalesce(agg.byte_mean, 0.0) AS byte_mean,
+       CAST(coalesce(agg.byte_min, 0) AS BIGINT) AS byte_min,
+       CAST(coalesce(agg.byte_max, 0) AS BIGINT) AS byte_max
+FROM b LEFT JOIN agg USING (doc_id)""",
+)
 def x_multimodal_features(spark, sf_dir):
+    """Arrow-batched byte feature extraction over binary payloads, WITH a
+    value oracle (round-8, was rows-only since round 5): DuckDB decodes
+    each payload byte from its hex image (two nibble lookups per byte)
+    and recomputes length/mean/min/max exactly — integer sums are exact
+    in float64 on both sides, so byte_mean hash-matches bit for bit. The
+    mapInPandas plumbing under test is unchanged."""
     blobs = M.blob_table(load_table(spark, sf_dir, "documents"))
     return M.byte_feature_extract(blobs)
 
