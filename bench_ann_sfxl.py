@@ -275,6 +275,51 @@ def main() -> None:
         print(json.dumps({"ann_ivf_probe": row}), file=sys.stderr, flush=True)
     out["ann_ivf_probe"] = probe_rows
 
+    # ---- the batched-query scan: per-cell matmul probe ----------------------
+    # The pair-join probe above duplicates each query vector onto every
+    # candidate row — measured SLOWER than brute-force matmul at 10 M
+    # vectors despite scanning 3× less data. ivf_probe_matmul reads each
+    # probed row once and scores it against exactly the queries probing
+    # its cell with one BLAS matmul per (partition, cell) — the
+    # FAISS-style inverted-list scan (equality with the pair scorer
+    # pinned by tests/test_dedup_quality.py).
+    centers_arr = np.asarray(model.clusterCenters(), dtype=np.float64)
+    matmul_rows = []
+    for n_probe in (1, 4, 16):
+        order = np.argsort(d2, axis=1)[:, :n_probe]
+        probed_cells = sorted({int(c) for row_ in order for c in row_})
+        n_probed_rows = assigned.filter(
+            F.col("cell").isin(probed_cells)
+        ).count()
+        got, wall_probe = _timed(
+            lambda: S.ivf_probe_matmul(
+                assigned, queries, centers_arr, k=K, n_probe=n_probe
+            ).collect()
+        )
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(by_q.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ]
+        row = {
+            "n_probe": n_probe,
+            "probed_cells": len(probed_cells),
+            "probed_rows": n_probed_rows,
+            "probed_fraction": round(n_probed_rows / n_vectors, 4),
+            "probed_rows_per_query": round(n_probed_rows / N_QUERIES, 1),
+            "wall_s": wall_probe,
+            "recall_at_%d" % K: round(float(np.mean(recalls)), 4),
+            "speedup_vs_brute": round(wall_bf / wall_probe, 2),
+        }
+        matmul_rows.append(row)
+        print(
+            json.dumps({"ann_ivf_probe_matmul": row}),
+            file=sys.stderr,
+            flush=True,
+        )
+    out["ann_ivf_probe_matmul"] = matmul_rows
+
     with open(os.path.join(here, "BENCH_ANN_SFXL.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

@@ -246,6 +246,122 @@ def arrow_pair_topk(pairs: DataFrame, k: int = 5) -> DataFrame:
     return _topk_per_query(scored, "cos", k)
 
 
+def ivf_probe_matmul(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centers,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF probe for BATCHED queries, scored per-cell with one BLAS matmul
+    per (partition, cell) — the FAISS-style inverted-list scan, and the
+    fix for the pair-join probe's measured loss: joining each query onto
+    its probed cells duplicates the query vector per candidate row, so at
+    10 M vectors the probe (29–128 s) lost to plain brute-force matmul
+    (37.7 s for 100 queries) despite scanning 3× less data
+    (BENCH_ANN_SFXL.json). Here each probed corpus row is read ONCE and
+    scored against exactly the queries probing its cell — probe cost is
+    O(probed rows · probing queries) flops through BLAS, with the scan
+    itself pruned to the probed cell directories when `assigned` is
+    cell-partitioned parquet.
+
+    `assigned` is (vec_id, embedding, cell); `centers` the coarse
+    quantizer's (n_cells, dim) array (KMeansModel.clusterCenters()).
+    Query→cell routing is driver math (tiny by the broadcast-queries
+    contract). Same scoring contract as brute_force_topk / arrow_pair_topk:
+    HALF_UP 6-dp cosine, self-pairs and zero-norm rows excluded."""
+    import numpy as np
+
+    q_pd = queries.select("q_id", "q_vec").toPandas()
+    q_ids = q_pd["q_id"].to_numpy()
+    q_mat = (
+        np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in q_pd["q_vec"]]
+        )
+        if len(q_pd)
+        else np.zeros((0, 1))
+    )
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    keep = q_norm > 0.0
+    q_ids, q_mat, q_norm = q_ids[keep], q_mat[keep], q_norm[keep]
+    centers = np.asarray(centers, dtype=np.float64)
+    if not len(q_ids):
+        spark = queries.sparkSession
+        return spark.createDataFrame([], "q_id long, vec_id long, cos double")
+    d2 = ((q_mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(d2, axis=1)[:, :n_probe]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in probe[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    probed_cells = sorted(cell_to_q)
+
+    def _round6(x):
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    def score(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            names = rb.schema.names
+            vec_ids = rb.column(names.index("vec_id")).to_numpy(
+                zero_copy_only=False
+            )
+            cells = rb.column(names.index("cell")).to_numpy(
+                zero_copy_only=False
+            )
+            emb = rb.column(names.index("embedding"))
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            flat = emb.values.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            if not len(lens) or lens.min() != lens.max():
+                raise ValueError("ragged embedding lists in IVF probe")
+            c_mat = np.asarray(
+                flat[offs[0] : offs[-1]], dtype=np.float64
+            ).reshape(len(vec_ids), int(lens[0]))
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            out_q, out_v, out_c = [], [], []
+            for cell in np.unique(cells):
+                qis = cell_to_q.get(int(cell))
+                if not qis:
+                    continue
+                mask = (cells == cell) & (c_norm > 0.0)
+                if not mask.any():
+                    continue
+                ids, mat, nrm = vec_ids[mask], c_mat[mask], c_norm[mask]
+                sub_q = q_mat[qis]
+                cos = _round6(
+                    (mat @ sub_q.T) / (nrm[:, None] * q_norm[qis][None, :])
+                )
+                for j, qi in enumerate(qis):
+                    qid = q_ids[qi]
+                    col = cos[:, j]
+                    m = ids != qid
+                    cids, vals = ids[m], col[m]
+                    if not len(cids):
+                        continue
+                    order = np.lexsort((cids, -vals))[:k]
+                    out_q.extend([qid] * len(order))
+                    out_v.extend(cids[order])
+                    out_c.extend(vals[order])
+            if out_q:
+                yield pa.record_batch(
+                    {
+                        "q_id": np.asarray(out_q, dtype=np.int64),
+                        "vec_id": np.asarray(out_v, dtype=np.int64),
+                        "cos": np.asarray(out_c, dtype=np.float64),
+                    }
+                )
+
+    src = assigned.filter(F.col("cell").isin(probed_cells)).select(
+        "vec_id", "embedding", "cell"
+    )
+    scored = src.mapInArrow(score, "q_id long, vec_id long, cos double")
+    return _topk_per_query(scored, "cos", k)
+
+
 def _hyperplane(bit: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component per (bit, dim index):
     sha256-derived uniform in [-0.5, 0.5). Replayable across runs/cluster."""

@@ -345,3 +345,55 @@ def test_arrow_pair_topk_drops_zero_norm_and_self_pairs(spark):
     )
     got = {(r["q_id"], r["vec_id"]): r["cos"] for r in arrow_pair_topk(pairs, k=5).collect()}
     assert got == {(1, 2): 0.707107}
+
+
+def test_ivf_probe_matmul_matches_pair_scorer(spark):
+    """ivf_probe_matmul (the batched-query IVF scan, round-8) must produce
+    exactly the pair-join scorer's results for the same probed cells —
+    same HALF_UP 6-dp cosine, same self/zero-norm exclusion, same ranking
+    — on an arbitrary (non-KMeans) cell assignment."""
+    import numpy as np
+
+    from metrics_database_cron_script_spark.functions.similarity import (
+        arrow_pair_topk,
+        ivf_probe_matmul,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % 7).cast("int").alias("cell")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((7, 64))
+
+    n_probe = 2
+    got = {
+        (r["q_id"], r["vec_id"], r["cos"])
+        for r in ivf_probe_matmul(
+            assigned, queries, centers, k=5, n_probe=n_probe
+        ).collect()
+    }
+
+    # reference: identical probe-cell routing, scored by the pair scorer
+    q_pd = queries.toPandas()
+    q_mat = np.asarray([np.asarray(v, float) for v in q_pd["q_vec"]])
+    d2 = ((q_mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(d2, axis=1)[:, :n_probe]
+    qc = [
+        (int(q_pd["q_id"][i]), [float(x) for x in q_pd["q_vec"][i]], int(c))
+        for i in range(len(q_pd))
+        for c in order[i]
+    ]
+    q_cells = spark.createDataFrame(qc, "q_id long, q_vec array<float>, cell int")
+    pairs = assigned.join(F.broadcast(q_cells), "cell").select(
+        "q_id", "q_vec", "vec_id", "embedding"
+    )
+    want = {
+        (r["q_id"], r["vec_id"], r["cos"])
+        for r in arrow_pair_topk(pairs, k=5).collect()
+    }
+    assert got == want and len(got) > 0
