@@ -187,36 +187,72 @@ def run_streaming_twin(spark, sfxl: str, phase) -> None:
         )
     )
 
-    def rollup_hash(df):
-        return content_hash(
-            df.select(
-                "day", "n",
-                F.round("sum_value", 6).alias("sum_value"),
-                "min_value", "max_value",
-            )
+    def rollup_compare(stream_df, batch_df):
+        """day/n/min/max must be EXACT; sum_value compares at relative
+        1e-9 — micro-batch partial-rollup merges accumulate float64 sums
+        in a different order than the batch aggregate, and at SFXL the
+        per-day sums are ~1e8 where that reordering legitimately moves
+        the value by more than any fixed decimal grid (a 6-dp absolute
+        round matched at sf0.01 and broke here — the check, not the
+        engine)."""
+        s = stream_df.select(
+            "day", F.col("n").alias("s_n"),
+            F.col("sum_value").alias("s_sum"),
+            F.col("min_value").alias("s_min"),
+            F.col("max_value").alias("s_max"),
+        )
+        b = batch_df.select(
+            "day", "n", "sum_value", "min_value", "max_value"
+        )
+        j = s.join(b, "day", "full_outer")
+        row = j.agg(
+            F.count(F.lit(1)).alias("days"),
+            F.sum(
+                F.when(
+                    F.col("s_n").isNull() | F.col("n").isNull()
+                    | (F.col("s_n") != F.col("n"))
+                    | (F.col("s_min") != F.col("min_value"))
+                    | (F.col("s_max") != F.col("max_value"))
+                    | (
+                        F.abs(F.col("s_sum") - F.col("sum_value"))
+                        > F.greatest(F.abs(F.col("sum_value")), F.lit(1.0))
+                        * 1e-9
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("bad"),
+            F.max(
+                F.abs(F.col("s_sum") - F.col("sum_value"))
+                / F.greatest(F.abs(F.col("sum_value")), F.lit(1.0))
+            ).alias("max_rel_dev"),
+        ).collect()[0]
+        return (
+            int(row["bad"] or 0) == 0,
+            row["days"],
+            float(row["max_rel_dev"] or 0.0),
         )
 
-    h_stream, h_batch = rollup_hash(roll), rollup_hash(daily_rollup(events))
+    equal, n_days, max_rel = rollup_compare(roll, daily_rollup(events))
     # restart: committed epochs are skipped whole, state content unchanged
     roll2, wall_replay = _timed(
         lambda: stream_rollup_maintenance(
             spark, sfxl, roll_state, roll_ckpt, max_files_per_trigger=mfpt
         )
     )
-    h_restart = rollup_hash(roll2)
+    restart_equal, _, _ = rollup_compare(roll2, roll)
     phase("streaming_rollup", {
-        "days": roll.count(),
+        "days": n_days,
         "events": n_events,
         "wall_s": wall,
-        "content_equal_batch": h_stream == h_batch,
+        "content_equal_batch": equal,
+        "sum_value_max_rel_dev": max_rel,
         "restart_wall_s": wall_replay,
-        "restart_content_identical": h_restart == h_stream,
-        "note": "sum_value compared at 6 dp: micro-batch partial-rollup "
-        "merges accumulate in a different order than the batch sum, so "
-        "last-ulp float digits legitimately differ; day/n/min/max exact",
+        "restart_content_identical": restart_equal,
+        "note": "day/n/min/max exact; sum_value at relative 1e-9 "
+        "(micro-batch float accumulation order vs the batch aggregate)",
     })
-    assert h_stream == h_batch, ("rollup stream != batch", h_stream, h_batch)
-    assert h_restart == h_stream
+    assert equal, ("rollup stream != batch", max_rel)
+    assert restart_equal
 
 
 def main() -> None:
