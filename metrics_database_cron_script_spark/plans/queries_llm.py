@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from metrics_database_cron_script_spark.functions import audio as AU
 from metrics_database_cron_script_spark.functions import dedup as D
 from metrics_database_cron_script_spark.functions.dedup import fuzzy_pairs_edit1
 from metrics_database_cron_script_spark.functions import multimodal as M
@@ -955,6 +956,75 @@ def x_jpeg_decode(spark, sf_dir):
     tests/test_multimodal.py round-trip tolerance tests."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_pixel_stats(M.synthetic_jpeg_blobs(docs))
+
+
+@query(
+    "x_wav_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 400 + (doc_id % 7) * 50 AS n, 1 + doc_id % 2 AS ch
+  FROM documents
+), s AS (
+  SELECT d.doc_id, d.n, d.ch, i.i AS i, c.c AS c,
+         (d.doc_id * 37 + i.i * 13 + c.c * 101) % 4001 - 2000 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS c) c
+)
+SELECT doc_id, CAST(16000 AS BIGINT) AS rate, MIN(n) AS n_samples,
+       MIN(ch) AS n_channels, CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(SUM(v * ((i * ch + c) % 97)) AS BIGINT) AS s_weighted
+FROM s GROUP BY doc_id""",
+)
+def x_wav_decode(spark, sf_dir):
+    """NATIVE audio decode — the THIRD modality, same oracle discipline
+    as the image codecs (round 8): synthetic RIFF/WAVE PCM-16 files
+    (real fmt/data chunk structure, interleaved little-endian samples,
+    mono and stereo) are encoded executor-side (functions/audio.py
+    encode_wav) and decoded by the stdlib-struct + numpy WAV parser
+    (decode_wav: chunk walk with word alignment, strict PCM-16 refusal),
+    then reduced to integer sample digests with an interleave-sensitive
+    positional weight — a decoder that misreads channel count, frame
+    boundaries or byte order cannot hash-match the sample-formula
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return AU.decode_sample_stats(AU.synthetic_wav_blobs(docs))
+
+
+@query(
+    "x_audio_frame_energy",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 400 + (doc_id % 7) * 50 AS n, 1 + doc_id % 2 AS ch
+  FROM documents
+), mono AS (
+  SELECT d.doc_id, d.n, i.i AS i,
+         SUM((d.doc_id * 37 + i.i * 13 + c.c * 101) % 4001 - 2000) AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS c) c
+  GROUP BY d.doc_id, d.n, i.i
+), frames AS (
+  SELECT m.doc_id, f.f AS frame_idx, m.i, m.v
+  FROM mono m,
+       LATERAL (SELECT unnest(generate_series(0, (m.n - 128) // 64)) AS f) f
+  WHERE m.i >= f.f * 64 AND m.i < f.f * 64 + 128
+)
+SELECT doc_id, frame_idx, CAST(128 AS BIGINT) AS n_frame,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM frames GROUP BY doc_id, frame_idx""",
+)
+def x_audio_frame_energy(spark, sf_dir):
+    """Windowed frame ENERGY over REAL decoded PCM (functions/audio.py
+    frame_energy: 128-sample frames, 64-sample hop, sum of squares of
+    the exact integer channel mix) — the canonical first audio feature
+    (VAD/silence/loudness gates in a training-data pipeline). Everything
+    stays integer, so the oracle recomputes every frame from the sample
+    formula: a decode, mixdown, or window-boundary bug on either side
+    breaks the hash. Full windows only (start + frame ≤ n), the standard
+    analysis convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    return AU.frame_energy(AU.synthetic_wav_blobs(docs), frame=128, hop=64)
 
 
 @query("x_embed_ivf_topk", oracle=None)  # approximate → rows-only
