@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from metrics_database_cron_script_spark.functions import audio as AU
+from metrics_database_cron_script_spark.functions import video as VI
 from metrics_database_cron_script_spark.functions import dedup as D
 from metrics_database_cron_script_spark.functions.dedup import fuzzy_pairs_edit1
 from metrics_database_cron_script_spark.functions import multimodal as M
@@ -1025,6 +1026,59 @@ def x_audio_frame_energy(spark, sf_dir):
     analysis convention."""
     docs = load_table(spark, sf_dir, "documents")
     return AU.frame_energy(AU.synthetic_wav_blobs(docs), frame=128, hop=64)
+
+
+_VIDEO_PX_CTE = """dims AS (
+  SELECT doc_id, 8 + 4 * (doc_id % 3) AS w, 6 + 2 * (doc_id % 2) AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents
+), px AS (
+  SELECT d.doc_id, t.t AS frame_idx, d.w, d.h, x.x AS x, y.y AS y, c.c AS c,
+         (d.doc_id * 29 + t.t * 59 + x.x * 7 + y.y * 13 + c.c * 101) % 256
+           AS val
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS t) t,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+       (SELECT unnest([0, 1, 2]) AS c) c
+  {FILT}
+)
+SELECT doc_id, frame_idx, MIN(w) AS width, MIN(h) AS height,
+       CAST(SUM(val) AS BIGINT) AS px_sum,
+       CAST(SUM(val * (((y * w + x) * 3 + c) % 97)) AS BIGINT) AS px_weighted
+FROM px GROUP BY doc_id, frame_idx"""
+
+
+@query("x_avi_frames", oracle="WITH " + _VIDEO_PX_CTE.replace("{FILT}", ""))
+def x_avi_frames(spark, sf_dir):
+    """NATIVE video-container decode — the FOURTH modality's codec
+    (round 8, completing image/audio/video): synthetic uncompressed AVIs
+    (real RIFF structure — LIST hdrl with avih/strh/strf, LIST movi of
+    '00db' DIB frames, idx1) are encoded executor-side
+    (functions/video.py encode_avi) and decoded by the numpy RIFF walker
+    (decode_avi: recursive LIST walk, strf 24bpp-BI_RGB validation, DIB
+    frame bodies with bottom-up/BGR/4-byte-padding layout, strict
+    refusal of compressed '00dc' chunks), then reduced to PER-FRAME
+    position-weighted pixel digests. Every frame's pixels are a formula
+    of (doc_id, frame_idx), so the oracle recomputes the digests
+    exactly — a container-walk, frame-boundary, row-order or
+    channel-order bug cannot hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return VI.decode_frame_stats(VI.synthetic_avi_blobs(docs), every_k=1)
+
+
+@query(
+    "x_video_keyframes",
+    oracle="WITH " + _VIDEO_PX_CTE.replace("{FILT}", "WHERE t.t % 2 = 0"),
+)
+def x_video_keyframes(spark, sf_dir):
+    """Keyframe SAMPLING over real decoded video (every 2nd frame kept,
+    applied after the container walk) — the standard frame-subsample
+    pass of a video training pipeline, with the sampling boundary itself
+    oracle-checked: the SQL filter `t % 2 = 0` must select exactly the
+    frames the engine's stride keeps."""
+    docs = load_table(spark, sf_dir, "documents")
+    return VI.decode_frame_stats(VI.synthetic_avi_blobs(docs), every_k=2)
 
 
 @query("x_embed_ivf_topk", oracle=None)  # approximate → rows-only
