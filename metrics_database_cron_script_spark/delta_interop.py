@@ -243,6 +243,10 @@ class IcebergSnapshotTable:
         self.spark = spark
         self.identifier = identifier
         self.catalog = identifier.split(".")[0]
+        # changelog view names created by changes(), pending cleanup —
+        # the view namespace is session-global, so a long-lived session
+        # (the cron shape) must be able to drop them deterministically
+        self._changelog_views: list[str] = []
 
     # -- writes ------------------------------------------------------------
     def overwrite(self, df: DataFrame) -> None:
@@ -335,9 +339,10 @@ class IcebergSnapshotTable:
         # definition, which is not guaranteed to survive a re-analysis
         # (cache invalidation, session cloning, adaptive re-resolution) —
         # and this path can't be integration-tested on a jar-less image,
-        # so we don't bet on it. The uuid name is collision-free; callers
-        # may spark.catalog.dropTempView(df._changelog_view) once done
-        # with the frame.
+        # so we don't bet on it. The uuid name is collision-free; the name
+        # is tracked on the INSTANCE (round-9 advice — a private attribute
+        # on the frame is lost on any transformation) and released by
+        # drop_changelog_views() once the caller is done with the frames.
         view = f"__iceberg_changes_{_uuid.uuid4().hex[:12]}"
         self.spark.sql(
             f"CALL {self.catalog}.system.create_changelog_view("
@@ -345,9 +350,25 @@ class IcebergSnapshotTable:
             f"options => map({', '.join(opts)}), "
             f"changelog_view => '{view}')"
         )
-        df = self.spark.table(view)
-        df._changelog_view = view  # handle for caller-side cleanup
-        return df
+        self._changelog_views.append(view)
+        return self.spark.table(view)
+
+    def drop_changelog_views(self) -> int:
+        """Drop every changelog temp view this instance created (after
+        the caller has fully consumed/persisted the change frames — a
+        frame read from a dropped view cannot be re-analyzed). Returns
+        the number of views dropped; idempotent. This bounds the
+        session-global view namespace in long-lived sessions where
+        changes() is called per cron tick."""
+        dropped = 0
+        while self._changelog_views:
+            view = self._changelog_views.pop()
+            try:
+                self.spark.catalog.dropTempView(view)
+                dropped += 1
+            except Exception:
+                pass  # already gone (session restart / external drop)
+        return dropped
 
 
 def snapshot_table(

@@ -420,8 +420,14 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
 
 
 def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical huffman assignment (T.81 Annex C): symbol → (code, length)."""
-    assert sum(bits) == len(vals)
+    """Canonical huffman assignment (T.81 Annex C): symbol → (code, length).
+    A malformed DHT must surface as ValueError (the decode contract), not
+    an assert that vanishes under python -O."""
+    if sum(bits) != len(vals):
+        raise ValueError(
+            f"malformed DHT: BITS counts {sum(bits)} symbols, "
+            f"{len(vals)} provided"
+        )
     codes, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -637,7 +643,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     prediction + EXTEND, dequantize, inverse zigzag, IDCT, level shift,
     YCbCr→RGB (grayscale replicates). Raises ValueError on any other
     JPEG flavor (progressive, subsampled, arithmetic, 12-bit, restarts)
-    or corrupt structure rather than returning garbage pixels."""
+    or corrupt structure rather than returning garbage pixels — ALL
+    structural failures (short segments tripping IndexError/struct.error
+    included) are normalized to ValueError so callers like decode_image
+    can route every corrupt payload through one except clause."""
+    import struct
+
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG structure: {e!r}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     import struct
 
     if payload[:2] != b"\xff\xd8":

@@ -438,6 +438,59 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.3) -> DataFram
     ).filter(F.col("cos") >= threshold)
 
 
+def ivf_fit(
+    corpus: DataFrame, n_cells: int = 16, seed: int = 42
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit the IVF coarse quantizer and assign every corpus row to its cell.
+
+    Returns (assigned, centers): `assigned` is (vec_id, embedding, cell) —
+    at 100 TB this frame is written once as cell-partitioned parquet so a
+    probe becomes static partition pruning — and `centers` the (n_cells,
+    dim) centroid list. The quantizer is Spark MLlib KMeans with a fixed
+    seed, fit on a deterministic hash-mod sample (KMeans iterates over its
+    input several times, and a quantizer only needs a sample's geometry,
+    not 100 TB)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.withColumn("__vec", array_to_vector("embedding"))
+    n_rows = corpus.count()
+    mod = max(1, n_rows // 4096)
+    fit_set = corpus_v
+    if mod > 1:
+        fit_set = fit_set.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0
+        )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="cell")
+    model = km.fit(fit_set.select("__vec"))
+    assigned = model.transform(corpus_v).select("vec_id", "embedding", "cell")
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k, scored by the per-cell BLAS matmul probe —
+    the DEPLOYABLE shape (round-9): BENCH_ANN_SFXL.json measured the
+    pair-join probe at 0.3–1.3× of brute force at 10 M vectors (query
+    duplication forfeits BLAS batching) while ivf_probe_matmul ran the
+    same probe 8× faster at recall 0.999. Same quantizer (ivf_fit, fixed
+    seed), same scoring contract (HALF_UP 6-dp cosine, self-pairs and
+    zero-norm rows dropped); equality with the pair-join probe on the
+    same cells is pinned by tests/test_dedup_quality.py
+    (test_ivf_topk_matmul_matches_pair_probe). The SQL-transparent
+    pair-join expression stays available as ivf_topk — the documentation
+    path, not the deployed one."""
+    assigned, centers = ivf_fit(corpus, n_cells=n_cells, seed=seed)
+    return ivf_probe_matmul(assigned, queries, centers, k=k, n_probe=n_probe)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -456,31 +509,21 @@ def ivf_topk(
     the probe is an equi-join on cell id — the same shuffle shape as the LSH
     variant but with data-adaptive cells (better recall on clustered data).
 
+    This is the SQL-TRANSPARENT documentation path: the pair-join probe
+    duplicates the query vector onto every candidate row, which
+    BENCH_ANN_SFXL.json measured at 0.3–1.3× of brute force at 10 M
+    vectors. Deploy ivf_topk_matmul (per-cell BLAS scan) instead; it is
+    rank-identical on the same probed cells.
+
     `arrow=True` swaps the probe's per-pair scorer from the interpreted
     higher-order cosine to the Arrow-vectorized pair scorer
     (arrow_pair_topk) — same contract (HALF_UP 6 dp, self-pairs and
-    zero-norm rows dropped), ~25× cheaper per pair; the default stays the
-    SQL-transparent expression the rows-only registry entry documents."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus_v = corpus.withColumn("__vec", array_to_vector("embedding"))
-    # fit the coarse quantizer on a deterministic hash-mod sample (same
-    # recipe as pq_codebooks) — KMeans iterates over its input several
-    # times, and a quantizer only needs a sample's geometry, not 100 TB
-    n_rows = corpus.count()
-    mod = max(1, n_rows // 4096)
-    fit_set = corpus_v
-    if mod > 1:
-        fit_set = fit_set.filter(
-            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0
-        )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="__cell")
-    model = km.fit(fit_set.select("__vec"))
-    assigned = model.transform(corpus_v).select("vec_id", "embedding", "__cell")
+    zero-norm rows dropped), ~25× cheaper per pair."""
+    assigned, centers_raw = ivf_fit(corpus, n_cells=n_cells, seed=seed)
+    assigned = assigned.withColumnRenamed("cell", "__cell")
 
     # query → its n_probe nearest centroids (tiny: n_cells rows, driver math)
-    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers = [(i, c) for i, c in enumerate(centers_raw)]
     spark = corpus.sparkSession
     centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
     q_cells = (

@@ -81,14 +81,18 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         _chunk(b"avih", avih)
         + _lst(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    movi_frames = [_chunk(b"00db", dib(f)) for f in frames]
+    movi_bodies = [dib(f) for f in frames]
+    movi_frames = [_chunk(b"00db", body) for body in movi_bodies]
     movi = _lst(b"movi", b"".join(movi_frames))
-    # idx1: one entry per frame, offsets relative to the start of 'movi'
+    # idx1: one entry per frame, offsets relative to the start of 'movi';
+    # entry size is the UNPADDED body length, recorded directly from the
+    # body (deriving it from the padded chunk length mis-sizes odd-length
+    # bodies by the pad byte for external readers)
     idx, off = [], 4
-    for mf in movi_frames:
+    for mf, body in zip(movi_frames, movi_bodies):
         idx.append(b"00db" + (0x10).to_bytes(4, "little")
                    + off.to_bytes(4, "little")
-                   + (len(mf) - 8 - (len(mf) & 1)).to_bytes(4, "little"))
+                   + len(body).to_bytes(4, "little"))
         off += len(mf)
     body = b"AVI " + hdrl + movi + _chunk(b"idx1", b"".join(idx))
     return _RIFF + len(body).to_bytes(4, "little") + body
@@ -105,10 +109,11 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
     if payload[:4] != _RIFF or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = None
+    topdown = False
     frames: list[np.ndarray] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal w, h
+        nonlocal w, h, topdown
         while pos + 8 <= end:
             tag = buf[pos : pos + 4]
             (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -128,7 +133,9 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
                         f"unsupported AVI video: bpp={bpp} compression={comp} "
                         "(uncompressed 24-bit DIB only)"
                     )
-                w, h = bw, abs(bh)
+                # negative biHeight = top-down DIB (rows stored first-row
+                # -first) — decode it as such instead of silently flipping
+                w, h, topdown = bw, abs(bh), bh < 0
             elif tag in (b"00db", b"01db"):
                 if w is None:
                     raise ValueError("frame chunk before strf header")
@@ -140,7 +147,8 @@ def decode_avi(payload: bytes) -> list[np.ndarray]:
                 body = np.frombuffer(
                     buf, dtype=np.uint8, count=length, offset=body_start
                 ).reshape(h, row_bytes)[:, : w * 3]
-                frames.append(body.reshape(h, w, 3)[:, :, ::-1][::-1].copy())
+                rgb = body.reshape(h, w, 3)[:, :, ::-1]
+                frames.append((rgb if topdown else rgb[::-1]).copy())
             elif tag in (b"00dc", b"01dc"):
                 raise ValueError(
                     "compressed AVI frame chunks unsupported (DIB only)"

@@ -1083,8 +1083,16 @@ def x_video_keyframes(spark, sf_dir):
 
 @query("x_embed_ivf_topk", oracle=None)  # approximate → rows-only
 def x_embed_ivf_topk(spark, sf_dir):
+    """IVF ANN via the per-cell BLAS matmul probe (ivf_topk_matmul) — the
+    shape BENCH_ANN_SFXL.json measured 8× faster than the pair-join probe
+    at 10 M vectors (recall 0.999 at 4.4 s vs 37.7 s brute). Rows-only:
+    the MLlib KMeans quantizer is engine-private; correctness is pinned
+    instead by tests/test_dedup_quality.py — the matmul probe is
+    rank-identical to the SQL-transparent pair-join probe (ivf_topk) on
+    the same quantizer and probed cells, and that pair probe's scorer is
+    the oracled brute-force cosine contract."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, _queries_table(spark, sf_dir), k=5)
+    return S.ivf_topk_matmul(emb, _queries_table(spark, sf_dir), k=5)
 
 
 @query("x_embed_pq_topk", oracle=None)  # KMeans codebooks engine-private → rows-only

@@ -347,6 +347,36 @@ def test_arrow_pair_topk_drops_zero_norm_and_self_pairs(spark):
     assert got == {(1, 2): 0.707107}
 
 
+def test_ivf_topk_matmul_matches_pair_probe(spark):
+    """The REGISTERED IVF query's shape (ivf_topk_matmul — per-cell BLAS
+    matmul probe, round-9) must reproduce the SQL-transparent pair-join
+    probe (ivf_topk) exactly at fixture scale: same quantizer (shared
+    ivf_fit, fixed seed) ⇒ same probed cells ⇒ same candidates ⇒ same
+    top-k with identical HALF_UP 6-dp cosines. This is the equivalence
+    gate that lets the registry deploy the 8×-faster probe
+    (BENCH_ANN_SFXL.json) while the pair-join expression stays the
+    documentation path."""
+    from metrics_database_cron_script_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_matmul,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pair = {
+        (r["q_id"], r["vec_id"], r["cos"])
+        for r in ivf_topk(emb, queries, k=5, n_probe=2).collect()
+    }
+    matmul = {
+        (r["q_id"], r["vec_id"], r["cos"])
+        for r in ivf_topk_matmul(emb, queries, k=5, n_probe=2).collect()
+    }
+    assert matmul == pair and len(matmul) > 0
+
+
 def test_ivf_probe_matmul_matches_pair_scorer(spark):
     """ivf_probe_matmul (the batched-query IVF scan, round-8) must produce
     exactly the pair-join scorer's results for the same probed cells —

@@ -131,6 +131,55 @@ def test_merge_sql_shape(spark, monkeypatch):
     assert stmt.endswith("WHEN NOT MATCHED THEN INSERT *")
 
 
+def test_changelog_views_tracked_and_dropped(spark, monkeypatch):
+    """Round-9 advice: changes() registers a session-global temp view per
+    call; the names must be tracked on the INSTANCE (a private attribute
+    on the frame dies on any transformation) and released by
+    drop_changelog_views() — otherwise a long-lived cron session
+    accumulates views unboundedly. Jar-less executable check via the same
+    stub pattern as test_merge_sql_shape."""
+    import metrics_database_cron_script_spark.delta_interop as di
+
+    monkeypatch.setattr(di, "iceberg_available", lambda _s: True)
+    t = IcebergSnapshotTable(spark, "local.db.prices")
+    dropped = []
+
+    class _SnapRow(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    class _SnapDF:
+        def select(self, *cols):
+            return self
+
+        def collect(self):
+            return [
+                _SnapRow(snapshot_id=11, parent_id=None, committed_at=1),
+                _SnapRow(snapshot_id=22, parent_id=11, committed_at=2),
+            ]
+
+    monkeypatch.setattr(t, "spark", type(
+        "S", (), {
+            "sql": staticmethod(lambda stmt: None),
+            "table": staticmethod(
+                lambda name: _SnapDF() if name.endswith(".snapshots") else name
+            ),
+            "catalog": type(
+                "C", (), {"dropTempView": staticmethod(dropped.append)}
+            )(),
+        },
+    )())
+    t.changes(0)
+    t.changes(0, 1)
+    assert len(t._changelog_views) == 2
+    names = list(t._changelog_views)
+    assert len(set(names)) == 2  # per-call uuid names, no collisions
+    assert t.drop_changelog_views() == 2
+    assert sorted(dropped) == sorted(names)
+    assert t._changelog_views == []
+    assert t.drop_changelog_views() == 0  # idempotent
+
+
 def test_identifier_validation(spark, monkeypatch):
     import metrics_database_cron_script_spark.delta_interop as di
 

@@ -300,6 +300,31 @@ def test_jpeg_rejects_unsupported_and_corrupt():
         decode_jpeg(blob[: len(blob) - 10])
 
 
+def test_jpeg_malformed_dht_and_short_segment_raise_valueerror():
+    """Round-9 advice: a malformed DHT used to trip an `assert` (gone
+    under python -O) and short segments leaked IndexError/struct.error —
+    all structural corruption must surface as ValueError so
+    decode_image's except-ValueError dispatch catches it."""
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    blob = encode_jpeg(_img(8, 8, seed=9), quality=90)
+    # corrupt the DHT's BITS counts so they disagree with the value count
+    dht = blob.find(b"\xff\xc4")
+    assert dht != -1
+    bad = bytearray(blob)
+    bad[dht + 5] = 200  # BITS[0]: claims 200 one-bit codes, few vals follow
+    with pytest.raises(ValueError, match="malformed DHT"):
+        decode_jpeg(bytes(bad))
+    # a segment whose declared length runs past the payload end must be a
+    # clean ValueError, never a bare IndexError/struct.error
+    for cut in (4, 6, 21, 40):
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:cut])
+
+
 def test_decode_image_dispatches_jpeg():
     from metrics_database_cron_script_spark.functions.multimodal import (
         decode_image,

@@ -48,7 +48,6 @@ BNLJ_ALLOWED = {
     "x_bm25": 1,                 # broadcast 1-row avgdl scalar
     "x_cooccurrence_lift": 1,    # broadcast 1-row corpus totals
     "x_drift_psi": 1,            # broadcast 1-row split sizes
-    "x_embed_ivf_topk": 1,       # broadcast tiny centroid frame
     "x_embed_outliers": 1,       # broadcast 1-row moment scalars
     "x_embed_pq_topk": 1,        # broadcast constant probe sample x corpus codes
     "x_embed_sq_topk": 1,        # broadcast 1-row quantization range
@@ -91,7 +90,6 @@ BROADCAST_GROWING_ALLOWED = {
     "x_cooccurrence_lift": 2,    # per-event-type totals + 1-row corpus total
     "x_decontaminate": 1,        # benchmark contamination set: fixed eval suite
     "x_drift_psi": 1,            # 1-row split sizes
-    "x_embed_ivf_topk": 1,       # K-centroid frame (K constant)
     "x_embed_lsh_topk": 1,       # constant-size probe sample
     "x_embed_outliers": 1,       # 1-row moment scalars
     "x_ann_recall": 1,           # constant-size probe sample via the LSH sub-plan

@@ -65,6 +65,58 @@ def test_malformed_and_unsupported_rejected():
         decode_avi(bytes(short))
 
 
+def test_topdown_dib_decodes_unflipped():
+    """Negative biHeight = top-down DIB: rows are stored first-row-first,
+    so the decoder must NOT apply the bottom-up row flip (round-9 advice:
+    a silently vertically-flipped frame is exactly the 'garbage frame'
+    the contract forbids). Built by patching the encoder's strf biHeight
+    negative and storing the rows unreversed."""
+    import struct
+
+    fr = _frames(6, 8, 2, seed=11)
+    blob = bytearray(encode_avi(fr))
+    i = blob.find(b"strf")
+    # strf body: biSize(4) biWidth(4) biHeight(4) — flip biHeight's sign
+    (bh,) = struct.unpack("<i", blob[i + 16 : i + 20])
+    blob[i + 16 : i + 20] = struct.pack("<i", -bh)
+    # rewrite each frame body top-down (undo the encoder's row reversal)
+    h, w = fr[0].shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    pos = 0
+    for f in fr:
+        pos = blob.find(b"00db", pos)
+        body = np.zeros((h, row_bytes), dtype=np.uint8)
+        body[:, : w * 3] = f[:, :, ::-1].reshape(h, w * 3)
+        blob[pos + 8 : pos + 8 + row_bytes * h] = body.tobytes()
+        pos += 8
+    out = decode_avi(bytes(blob))
+    assert len(out) == 2
+    for a, b in zip(out, fr):
+        assert np.array_equal(a, b)
+
+
+def test_idx1_entry_size_is_unpadded_body_length():
+    """idx1 entries must record the UNPADDED frame body size (round-9
+    advice: deriving it from the padded chunk length would mis-size
+    odd-length bodies). Walk idx1 and compare each recorded size against
+    the '00db' chunk's own length field."""
+    blob = encode_avi(_frames(5, 7, 3, seed=4))
+    i = blob.find(b"idx1")
+    n_entries = int.from_bytes(blob[i + 4 : i + 8], "little") // 16
+    sizes = [
+        int.from_bytes(blob[i + 8 + 16 * e + 12 : i + 8 + 16 * e + 16], "little")
+        for e in range(n_entries)
+    ]
+    body_lens, pos = [], 0
+    while (pos := blob.find(b"00db", pos)) != -1:
+        body_lens.append(int.from_bytes(blob[pos + 4 : pos + 8], "little"))
+        pos += 8
+    # idx1's own '00db' tags appear in the entry stream too — the movi
+    # scan above stops at the idx1 chunk start
+    body_lens = body_lens[: len(sizes)]
+    assert n_entries == 3 and sizes == body_lens
+
+
 def test_avi_frames_query_matches_oracle(spark):
     from metrics_database_cron_script_spark.oracle import check_query
 
