@@ -179,80 +179,41 @@ def run_streaming_twin(spark, sfxl: str, phase) -> None:
     assert h_stream == h_batch, ("tx stream != batch", h_stream, h_batch)
 
     # ---- P6 twin: epoch-guarded rollup maintenance ------------------------
+    # money=True: sum_value accumulates in DECIMAL(28,18) through BOTH the
+    # streaming merges and the batch aggregate, so equality is EXACT
+    # content-hash — no accumulation-order tolerance (round-9: the 1e-9
+    # sum_value carve-out is gone; every P6 stat is now bit-compared).
     roll_state = os.path.join(scratch, "rollup.parquet")
     roll_ckpt = os.path.join(scratch, "ckpt-rollup")
     roll, wall = _timed(
         lambda: stream_rollup_maintenance(
-            spark, sfxl, roll_state, roll_ckpt, max_files_per_trigger=mfpt
+            spark, sfxl, roll_state, roll_ckpt,
+            max_files_per_trigger=mfpt, money=True,
         )
     )
-
-    def rollup_compare(stream_df, batch_df):
-        """day/n/min/max must be EXACT; sum_value compares at relative
-        1e-9 — micro-batch partial-rollup merges accumulate float64 sums
-        in a different order than the batch aggregate, and at SFXL the
-        per-day sums are ~1e8 where that reordering legitimately moves
-        the value by more than any fixed decimal grid (a 6-dp absolute
-        round matched at sf0.01 and broke here — the check, not the
-        engine)."""
-        s = stream_df.select(
-            "day", F.col("n").alias("s_n"),
-            F.col("sum_value").alias("s_sum"),
-            F.col("min_value").alias("s_min"),
-            F.col("max_value").alias("s_max"),
-        )
-        b = batch_df.select(
-            "day", "n", "sum_value", "min_value", "max_value"
-        )
-        j = s.join(b, "day", "full_outer")
-        row = j.agg(
-            F.count(F.lit(1)).alias("days"),
-            F.sum(
-                F.when(
-                    F.col("s_n").isNull() | F.col("n").isNull()
-                    | (F.col("s_n") != F.col("n"))
-                    | (F.col("s_min") != F.col("min_value"))
-                    | (F.col("s_max") != F.col("max_value"))
-                    | (
-                        F.abs(F.col("s_sum") - F.col("sum_value"))
-                        > F.greatest(F.abs(F.col("sum_value")), F.lit(1.0))
-                        * 1e-9
-                    ),
-                    1,
-                ).otherwise(0)
-            ).alias("bad"),
-            F.max(
-                F.abs(F.col("s_sum") - F.col("sum_value"))
-                / F.greatest(F.abs(F.col("sum_value")), F.lit(1.0))
-            ).alias("max_rel_dev"),
-        ).collect()[0]
-        return (
-            int(row["bad"] or 0) == 0,
-            row["days"],
-            float(row["max_rel_dev"] or 0.0),
-        )
-
-    equal, n_days, max_rel = rollup_compare(roll, daily_rollup(events))
+    n_days = roll.count()
+    h_roll = content_hash(roll)
+    h_batch_roll = content_hash(daily_rollup(events, money=True))
     # restart: committed epochs are skipped whole, state content unchanged
     roll2, wall_replay = _timed(
         lambda: stream_rollup_maintenance(
-            spark, sfxl, roll_state, roll_ckpt, max_files_per_trigger=mfpt
+            spark, sfxl, roll_state, roll_ckpt,
+            max_files_per_trigger=mfpt, money=True,
         )
     )
-    restart_equal, _, _ = rollup_compare(roll2, roll)
     phase("streaming_rollup", {
         "days": n_days,
         "events": n_events,
         "wall_s": wall,
-        "content_equal_batch": equal,
-        "sum_value_max_rel_dev": max_rel,
+        "content_equal_batch": h_roll == h_batch_roll,
         "restart_wall_s": wall_replay,
-        "restart_content_identical": restart_equal,
-        "note": "day/n/min/max exact; sum_value at relative 1e-9 "
-        "(micro-batch float accumulation order vs the batch aggregate)",
+        "restart_content_identical": content_hash(roll2) == h_roll,
+        "note": "ALL stats exact (content-hash): sum_value in "
+        "DECIMAL(28,18) money mode on both paths — decimal addition is "
+        "order-independent across micro-batch boundaries",
     })
-    assert equal, ("rollup stream != batch", max_rel)
-    assert restart_equal
+    assert h_roll == h_batch_roll, ("rollup stream != batch", h_roll, h_batch_roll)
+    assert content_hash(roll2) == h_roll
 
 
 def main() -> None:
@@ -322,12 +283,26 @@ def main() -> None:
         .write.parquet(os.path.join(day0_dir, "events.parquet"))
     )
     n_day0 = spark.read.parquet(os.path.join(day0_dir, "events.parquet")).count()
+    # documents fence for P7 (image dedup in the driver, round 9): day 0
+    # carries ~97% of the docs corpus; the daily batch is the id tail —
+    # same one-day shape as the events fence
+    docs_all = load_table(spark, sfxl, "documents")
+    max_doc = docs_all.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    doc_cut = max_doc - max(1, (max_doc + 1) // 32)
+    docs_all.filter(F.col("doc_id") <= F.lit(doc_cut)).write.parquet(
+        os.path.join(day0_dir, "documents.parquet")
+    )
+    n_docs = docs_all.count()
+    n_docs0 = docs_all.filter(F.col("doc_id") <= F.lit(doc_cut)).count()
     phase("corpus", {
         "events_total": n_total,
         "events_day0": n_day0,
         "events_daily_batch": n_total - n_day0,
         "cutoff": str(cutoff),
         "fence_write_s": wall_fence,
+        "docs_total": n_docs,
+        "docs_day0": n_docs0,
+        "docs_daily_batch": n_docs - n_docs0,
     })
 
     # ---- day 0: bootstrap the pipeline state (one-time) -------------------
@@ -343,6 +318,7 @@ def main() -> None:
         "steps": steps0,
         "tx_appended": rep0["tx_appended"],
         "routing_appended": rep0["routing_appended"],
+        "image_bootstrap_docs": rep0["image_dedup"].get("bootstrap_docs"),
     })
 
     # ---- THE daily job, pipelines half: run_batch over the grown source ---
@@ -360,6 +336,9 @@ def main() -> None:
             "sink_amountstaked", "sink_aum",
         )
     }
+    image_edges_digest = _tree_digest(
+        os.path.join(state_dir, "phash_edges.parquet")
+    )
     phase("daily_pipelines", {
         "wall_s": wall_daily,
         "steps": steps,
@@ -367,6 +346,8 @@ def main() -> None:
         "tx_appended": rep["tx_appended"],
         "routing_appended": rep["routing_appended"],
         "rollup_days_touched": rep["rollup_days_touched"],
+        "image_batch_docs": rep["image_dedup"].get("batch_docs"),
+        "image_hashes_appended": rep["image_dedup"].get("hashes_appended"),
         "watermark_out": str(rep["watermark_out"]),
     })
 
@@ -534,6 +515,10 @@ def main() -> None:
         ) == stats_before,
         "rollup_days_touched_on_replay": rep_r["rollup_days_touched"],
         "dedup_edge_state_content_identical": edges_equal,
+        "image_batch_docs_on_replay": rep_r["image_dedup"].get("batch_docs"),
+        "image_edges_byte_identical": _tree_digest(
+            os.path.join(state_dir, "phash_edges.parquet")
+        ) == image_edges_digest,
         "note": "append sinks are BYTE-identical (untouched dirs); stats "
         "is an OCC keep-latest snapshot — replay writes a new version "
         "directory with identical CONTENT (stored-wins tie rule), so the "
@@ -546,6 +531,9 @@ def main() -> None:
         and rep_r["tx_appended"] == 0
         and all(v == 0 for v in rep_r["routing_appended"].values())
         and rep_r["rollup_days_touched"] == 0
+        and rep_r["image_dedup"].get("batch_docs") == 0
+        and _tree_digest(os.path.join(state_dir, "phash_edges.parquet"))
+        == image_edges_digest
         and sink_digests_r == sink_digests
         and edges_equal
     )

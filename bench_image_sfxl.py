@@ -359,6 +359,44 @@ def main() -> None:
         "quarantined instead of clustered",
     })
 
+    # ---- quarantine gate (round-9 verdict item 6): the remark above as an
+    # operator. Route degenerate signatures OUT before candidate
+    # generation and measure what the bucket distribution and edge volume
+    # look like for the corpus that remains.
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        quarantine_degenerate_hashes,
+    )
+
+    t0 = time.perf_counter()
+    v = quarantine_degenerate_hashes(hashes)
+    good_chunks = M.phash_chunks(v.good)
+    q_sizes = good_chunks.groupBy("chunk_id", "chunk").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q_dist = q_sizes.agg(
+        F.expr("percentile_approx(n, array(0.5, 0.99, 0.999))").alias("p"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+    ).collect()[0]
+    n_quarantined = v.quarantined.count()
+    gate_metrics = v.metrics()
+    n_good_edges = M.phash_star_edges(good_chunks, v.good).count()
+    wall_gate = round(time.perf_counter() - t0, 3)
+    _phase("quarantine_gate", {
+        "wall_s": wall_gate,
+        "quarantined_images": n_quarantined,
+        "gate_metrics": gate_metrics,
+        "bucket_size_p50_p99_p999_after": [float(x) for x in q_dist["p"]],
+        "max_bucket_after": q_dist["max_bucket"],
+        "max_bucket_before": flat_bucket,
+        "edges_after_gate": n_good_edges,
+        "edges_before_gate": n_edges,
+        "note": "expectations-style routing (quarantine_degenerate_hashes) "
+        "splits constant-aHash images to a triage sink BEFORE candidate "
+        "generation; p999/max-bucket and edge-volume drop quantify the "
+        "candidate noise the gate removes",
+    })
+
     # ---- incremental daily job, two batch shapes ---------------------------
     def run_incremental(phase_key, batch_pred, batch_images, note):
         """End-to-end incremental daily wall: decode ONLY the batch (the

@@ -147,6 +147,29 @@ def word_shingles(docs: DataFrame, n: int = 3, hashed: bool = True) -> DataFrame
     return shingled.distinct()
 
 
+def quarantine_empty_shingle_docs(docs: DataFrame, n: int = 3):
+    """Expectations-style routing of degenerate TEXT signatures (round-9
+    verdict item 6, the word_shingles twin of
+    multimodal.quarantine_degenerate_hashes): a doc with no tokens
+    produces an EMPTY shingle set, so its minhash signature is undefined
+    — every such doc would otherwise collapse into one all-NULL bucket,
+    pure candidate noise. Returns `Validated(good, quarantined)`; `good`
+    feeds word_shingles/minhash, `quarantined` carries the violated-rule
+    tag. The rule mirrors word_shingles' own boundary exactly: shingles
+    exist iff the token array is non-empty (short docs below `n` tokens
+    still emit one truncated shingle — they stay in `good`)."""
+    from metrics_database_cron_script_spark.operators.expectations import validate
+
+    return validate(
+        docs,
+        {
+            "has_shingles": F.coalesce(
+                F.size(tokens_col()) > 0, F.lit(False)
+            )
+        },
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16, with_size: bool = False
 ) -> DataFrame:

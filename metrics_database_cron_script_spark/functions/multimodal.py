@@ -767,6 +767,11 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                     raise ValueError("scan references undefined table")
                 zz = np.zeros(64, dtype=np.int64)
                 ssss = _huff_read(reader, dc_tab)
+                if ssss > 16:
+                    # T.81 F.1.2.1.1: DC categories are 0..16. A corrupt
+                    # DHT can map symbols up to 255, whose 255-bit EXTEND
+                    # value overflows int64 (found by fuzz) — diagnose.
+                    raise ValueError(f"invalid DC category {ssss}")
                 diff = _extend(reader.read_bits(ssss), ssss) if ssss else 0
                 prev[ci] += diff
                 zz[0] = prev[ci]
@@ -1137,9 +1142,53 @@ def ahash_from_blobs(blobs: DataFrame) -> DataFrame:
     """doc_id → perceptual hash over REAL decoded pixels (decode_bmp →
     ahash_bits), Arrow-batched. The downstream dedup is a plain groupBy on
     the hash — at 100 TB the decode+hash is embarrassingly parallel over
-    the blob partitions and the only shuffle is 64-bit-hash-sized."""
+    the blob partitions and the only shuffle is 64-bit-hash-sized.
+
+    STRICT contract: one corrupt payload kills the batch. A 100 TB ingest
+    wants `ahash_with_dead_letter` instead — same plan shape, failures
+    routed, not raised."""
     return blobs.select("doc_id", "payload").mapInPandas(
         _ahash_batches, schema=AHASH_SCHEMA
+    )
+
+
+AHASH_DL_SCHEMA = "doc_id long, phash string, error string"
+
+
+def _ahash_dead_letter_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import zlib
+
+    rows = []
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                rows.append(
+                    (int(doc_id), ahash_bits(decode_image(bytes(payload))), None)
+                )
+            except (ValueError, NotImplementedError, zlib.error) as e:
+                rows.append((int(doc_id), None, f"{type(e).__name__}: {e}"))
+        yield pd.DataFrame(rows, columns=["doc_id", "phash", "error"])
+
+
+def ahash_with_dead_letter(blobs: DataFrame) -> DataFrame:
+    """Decode + aHash with a DEAD-LETTER column (round-9 verdict item 7) —
+    the binary twin of sources/files.py's PERMISSIVE `_corrupt_record`
+    CSV/JSONL contract: a corrupt payload yields (doc_id, phash=NULL,
+    error=<diagnosis>) instead of killing the whole Arrow batch; clean
+    rows carry error=NULL. Decode failures are exactly the decoders'
+    contract exceptions (ValueError / NotImplementedError / zlib.error —
+    the fuzz suite test_decode_fuzz.py pins that nothing else escapes);
+    a genuine bug class (TypeError, MemoryError) still surfaces. Route
+    the failures with `filter(error IS NOT NULL)` to a quarantine sink —
+    or feed the whole frame to quarantine_degenerate_hashes, whose
+    null-rejecting rule sends NULL phashes to quarantine too. Dispatches
+    decode_image (BMP/PNG/JPEG native), not decode_bmp, so one ingest
+    path covers every native container."""
+    return blobs.select("doc_id", "payload").mapInPandas(
+        _ahash_dead_letter_batches, schema=AHASH_DL_SCHEMA
     )
 
 
@@ -1272,6 +1321,36 @@ def refresh_phash_star_edges(
         touched, ["chunk_id", "chunk"], "left_anti"
     )
     return untouched.unionByName(recomputed.select(*cols))
+
+
+# aHash values that carry NO discriminative information: a constant image
+# (flat/banner class) makes every block mean equal the global mean, so all
+# 64 bits collapse to one value. At 2.56 M SFXL images this class formed a
+# 31,652-member hot bucket (SCALE.md) — O(n) under star edges, but pure
+# noise as near-dup candidates (any two flat images "match" at hamming 0
+# regardless of color). Quarantine them BEFORE candidate generation.
+DEGENERATE_PHASHES = ("0" * 64, "1" * 64)
+
+
+def quarantine_degenerate_hashes(hashes: DataFrame):
+    """Expectations-style routing of degenerate-signature images (round-9
+    verdict item 6): returns `Validated(good, quarantined)` — `good` feeds
+    candidate generation (phash_chunks / phash_star_edges /
+    phash_near_dups), `quarantined` goes to a triage sink with the
+    violated-rule tag. One pass, rule counts ride the caller's action as
+    observe metrics (operators/expectations.py). The rule is
+    null-rejecting: a NULL phash (decode dead-letter upstream) is routed
+    to quarantine too, never silently into a hash bucket."""
+    from metrics_database_cron_script_spark.operators.expectations import validate
+
+    return validate(
+        hashes,
+        {
+            "discriminative_signature": F.coalesce(
+                ~F.col("phash").isin(*DEGENERATE_PHASHES), F.lit(False)
+            )
+        },
+    )
 
 
 def phash_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:

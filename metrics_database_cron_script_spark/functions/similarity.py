@@ -818,6 +818,34 @@ def pq_codebooks(
     return books
 
 
+def pq_fixed_codebooks(
+    m: int = 8, codes: int = 16, sub: int = 8, scale: float = 0.25
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random PQ codebooks, sha256-derived like the
+    LSH hyperplanes (_hyperplane): centroid component (j, c, d) is uniform
+    in [-scale/2, scale/2), replayable across runs, engines and clusters —
+    which makes the WHOLE ADC pipeline (encode → decode → proxy shortlist
+    → exact re-rank) SQL-expressible and therefore oracle-checkable
+    (round-9 rows-only conversion). `scale` approximates the component
+    spread of unit-norm 64-d embeddings (~±0.125). Trained codebooks
+    (pq_codebooks, MLlib KMeans) give better shortlists and stay the
+    production default; the fixed book trades a few recall points for a
+    bit-exact external contract."""
+    out = []
+    for j in range(m):
+        book = []
+        for c in range(codes):
+            cent = []
+            for d in range(sub):
+                h = hashlib.sha256(f"pqbook:{j}:{c}:{d}".encode()).digest()
+                cent.append(
+                    (int.from_bytes(h[:4], "big") / 2**32 - 0.5) * scale
+                )
+            book.append(cent)
+        out.append(book)
+    return out
+
+
 def pq_encode(vec: Column, books: list[list[list[float]]]) -> Column:
     """PQ code assignment as a pure expression: for each subspace, the
     argmin-distance centroid index over the literal codebook. No UDF, no
@@ -864,6 +892,7 @@ def pq_topk(
     codes: int = 16,
     rerank: int = 4,
     seed: int = 42,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k with exact re-rank: encode the
     corpus once (m·log2(codes) bits per vector — 8 bytes here vs 256 for
@@ -877,28 +906,42 @@ def pq_topk(
     vectors (the memory-bandwidth trade that makes PQ the standard
     billion-vector layout); the exact re-rank joins the shortlist —
     queries·rerank·k rows — back to the corpus by vec_id, an equi-join
-    whose probe side is tiny. KMeans training internals are engine-private
-    → rows-only oracle, same contract as `ivf_topk`."""
-    books = pq_codebooks(corpus, m=m, codes=codes, seed=seed)
-    encoded = fan_out(corpus.select("vec_id", "embedding")).select(
+    whose probe side is tiny.
+
+    `books` (round 9): pass an explicit codebook (pq_fixed_codebooks) to
+    make the whole pipeline deterministic-by-literal and SQL-oracled;
+    None trains MLlib KMeans codebooks (engine-private → rows-only). The
+    proxy is ROUNDED to 6 dp before shortlist ranking (vec_id tie-break)
+    so the shortlist, not just the final top-k, is engine-stable.
+    Zero-norm rows are excluded on both sides (cosine undefined — the
+    module-wide contract)."""
+    if books is None:
+        books = pq_codebooks(corpus, m=m, codes=codes, seed=seed)
+    corpus_nz = corpus.select("vec_id", "embedding").filter(
+        l2_norm(F.col("embedding")) > 0
+    )
+    queries_nz = queries.filter(l2_norm(F.col("q_vec")) > 0)
+    encoded = fan_out(corpus_nz).select(
         "vec_id", pq_encode(F.col("embedding"), books).alias("__code")
     )
     approx = encoded.withColumn("__approx", pq_decode(F.col("__code"), books))
     scored = (
-        approx.crossJoin(F.broadcast(queries))
+        approx.crossJoin(F.broadcast(queries_nz))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            cosine(F.col("q_vec"), F.col("__approx")).alias("__proxy"),
+            F.round(cosine(F.col("q_vec"), F.col("__approx")), 6).alias(
+                "__proxy"
+            ),
         )
     )
     shortlist = _topk_per_query(scored, "__proxy", rerank * k).select(
         "q_id", "vec_id"
     )
     exact = (
-        shortlist.join(corpus.select("vec_id", "embedding"), "vec_id")
-        .join(F.broadcast(queries), "q_id")
+        shortlist.join(corpus_nz, "vec_id")
+        .join(F.broadcast(queries_nz), "q_id")
         .select(
             "q_id",
             "vec_id",

@@ -162,15 +162,23 @@ def aum_routing(
             "alreadyBonded", F.col("alreadyBonded").cast(routing_decimal)
         )
     wm = F.lit(watermark).cast("timestamp")
-    batch = tx.filter((F.col("ts") > wm) & F.col("successful"))
-    # Per-user state (seen-pre flag + batch-first key) in ONE grouped pass
-    # over successful txs: the seen-set aggregates history down BEFORE it
-    # meets the batch (at 100 TB the pre-watermark side is the whole AUM
-    # history — the map-side-combined agg ships one tiny row per user), and
-    # the batch argmin rides the same shuffle instead of building a second
-    # dimension: one broadcast build, one history scan, not two of each.
-    # (ts, event_id) is a total order (event_id unique), so the struct-min
-    # is deterministic; conditional aggregates skip the other side's rows.
+    # FUSED single-scan single-shuffle shape (round 9): per-user state
+    # (seen-pre flag + batch-first argmin) AND the batch rows themselves
+    # ride ONE grouped pass over successful txs — the batch payload is a
+    # conditional collect_list on the same aggregate, exploded after. The
+    # previous shape aggregated per-user state then joined the batch back
+    # (second events scan + stats-driven broadcast of a user-cardinality
+    # frame); fusing removes that scan and the join entirely. Measured at
+    # sf0.1: 0.421 s vs 0.527 s median (A/B, 7 runs each, value-identical
+    # output); at 100 TB the shuffle is O(users + batch rows) either way,
+    # but this shape reads the events table ONCE and never materializes a
+    # frame that grows with the user base. (A window-function variant
+    # measured 0.401 s but shuffles the ENTIRE history — rejected.)
+    # History rows reduce map-side to the tiny seen-pre partial (they
+    # contribute NULL to the list — collect_list drops nulls); (ts,
+    # event_id) is a total order (event_id unique), so the struct-min is
+    # deterministic. Per-user batch lists are bounded by one batch
+    # window's events per user — the reference's daily cron shape.
     per_user = (
         tx.filter(F.col("successful"))
         .groupBy("user_id")
@@ -179,25 +187,38 @@ def aum_routing(
             F.min(
                 F.when(F.col("ts") > wm, F.struct("ts", "event_id"))
             ).alias("__first"),
+            F.collect_list(
+                F.when(
+                    F.col("ts") > wm,
+                    F.struct("event_id", "ts", "stake", "alreadyBonded", "chain"),
+                )
+            ).alias("__batch"),
         )
     )
-    # No explicit broadcast hint: per_user grows WITH the user base, so the
-    # choice must stay stats-driven — under the auto-broadcast threshold it
-    # broadcasts (fixture scale: it does, and the batch side never
-    # shuffles); beyond it the planner degrades to a shuffle join instead
-    # of being forced into a driver-side OOM by a pinned hint.
+    b = F.col("b")
     flagged = (
-        batch.join(per_user, "user_id")
+        per_user.select("seen_pre", "__first", F.explode("__batch").alias("b"))
         .withColumn(
             "first_touch",
-            F.col("seen_pre").isNull() & (F.struct("ts", "event_id") == F.col("__first")),
+            F.col("seen_pre").isNull()
+            & (
+                F.struct(b.ts.alias("ts"), b.event_id.alias("event_id"))
+                == F.col("__first")
+            ),
         )
-        .withColumn("delta", F.col("stake") - F.col("alreadyBonded"))
+        .withColumn("delta", b.stake - b.alreadyBonded)
+        .select(
+            b.event_id.alias("event_id"),
+            b.chain.alias("chain"),
+            b.stake.alias("stake"),
+            "first_touch",
+            "delta",
+        )
     )
 
     # Single-pass fan-out: each row emits an array of (sink, volume) entries,
-    # nulls filtered, exploded. One scan + one window — a 3-way union of
-    # filtered branches would recompute the window per branch.
+    # nulls filtered, exploded. One scan + one explode — a 3-way union of
+    # filtered branches would recompute the flags per branch.
     delta, stake, chain = F.col("delta"), F.col("stake"), F.col("chain")
     entry = lambda sink, vol: F.struct(F.lit(sink).alias("sink"), vol.alias("volume"))  # noqa: E731
     routed = F.array(
@@ -306,13 +327,30 @@ def incremental_agg_merge(events: DataFrame, watermark: str = WATERMARK) -> Data
     return merged.withColumn("sum_value", F.round("sum_value", 6))
 
 
-def daily_rollup(events: DataFrame) -> DataFrame:
+def daily_rollup(events: DataFrame, money: bool = False) -> DataFrame:
     """The standing daily rollup's shape: count/sum/min/max of `value` per
     day — every stat decomposable, so batches merge exactly
-    (`merge_daily_rollups`)."""
+    (`merge_daily_rollups`).
+
+    `money=True` accumulates `sum_value` in DECIMAL(28,18) (the
+    r_aum_routing_decimal money mode): each double is rounded once to a
+    fixed 18-dp grid, after which addition is EXACT and order-independent
+    — so a micro-batch merge sequence reproduces the batch aggregate
+    bit-for-bit (float64 sums differ across accumulation orders at ~1e-9
+    relative, the round-8 streaming-twin carve-out). (28,18) rather than
+    (38,18) is load-bearing: Spark's sum widens (28,18)→(38,18) and the
+    merge addition (28,18)+(28,18)→(29,18), both exact, while
+    (38,18)+(38,18) would overflow precision 38 and demote to scale 17 —
+    a silent digit loss. The final cast back to (28,18) is exact while
+    per-day sums fit 10 integer digits (SFXL: ~1e8)."""
+    sum_col = (
+        F.sum(F.col("value").cast("decimal(28,18)")).cast("decimal(28,18)")
+        if money
+        else F.sum("value")
+    )
     return events.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("sum_value"),
+        sum_col.alias("sum_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
@@ -323,17 +361,25 @@ def merge_daily_rollups(snap: DataFrame, delta: DataFrame) -> DataFrame:
     Deliberately does NOT round: the stateful pipeline merges every batch,
     and rounding inside the merge would accumulate drift across batches —
     readers round at the edge (r_agg_maintenance does, pipelines stay
-    exact)."""
+    exact).
+
+    Type-transparent over sum_value: in the DECIMAL(28,18) money mode the
+    zero literal and the result are cast to the INPUT's decimal type — a
+    bare 0.0 double literal would promote the whole addition to double
+    (losing exactness), and leaving the sum at the widened (29,18) would
+    compound to a scale-17 demotion on the next merge."""
     s, d = snap.alias("s"), delta.alias("d")
+    sum_type = snap.schema["sum_value"].dataType
+    zero = F.lit(0).cast(sum_type)
     return (
         s.join(d, F.col("s.day") == F.col("d.day"), "full_outer")
         .select(
             F.coalesce(F.col("s.day"), F.col("d.day")).alias("day"),
             (F.coalesce(F.col("s.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
             (
-                F.coalesce(F.col("s.sum_value"), F.lit(0.0))
-                + F.coalesce(F.col("d.sum_value"), F.lit(0.0))
-            ).alias("sum_value"),
+                F.coalesce(F.col("s.sum_value"), zero)
+                + F.coalesce(F.col("d.sum_value"), zero)
+            ).cast(sum_type).alias("sum_value"),
             F.least(
                 F.coalesce(F.col("s.min_value"), F.col("d.min_value")),
                 F.coalesce(F.col("d.min_value"), F.col("s.min_value")),

@@ -14,7 +14,8 @@ Differences from the reference, by design (SURVEY.md §3/§7):
 State layout under `state_dir`: `prices.parquet`, `tx_enriched.parquet`,
 `stats.parquet`, `sink_nominations.parquet`, `sink_amountstaked.parquet`,
 `sink_aum.parquet`, `daily_rollup.parquet` (incrementally merged, P6),
-`watermark.parquet`.
+`phash_chunks.parquet` + `phash_hashes.parquet` + `phash_edges.parquet`
+(incremental image near-dup state, P7), `watermark.parquet`.
 """
 
 from __future__ import annotations
@@ -246,6 +247,72 @@ def update_rollup(
     return n_touched
 
 
+def update_image_dedup(
+    spark: SparkSession, sf_dir: str, state_dir: str
+) -> dict[str, object]:
+    """P7 (engine extension, round 9): incremental IMAGE near-dup state
+    maintenance in the daily driver — the image twin of the text dedup
+    path, running `multimodal.refresh_phash_star_edges` against state
+    persisted under the same `state_dir` as P1–P6.
+
+    State: `phash_chunks.parquet` (hamming-LSH index), `phash_hashes.
+    parquet` (aHash store), `phash_edges.parquet` (bucket-attributed
+    scored star edges). The batch frontier is max(doc_id) IN THE HASH
+    STORE — the state is its own progress marker, like P6's
+    merged_through: docs above the frontier are this run's batch (the
+    fixtures' doc_id is ingest-ordered; a production deployment would
+    gate on an ingest timestamp the same way). Commit order makes a crash
+    anywhere replayable: edges overwrite first (refresh is idempotent —
+    recomputed touched-bucket edges replace themselves via the bucket
+    anti-join, and re-ingested docs are absorbed by the membership
+    distinct()s), then chunks, then the hash store LAST — only its
+    append advances the frontier, so a replay after any earlier crash
+    re-runs the same batch to the same result.
+
+    Cost per day is O(batch decode+hash + touched-bucket membership),
+    never a corpus rescan — measured 0.185× a full rebuild at 2.56 M
+    images (BENCH_IMAGE_SFXL.json). Skips (with a note) when the source
+    has no documents table (events-only state dirs)."""
+    from metrics_database_cron_script_spark.functions import multimodal as M
+    from metrics_database_cron_script_spark.sources.tables import table_path
+
+    if not os.path.exists(table_path(sf_dir, "documents")):
+        return {"skipped": "no documents table"}
+    docs = load_table(spark, sf_dir, "documents")
+    chunks_p = _sink(state_dir, "phash_chunks")
+    hashes_p = _sink(state_dir, "phash_hashes")
+    edges_p = _sink(state_dir, "phash_edges")
+
+    if not os.path.isdir(hashes_p):
+        hashes = M.ahash_from_blobs(
+            M.synthetic_bmp_blobs(docs)
+        ).localCheckpoint(eager=True)
+        chunks, store, edges = M.phash_star_state(hashes)
+        ST.atomic_overwrite(edges, edges_p)
+        ST.atomic_overwrite(chunks, chunks_p)
+        ST.atomic_overwrite(store, hashes_p)  # frontier commits LAST
+        return {"bootstrap_docs": hashes.count(), "batch_docs": 0}
+
+    store = spark.read.parquet(hashes_p)
+    frontier = store.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    batch_docs = docs.filter(F.col("doc_id") > F.lit(frontier))
+    batch_hashes = M.ahash_from_blobs(
+        M.synthetic_bmp_blobs(batch_docs)
+    ).localCheckpoint(eager=True)  # batch pays its decode ONCE
+    n_batch = batch_hashes.count()
+    if n_batch == 0:
+        return {"batch_docs": 0, "hashes_appended": 0}
+    chunks = spark.read.parquet(chunks_p)
+    edges = spark.read.parquet(edges_p)
+    new_edges = M.refresh_phash_star_edges(
+        chunks, store, edges, batch_hashes
+    ).localCheckpoint(eager=True)  # cut lineage: the plan reads edges_p
+    ST.atomic_overwrite(new_edges, edges_p)
+    ST.idempotent_append(M.phash_chunks(batch_hashes), chunks_p, key="doc_id")
+    appended = ST.idempotent_append(batch_hashes, hashes_p, key="doc_id")
+    return {"batch_docs": n_batch, "hashes_appended": appended}
+
+
 def run_batch(
     spark: SparkSession,
     sf_dir: str,
@@ -300,6 +367,9 @@ def run_batch(
     )
     report["rollup_days_touched"] = timed(
         "p6_rollup", lambda: update_rollup(spark, events, state_dir, run_ts)
+    )
+    report["image_dedup"] = timed(
+        "p7_image_dedup", lambda: update_image_dedup(spark, sf_dir, state_dir)
     )
     timed("watermark_commit", lambda: wm_store.commit(run_ts))
     # LAST, after every sink (fixes §3 hazard)

@@ -831,6 +831,65 @@ FROM sreach GROUP BY doc_id"""
 )
 
 
+@query(
+    "x_phash_quarantine_gate",
+    oracle="WITH "
+    + _PHASH_CTE
+    + """
+SELECT doc_id, phash,
+       CASE WHEN phash = repeat('0', 64) OR phash = repeat('1', 64)
+            THEN 'quarantine' ELSE 'candidates' END AS routed_to
+FROM ph""",
+)
+def x_phash_quarantine_gate(spark, sf_dir):
+    """Degenerate-signature QUARANTINE routing (round-9 verdict item 6) as
+    an oracled gate: every image's aHash is recomputed by the SQL oracle
+    and its routing decision (constant hash → quarantine, else candidate
+    generation) must match the expectations-style operator
+    (multimodal.quarantine_degenerate_hashes) exactly. The driver fixtures
+    contain no flat images, so the fixture-scale assertion is that NOTHING
+    is quarantined — the positive routing (flat images caught, hot-bucket
+    p999 drop) is pinned by tests/test_extensions_multimodal.py on
+    constructed flat BMPs and measured at 2.56 M images in
+    BENCH_IMAGE_SFXL.json."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = M.quarantine_degenerate_hashes(
+        M.ahash_from_blobs(M.synthetic_bmp_blobs(docs))
+    )
+    return v.good.withColumn("routed_to", F.lit("candidates")).unionByName(
+        v.quarantined.drop("violated").withColumn(
+            "routed_to", F.lit("quarantine")
+        )
+    )
+
+
+@query(
+    "x_shingle_quarantine_gate",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN len({_TOKS}) > 0 THEN 'shingles' ELSE 'quarantine' END
+         AS routed_to
+FROM documents""",
+)
+def x_shingle_quarantine_gate(spark, sf_dir):
+    """TEXT twin of the degenerate-signature gate: docs with an empty
+    token (hence shingle) set have undefined minhash signatures and would
+    collapse into one all-NULL bucket — route them to quarantine before
+    signature generation (dedup.quarantine_empty_shingle_docs). The
+    routing boundary (word_shingles' own empty-token edge) is what the
+    oracle checks per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = D.quarantine_empty_shingle_docs(docs)
+    return (
+        v.good.select("doc_id").withColumn("routed_to", F.lit("shingles"))
+        .unionByName(
+            v.quarantined.select("doc_id").withColumn(
+                "routed_to", F.lit("quarantine")
+            )
+        )
+    )
+
+
 @query("x_phash_components_star", oracle=_PHASH_STAR_ORACLE)
 def x_phash_components_star(spark, sf_dir):
     """Image near-dup clusters over STAR edges (hub = min doc_id per
@@ -1095,14 +1154,88 @@ def x_embed_ivf_topk(spark, sf_dir):
     return S.ivf_topk_matmul(emb, _queries_table(spark, sf_dir), k=5)
 
 
-@query("x_embed_pq_topk", oracle=None)  # KMeans codebooks engine-private → rows-only
+def _pq_topk_oracle(m=8, codes=16, sub=8, k=5, rerank=4) -> str:
+    """The FULL PQ/ADC pipeline in SQL, on the fixed sha256-derived
+    codebooks (similarity.pq_fixed_codebooks) embedded as literals — the
+    same make-the-approximation-deterministic move as the LSH hyperplane
+    oracle: encode (per-subspace argmin over the literal centroids, ties
+    to the lower index = Spark's array_position), decode (flatten of the
+    chosen centroids in subspace order), 6-dp-rounded proxy shortlist of
+    rerank·k with vec_id tie-break, exact cosine re-rank. Squared-distance
+    terms are expanded per element in the SAME left-associative order as
+    Spark's aggregate fold, so the doubles match bitwise."""
+    from metrics_database_cron_script_spark.functions.similarity import (
+        pq_fixed_codebooks,
+    )
+
+    books = pq_fixed_codebooks(m=m, codes=codes, sub=sub)
+    book_rows = ",\n  ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in books[j][c])}])"
+        for j in range(m)
+        for c in range(codes)
+    )
+    # per-subspace squared distance, expanded left-associative like the
+    # Spark aggregate fold: ((t1+t2)+t3)+...
+    dist = " + ".join(
+        f"(v[b.j*{sub}+{d+1}] - b.cent[{d+1}])"
+        f"*(v[b.j*{sub}+{d+1}] - b.cent[{d+1}])"
+        for d in range(sub)
+    )
+    return f"""
+WITH books(j, c, cent) AS (VALUES
+  {book_rows}
+), emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+), q AS (
+  SELECT vec_id AS q_id, v AS q_vec FROM emb WHERE vec_id < 10
+), dists AS (
+  SELECT e.vec_id, b.j, b.c, {dist} AS dist
+  FROM emb e, books b
+), coded AS (
+  SELECT vec_id, j, c FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) = 1
+), approx AS (
+  SELECT cd.vec_id, flatten(list(b.cent ORDER BY cd.j)) AS av
+  FROM coded cd JOIN books b ON b.j = cd.j AND b.c = cd.c
+  GROUP BY cd.vec_id
+), proxy AS (
+  SELECT q.q_id, a.vec_id,
+         ROUND(list_dot_product(q.q_vec, a.av)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(a.av, a.av))), 6) AS p
+  FROM approx a, q WHERE a.vec_id <> q.q_id
+), shortlist AS (
+  SELECT q_id, vec_id FROM proxy
+  QUALIFY row_number() OVER (
+    PARTITION BY q_id ORDER BY p DESC, vec_id) <= {rerank * k}
+)
+SELECT s.q_id, s.vec_id,
+       ROUND(list_dot_product(q.q_vec, e.v)
+             / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+FROM shortlist s
+JOIN emb e ON e.vec_id = s.vec_id
+JOIN q ON q.q_id = s.q_id
+QUALIFY row_number() OVER (PARTITION BY s.q_id ORDER BY cos DESC, s.vec_id) <= {k}"""
+
+
+@query("x_embed_pq_topk", oracle=_pq_topk_oracle())
 def x_embed_pq_topk(spark, sf_dir):
     """Product-quantization ANN: m-byte codes scanned in place of full
     vectors, ADC proxy shortlist, exact re-rank on the shortlist only —
     the billion-vector memory-bandwidth layout (recall vs brute force
-    asserted in tests/test_pq_topk.py)."""
+    asserted in tests/test_pq_topk.py). ORACLED since round 9 (rows-only
+    tail task): the registered query runs the fixed sha256-derived
+    codebooks (pq_fixed_codebooks) so encode/decode/shortlist/re-rank are
+    all literal-deterministic and DuckDB replays the pipeline end to end;
+    the MLlib-trained codebook path (pq_codebooks) remains the production
+    default in the library, recall-tested at fixture scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.pq_topk(emb, _queries_table(spark, sf_dir), k=5)
+    return S.pq_topk(
+        emb, _queries_table(spark, sf_dir), k=5, books=S.pq_fixed_codebooks()
+    )
 
 
 def _dedup_pipeline_oracle() -> str:
@@ -1921,11 +2054,36 @@ def x_drift_psi(spark, sf_dir):
     )
 
 
-@query("x_embed_sq_topk", oracle=None)  # quantization-approximate → rows-only
+@query(
+    "x_embed_sq_topk",
+    oracle="""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           greatest(-127, least(127,
+             CAST(round(CAST(x AS DOUBLE) * 127) AS INTEGER)))) AS qv
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id,
+         CAST(list_inner_product(
+           list_transform(c.qv, v -> CAST(v AS DOUBLE)),
+           list_transform(q.qv, v -> CAST(v AS DOUBLE))) AS BIGINT) AS score
+  FROM qz q JOIN qz c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT q_id, vec_id, score FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY q_id ORDER BY score DESC, vec_id) <= 5""",
+)
 def x_embed_sq_topk(spark, sf_dir):
     """Int8 scalar-quantized top-k (similarity.sq_topk): the 4×-smaller
     vectors path; recall vs exact cosine is asserted by
-    tests/test_dedup_quality.py."""
+    tests/test_dedup_quality.py. ORACLED since round 9 (rows-only tail
+    task): the quantization is a deterministic affine round —
+    clamp(round(x·127)) — and the score an exact integer dot product
+    (< 2^53, so the oracle's float inner product is exact), so DuckDB
+    reproduces codes, scores and ranking bit-for-bit; both engines round
+    half away from zero on the same binary doubles."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.sq_topk(emb, _queries_table(spark, sf_dir), k=5)
 

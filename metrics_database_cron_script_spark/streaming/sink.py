@@ -143,9 +143,16 @@ def stream_rollup_maintenance(
     checkpoint_dir: str,
     query_name: str = "stream_rollup",
     max_files_per_trigger: int | None = None,
+    money: bool = False,
 ) -> DataFrame:
     """Streaming twin of pipelines.update_rollup (P6): maintain the standing
     daily rollup from the events stream via foreachBatch.
+
+    `money=True` runs sum_value in DECIMAL(28,18) (daily_rollup's money
+    mode): decimal addition is order-independent, so the maintained rollup
+    equals the batch aggregate EXACTLY — no float accumulation-order
+    tolerance — regardless of micro-batch boundaries (round-9: removes the
+    1e-9 sum_value carve-out from the streaming/batch equality claim).
 
     An aggregate MERGE is not idempotent (a replayed micro-batch silently
     double-counts — no key to anti-join on), and foreachBatch is only
@@ -174,8 +181,9 @@ def stream_rollup_maintenance(
 
     from pyspark.sql import functions as F
 
+    sum_type = "decimal(28,18)" if money else "double"
     schema = (
-        "day date, n bigint, sum_value double, min_value double, "
+        f"day date, n bigint, sum_value {sum_type}, min_value double, "
         "max_value double, epoch bigint, lineage string"
     )
     guard_cols = ["epoch", "lineage"]
@@ -243,7 +251,9 @@ def stream_rollup_maintenance(
         if head["e"] is not None and epoch_id <= head["e"]:
             return  # replayed epoch: merging again would double-count
         merged = (
-            merge_daily_rollups(snap_full.drop(*guard_cols), daily_rollup(batch_df))
+            merge_daily_rollups(
+                snap_full.drop(*guard_cols), daily_rollup(batch_df, money=money)
+            )
             .withColumn("epoch", F.lit(epoch_id).cast("long"))
             .withColumn("lineage", F.lit(qid))
         )

@@ -77,3 +77,65 @@ def test_text_ops_survive_tiny_and_empty_docs(spark):
     assert minhash_near_dups(docs).count() >= 0
     q = {r["doc_id"]: r["n_words"] for r in quality_score(docs).collect()}
     assert q[2] == 0 and q[4] > 5
+
+
+def test_quarantine_degenerate_hashes_routes_flat_images(spark):
+    """Round-9 verdict item 6: constant images (all-zero/all-one aHash)
+    must route to quarantine BEFORE candidate generation — a constructed
+    flat image, a white image, and real fixture images through the
+    expectations-style gate. Also pins the null-rejecting contract: a
+    NULL phash (upstream decode dead-letter) goes to quarantine, never
+    into a hash bucket."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        ahash_bits,
+        quarantine_degenerate_hashes,
+    )
+
+    flat = ahash_bits(np.full((16, 16, 3), 77, dtype=np.uint8))
+    assert flat == "0" * 64  # every block mean == global mean -> all zero
+    rows = [
+        (1, flat),
+        (2, "0" * 32 + "1" * 32),  # discriminative
+        (3, None),                  # decode dead-letter
+    ]
+    hashes = spark.createDataFrame(rows, "doc_id long, phash string")
+    v = quarantine_degenerate_hashes(hashes)
+    good = {r["doc_id"] for r in v.good.collect()}
+    quar = {r["doc_id"]: r["violated"] for r in v.quarantined.collect()}
+    assert good == {2}
+    assert set(quar) == {1, 3}
+    assert all(tags == ["discriminative_signature"] for tags in quar.values())
+    m = v.metrics()
+    assert m["rows"] == 3 and m["discriminative_signature"] == 2
+
+
+def test_quarantine_empty_shingle_docs_routes_tokenless(spark):
+    """TEXT twin: docs whose token set is empty (undefined minhash) are
+    quarantined; short-but-tokenized docs stay good (word_shingles still
+    emits one truncated shingle for them)."""
+    from metrics_database_cron_script_spark.functions.dedup import (
+        quarantine_empty_shingle_docs,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a solid document with several words"),
+            (2, "hi"),            # short but tokenized -> good
+            (3, "!!! ... ???"),   # no alnum tokens -> quarantine
+            (4, ""),              # empty -> quarantine
+        ],
+        "doc_id long, text string",
+    )
+    v = quarantine_empty_shingle_docs(docs)
+    good = {r["doc_id"] for r in v.good.collect()}
+    quar = {r["doc_id"] for r in v.quarantined.collect()}
+    assert good == {1, 2} and quar == {3, 4}
+    # the rule mirrors word_shingles' boundary: quarantined docs would
+    # have produced ZERO shingles
+    n_shingles = word_shingles(docs.filter("doc_id in (3, 4)")).count()
+    assert n_shingles == 0
+    assert word_shingles(docs.filter("doc_id = 2")).count() > 0

@@ -341,3 +341,43 @@ def test_jpeg_decode_query_matches_oracle(spark):
 
     res = check_query(spark, "/root/testdata/sf0.001", "x_jpeg_decode")
     assert res["ok"], res
+
+
+def test_ahash_dead_letter_routes_corrupt_payloads(spark):
+    """Round-9 verdict item 7: the binary dead-letter path — corrupt
+    payloads become (phash NULL, error <diagnosis>) rows instead of
+    killing the Arrow batch; clean BMP/PNG/JPEG all hash; and the frame
+    composes with quarantine_degenerate_hashes (NULL phash routes to
+    quarantine under the null-rejecting rule)."""
+    import numpy as np
+
+    from metrics_database_cron_script_spark.functions.multimodal import (
+        ahash_with_dead_letter,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        quarantine_degenerate_hashes,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_bmp(img)),
+        (2, encode_png(img)),
+        (3, encode_jpeg(img, quality=100)),
+        (4, encode_bmp(img)[:20]),       # truncated → ValueError
+        (5, b"GIF89a" + b"\x00" * 64),   # no PIL → NotImplementedError
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in ahash_with_dead_letter(blobs).collect()}
+    assert all(got[i]["error"] is None and got[i]["phash"] for i in (1, 2, 3))
+    assert got[4]["phash"] is None and "ValueError" in got[4]["error"]
+    assert got[5]["phash"] is None and "NotImplementedError" in got[5]["error"]
+    # BMP is lossless and JPEG q=100 on this fixture class decodes close;
+    # BMP and PNG hashes of the SAME image must agree exactly
+    assert got[1]["phash"] == got[2]["phash"]
+
+    v = quarantine_degenerate_hashes(
+        ahash_with_dead_letter(blobs).drop("error")
+    )
+    assert {r["doc_id"] for r in v.quarantined.collect()} == {4, 5}

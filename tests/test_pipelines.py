@@ -147,6 +147,93 @@ def test_rollup_merges_two_half_batches_to_the_same_result(spark, state_dir, tmp
     assert got == want
 
 
+def test_image_dedup_incremental_equals_full_and_replays(spark, state_dir, tmp_path):
+    """P7 (round 9): the daily driver's incremental image-dedup state must
+    (a) after a batch refresh EQUAL the from-scratch phash_star_state over
+    the full corpus (the IVM invariant, hub displacement included), (b) be
+    a no-op on replay (frontier unmoved, edge state identical), and (c)
+    recover from the crash window where edges committed but the hash-store
+    frontier did not — the replayed batch must reproduce the same edges."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.functions import multimodal as M
+    from metrics_database_cron_script_spark.pipelines import update_image_dedup
+    from metrics_database_cron_script_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    split = docs.agg(F.expr("percentile(doc_id, 0.7)")).collect()[0][0]
+    day0 = str(tmp_path / "day0")
+    docs.filter(F.col("doc_id") <= split).write.parquet(day0 + "/documents.parquet")
+
+    r0 = update_image_dedup(spark, day0, state_dir)
+    assert r0["bootstrap_docs"] > 0
+
+    # simulate the crash window later: snapshot the pre-batch hash store
+    hashes_p = state_dir + "/phash_hashes.parquet"
+    edges_p = state_dir + "/phash_edges.parquet"
+    pre_store = str(tmp_path / "store-backup")
+    shutil.copytree(hashes_p, pre_store)
+
+    r1 = update_image_dedup(spark, SF_SMOKE, state_dir)
+    assert r1["batch_docs"] > 0 and r1["hashes_appended"] == r1["batch_docs"]
+
+    def canon_edges(df):
+        return sorted(
+            (r["chunk_id"], r["chunk"], r["doc_a"], r["doc_b"], r["hamming"])
+            for r in df.collect()
+        )
+
+    got = canon_edges(spark.read.parquet(edges_p))
+    full_hashes = M.ahash_from_blobs(M.synthetic_bmp_blobs(docs))
+    want = canon_edges(M.phash_star_state(full_hashes)[2])
+    assert got == want and len(got) > 0
+
+    # replay: same source, frontier already advanced → no-op
+    r2 = update_image_dedup(spark, SF_SMOKE, state_dir)
+    assert r2 == {"batch_docs": 0, "hashes_appended": 0}
+    assert canon_edges(spark.read.parquet(edges_p)) == got
+
+    # crash window: edges/chunks committed, hash store NOT advanced —
+    # the replay re-runs the batch against the already-refreshed edge
+    # state and must converge to the identical result
+    shutil.rmtree(hashes_p)
+    shutil.copytree(pre_store, hashes_p)
+    r3 = update_image_dedup(spark, SF_SMOKE, state_dir)
+    assert r3["batch_docs"] == r1["batch_docs"]
+    assert canon_edges(spark.read.parquet(edges_p)) == got
+
+
+def test_run_batch_reports_image_dedup_and_skips_eventsonly_dirs(
+    spark, state_dir, tmp_path
+):
+    """run_batch carries P7: with a documents table the first run
+    bootstraps image state under state_dir and the second is a frontier
+    no-op; an events-only source dir (the P1–P6 state-replay shape) skips
+    with a note instead of failing."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.pipelines import run_batch
+    from metrics_database_cron_script_spark.sources import load_table
+
+    r1 = run_batch(spark, SF_SMOKE, state_dir)
+    assert r1["image_dedup"]["bootstrap_docs"] > 0
+    import os
+
+    for rel in ("phash_chunks", "phash_hashes", "phash_edges"):
+        assert os.path.isdir(state_dir + f"/{rel}.parquet")
+    r2 = run_batch(spark, SF_SMOKE, state_dir)
+    assert r2["image_dedup"] == {"batch_docs": 0, "hashes_appended": 0}
+
+    events_only = str(tmp_path / "eventsonly")
+    load_table(spark, SF_SMOKE, "events").limit(50).write.parquet(
+        events_only + "/events.parquet"
+    )
+    r3 = run_batch(spark, events_only, str(tmp_path / "state2"))
+    assert r3["image_dedup"] == {"skipped": "no documents table"}
+
+
 def test_rollup_survives_crash_before_watermark_commit(spark, state_dir):
     """Crash window: the rollup overwrite succeeded but the run died before
     the watermark commit. The replayed run re-derives the same interval —

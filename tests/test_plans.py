@@ -168,18 +168,20 @@ def test_topk_per_group_keeps_partial_window_group_limit(spark):
     assert "WindowGroupLimit" in partial and "Partial" in partial, plan
 
 
-def test_aum_routing_has_no_window_exchange(spark):
-    """First-touch is an aggregated per-user state (seen-pre flag + batch
-    argmin, ONE grouped pass — round 3 fused the former two dimension
-    builds) joined back: the plan must contain NO Window operator (the
-    batch is never sorted through a user_id exchange), exactly one join
-    (broadcast at fixture scale; stats-driven, not hint-pinned), and the
-    conditional min/max aggregates below it."""
+def test_aum_routing_single_scan_no_join_no_window(spark):
+    """First-touch state AND the batch payload ride ONE grouped pass over
+    successful txs (round 9 fused the former agg+join — the batch rows are
+    a conditional collect_list on the same aggregate): the plan must
+    contain NO Window operator, NO join of any kind (the former shape's
+    second events scan + user-cardinality broadcast are gone), exactly ONE
+    events scan, and the conditional min/max partial aggregates below the
+    exchange."""
     from metrics_database_cron_script_spark.plans import QUERIES
 
     plan = _plan(QUERIES["r_aum_routing"](spark, SF_SMOKE))
     assert "Window" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
     # the argmin must stay CONDITIONAL (batch rows only) — an unconditional
     # min would silently treat pre-watermark history as first touches
     assert "partial_min(CASE WHEN" in plan, plan

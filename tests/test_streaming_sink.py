@@ -74,6 +74,44 @@ def test_stream_rollup_matches_batch_and_skips_replayed_epochs(spark, tmp_path):
     assert canon(same) == want
 
 
+def test_stream_rollup_money_mode_exact_across_microbatches(spark, tmp_path):
+    """money=True (round-9): sum_value rides DECIMAL(28,18) through every
+    micro-batch merge, so the maintained rollup must equal the batch
+    aggregate EXACTLY — no float tolerance — even with one-file triggers
+    forcing many merge steps (the accumulation-order stress). Also pins
+    the type contract: the returned sum_value is decimal(28,18), and the
+    18-dp grid round-trips the double inputs' exact decimal expansions."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from metrics_database_cron_script_spark.operators.reference_ops import daily_rollup
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.sink import (
+        stream_rollup_maintenance,
+    )
+
+    state = str(tmp_path / "rollup_money.parquet")
+    got_df = stream_rollup_maintenance(
+        spark, SF_SMOKE, state, str(tmp_path / "ckpt_money"),
+        query_name="t_rollup_money", max_files_per_trigger=1, money=True,
+    )
+    assert got_df.schema["sum_value"].dataType == T.DecimalType(28, 18)
+
+    def canon(df):
+        return sorted(
+            (str(r["day"]), r["n"], r["sum_value"], r["min_value"], r["max_value"])
+            for r in df.collect()
+        )
+
+    want = canon(
+        daily_rollup(load_table(spark, SF_SMOKE, "events"), money=True)
+    )
+    got = canon(got_df)
+    assert got == want and len(got) > 1
+    assert all(isinstance(r[2], Decimal) for r in got)
+
+
 def test_stream_rollup_refuses_wiped_and_recreated_checkpoint(spark, tmp_path):
     """Ops wipes the checkpoint DIRECTORY CONTENTS but restarts at the same
     path: epoch ids restart at 0 while the state's committed max is high, so
