@@ -538,7 +538,17 @@ def main() -> None:
         and edges_equal
     )
     out["replay_noop"] = ok
-    print(json.dumps(out, indent=1, default=str))
+    # merge-write the artifact like the --streaming-only branch: keep the
+    # streaming-twin rows already measured, replace every batch phase
+    artifact = os.path.join(here, "BENCH_DAILY_SFXL.json")
+    merged: dict = {}
+    if os.path.exists(artifact):
+        with open(artifact) as fh:
+            merged = json.load(fh)
+    merged.update(out)
+    with open(artifact, "w") as fh:
+        json.dump(merged, fh, indent=1, default=str)
+    print(json.dumps(merged, indent=1, default=str))
     if not ok:
         sys.exit(1)
 

@@ -747,6 +747,10 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 continue
             if nxt == 0xD9:
                 break
+            if nxt is None:
+                # payload ends on a bare 0xFF (fuzz find: formatting None
+                # in the error below raised TypeError) — truncated scan
+                raise ValueError("truncated JPEG scan (dangling 0xff)")
             raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
         ecs.append(b)
         i += 1

@@ -19,6 +19,13 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# Deterministic example generation (derandomize=True on every test, NOT a
+# global profile — that would leak into the other property-test modules):
+# the fuzz ran WIDE during development (it caught the DC-category int64
+# overflow and the dangling-0xff TypeError); in the suite it must be
+# replayable — a fresh random seed finding a new example mid-CI is a
+# flake, not a gate.
+
 from metrics_database_cron_script_spark.functions.audio import (
     decode_wav,
     encode_wav,
@@ -88,7 +95,7 @@ def _clean_or_allowed(kind: str, payload: bytes) -> None:
 
 @pytest.mark.parametrize("kind", sorted(BLOBS))
 @given(cut=st.integers(min_value=0, max_value=4096))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 def test_truncation_never_escapes_valueerror(kind, cut):
     blob = BLOBS[kind]
     _clean_or_allowed(kind, blob[: min(cut, len(blob))])
@@ -96,7 +103,7 @@ def test_truncation_never_escapes_valueerror(kind, cut):
 
 @pytest.mark.parametrize("kind", sorted(BLOBS))
 @given(pos=st.integers(min_value=0, max_value=4095), val=st.integers(0, 255))
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 def test_single_byte_corruption_never_escapes_valueerror(kind, pos, val):
     blob = bytearray(BLOBS[kind])
     blob[pos % len(blob)] = val
@@ -108,7 +115,7 @@ def test_single_byte_corruption_never_escapes_valueerror(kind, pos, val):
     pos=st.integers(min_value=4, max_value=4092),
     length=st.integers(min_value=0, max_value=0xFFFFFFFF),
 )
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 def test_length_field_flip_never_escapes_valueerror(kind, pos, length):
     """Overwrite 4 bytes ANYWHERE with an arbitrary little-endian length —
     the classic chunk-length attack on RIFF/PNG walks."""
@@ -120,7 +127,7 @@ def test_length_field_flip_never_escapes_valueerror(kind, pos, length):
 
 @pytest.mark.parametrize("kind", sorted(BLOBS))
 @given(noise=st.binary(min_size=0, max_size=512))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 def test_magic_prefixed_noise_never_escapes_valueerror(kind, noise):
     """Valid magic + random tail: the walk must diagnose, not wander."""
     magic = {
@@ -134,7 +141,7 @@ def test_magic_prefixed_noise_never_escapes_valueerror(kind, noise):
 
 
 @given(noise=st.binary(min_size=0, max_size=256))
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 def test_decode_image_dispatch_never_escapes(noise):
     """The dispatcher itself: any byte string decodes, raises ValueError
     (native diagnosis) or NotImplementedError (no PIL for the format)."""
