@@ -145,6 +145,56 @@ def synthetic_wav_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _synth_wavs_stemmed(mod: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_wav(
+                            synth_wav_samples(int(d) - int(d) % mod),
+                            SAMPLE_RATE,
+                        )
+                        for d in ids
+                    ],
+                }
+            )
+
+    return gen
+
+
+def synthetic_wav_blobs_stemmed(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """doc_id → WAV bytes synthesized from the doc's STEM (doc_id −
+    doc_id % mod): every `mod` consecutive docs carry byte-identical
+    audio — the deterministic duplicate plant the dedup queries decode
+    and re-discover (the audio analogue of the image replica corpus)."""
+    return docs.select("doc_id").mapInPandas(
+        _synth_wavs_stemmed(mod), schema="doc_id long, payload binary"
+    )
+
+
+def wav_exact_dedup(blobs: DataFrame) -> DataFrame:
+    """Exact AUDIO dedup over DECODED content (round 9 — the audio twin
+    of multimodal's x_phash_dedup grouping): the fingerprint is the full
+    integer digest tuple from decode_sample_stats (rate, shape, sample
+    sum, interleave-sensitive weighted sum) — computed from the DECODED
+    samples, so re-encoded/container-shuffled duplicates still collide
+    while any single-sample change separates. One decode pass, one
+    groupBy on a 5-integer key; at 100 TB the shuffle carries ~40 bytes
+    per audio file, never payload bytes."""
+    from pyspark.sql import functions as F
+
+    stats = decode_sample_stats(blobs)
+    return stats.groupBy(
+        "rate", "n_samples", "n_channels", "s_sum", "s_weighted"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+
+
 SAMPLE_STATS_SCHEMA = (
     "doc_id long, rate long, n_samples long, n_channels long, "
     "s_sum long, s_weighted long"

@@ -205,6 +205,60 @@ def synthetic_avi_blobs(docs: DataFrame) -> DataFrame:
     )
 
 
+def _synth_avis_stemmed(mod: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_avi(synth_video_frames(int(d) - int(d) % mod))
+                        for d in ids
+                    ],
+                }
+            )
+
+    return gen
+
+
+def synthetic_avi_blobs_stemmed(docs: DataFrame, mod: int = 4) -> DataFrame:
+    """doc_id → AVI bytes synthesized from the doc's STEM (doc_id −
+    doc_id % mod): every `mod` consecutive docs carry byte-identical
+    video — the deterministic duplicate plant for the dedup queries."""
+    return docs.select("doc_id").mapInPandas(
+        _synth_avis_stemmed(mod), schema="doc_id long, payload binary"
+    )
+
+
+def video_exact_dedup(blobs: DataFrame) -> DataFrame:
+    """Exact VIDEO dedup over DECODED content (round 9): the fingerprint
+    is the per-frame digest stream folded ORDER-SENSITIVELY — n_frames,
+    dims, total pixel sum, and sum(px_weighted · (frame_idx % 89 + 1)) —
+    so two videos with the same frames in a different order separate
+    (plain sums commute; the frame-position factor does not). One
+    container-walk pass, then a groupBy on a 5-integer key: the shuffle
+    carries ~40 bytes per video regardless of payload size."""
+    from pyspark.sql import functions as F
+
+    stats = decode_frame_stats(blobs, every_k=1)
+    fp = stats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("width").alias("width"),
+        F.min("height").alias("height"),
+        F.sum("px_sum").alias("px_total"),
+        F.sum(
+            F.col("px_weighted") * (F.col("frame_idx") % 89 + 1)
+        ).alias("px_ordered"),
+    )
+    return fp.groupBy(
+        "n_frames", "width", "height", "px_total", "px_ordered"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+
+
 FRAME_STATS_SCHEMA = (
     "doc_id long, frame_idx long, width long, height long, "
     "px_sum long, px_weighted long"

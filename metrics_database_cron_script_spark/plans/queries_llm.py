@@ -1140,6 +1140,90 @@ def x_video_keyframes(spark, sf_dir):
     return VI.decode_frame_stats(VI.synthetic_avi_blobs(docs), every_k=2)
 
 
+@query(
+    "x_wav_dedup",
+    oracle="""
+WITH stems AS (
+  SELECT doc_id, doc_id - doc_id % 3 AS stem FROM documents
+), dims AS (
+  SELECT DISTINCT stem, 400 + (stem % 7) * 50 AS n, 1 + stem % 2 AS ch
+  FROM stems
+), s AS (
+  SELECT d.stem, d.n, d.ch, i.i AS i, c.c AS c,
+         (d.stem * 37 + i.i * 13 + c.c * 101) % 4001 - 2000 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS c) c
+), digests AS (
+  SELECT stem, MIN(n) AS n_samples, MIN(ch) AS n_channels,
+         CAST(SUM(v) AS BIGINT) AS s_sum,
+         CAST(SUM(v * ((i * ch + c) % 97)) AS BIGINT) AS s_weighted
+  FROM s GROUP BY stem
+)
+SELECT CAST(16000 AS BIGINT) AS rate, d.n_samples, d.n_channels,
+       d.s_sum, d.s_weighted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(st.doc_id) AS rep_doc
+FROM stems st JOIN digests d ON d.stem = st.stem
+GROUP BY 1, 2, 3, 4, 5""",
+)
+def x_wav_dedup(spark, sf_dir):
+    """Exact AUDIO dedup over real decoded PCM (round 9, completing the
+    per-modality dedup set: text exact/minhash, image phash, audio here,
+    video x_video_dedup): every 3 consecutive docs share byte-identical
+    synthetic audio (synthetic_wav_blobs_stemmed), the engine DECODES
+    the WAVs and groups by the integer content digest — so the oracle
+    checks decode + fingerprint + grouping end to end (a group with the
+    wrong membership, a digest off by one sample, or a collision
+    mishandled cannot hash-match). The grouping is BY DIGEST, not by
+    stem, on both sides — digest collisions across stems would merge
+    groups identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return AU.wav_exact_dedup(AU.synthetic_wav_blobs_stemmed(docs, mod=3))
+
+
+@query(
+    "x_video_dedup",
+    oracle="""
+WITH stems AS (
+  SELECT doc_id, doc_id - doc_id % 4 AS stem FROM documents
+), dims AS (
+  SELECT DISTINCT stem, 8 + 4 * (stem % 3) AS w, 6 + 2 * (stem % 2) AS h,
+         2 + stem % 3 AS nf
+  FROM stems
+), px AS (
+  SELECT d.stem, t.t AS frame_idx, d.w, d.h, d.nf,
+         (d.stem * 29 + t.t * 59 + x.x * 7 + y.y * 13 + c.c * 101) % 256
+           AS val,
+         (((y.y * d.w + x.x) * 3 + c.c) % 97) AS pw
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS t) t,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+       (SELECT unnest([0, 1, 2]) AS c) c
+), digests AS (
+  SELECT stem, CAST(MIN(nf) AS BIGINT) AS n_frames,
+         MIN(w) AS width, MIN(h) AS height,
+         CAST(SUM(val) AS BIGINT) AS px_total,
+         CAST(SUM(val * pw * (frame_idx % 89 + 1)) AS BIGINT) AS px_ordered
+  FROM px GROUP BY stem
+)
+SELECT d.n_frames, d.width, d.height, d.px_total, d.px_ordered,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(st.doc_id) AS rep_doc
+FROM stems st JOIN digests d ON d.stem = st.stem
+GROUP BY 1, 2, 3, 4, 5""",
+)
+def x_video_dedup(spark, sf_dir):
+    """Exact VIDEO dedup over real decoded frames (round 9): every 4
+    consecutive docs share byte-identical synthetic AVIs; the engine
+    walks the containers, digests every frame, folds the digests
+    ORDER-SENSITIVELY (frame-position factor — plain sums commute, so a
+    re-ordered cut would otherwise collide) and groups by the content
+    fingerprint. The oracle recomputes every decoded pixel from the stem
+    formula, so the whole walk + fingerprint + grouping is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return VI.video_exact_dedup(VI.synthetic_avi_blobs_stemmed(docs, mod=4))
+
+
 @query("x_embed_ivf_topk", oracle=None)  # approximate → rows-only
 def x_embed_ivf_topk(spark, sf_dir):
     """IVF ANN via the per-cell BLAS matmul probe (ivf_topk_matmul) — the

@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from tests.conftest import SF_SMOKE
+
 from metrics_database_cron_script_spark.functions.audio import (
     decode_wav,
     encode_wav,
@@ -121,4 +123,29 @@ def test_frame_energy_query_matches_oracle(spark):
     from metrics_database_cron_script_spark.oracle import check_query
 
     res = check_query(spark, "/root/testdata/sf0.001", "x_audio_frame_energy")
+    assert res["ok"], res
+
+
+def test_wav_exact_dedup_groups_stems(spark):
+    """Round 9: the audio dedup fingerprint groups exactly the planted
+    stem classes (every 3 consecutive docs share byte-identical audio),
+    with rep_doc = the stem head, and separates a one-sample change."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.functions.audio import (
+        synthetic_wav_blobs_stemmed,
+        wav_exact_dedup,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 30)
+    groups = wav_exact_dedup(synthetic_wav_blobs_stemmed(docs, mod=3)).collect()
+    assert len(groups) == 10
+    assert all(r["n_docs"] == 3 and r["rep_doc"] % 3 == 0 for r in groups)
+
+
+def test_wav_dedup_query_matches_oracle(spark):
+    from metrics_database_cron_script_spark.oracle import check_query
+
+    res = check_query(spark, "/root/testdata/sf0.001", "x_wav_dedup")
     assert res["ok"], res

@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from tests.conftest import SF_SMOKE
+
 from metrics_database_cron_script_spark.functions.video import (
     decode_avi,
     encode_avi,
@@ -128,4 +130,40 @@ def test_video_keyframes_query_matches_oracle(spark):
     from metrics_database_cron_script_spark.oracle import check_query
 
     res = check_query(spark, "/root/testdata/sf0.001", "x_video_keyframes")
+    assert res["ok"], res
+
+
+def test_video_exact_dedup_is_frame_order_sensitive(spark):
+    """Round 9: the video fingerprint must separate the SAME frames in a
+    different order (the px_ordered frame-position factor) while grouping
+    byte-identical stem replicas together."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.functions.video import (
+        encode_avi,
+        synthetic_avi_blobs_stemmed,
+        video_exact_dedup,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 16)
+    groups = video_exact_dedup(synthetic_avi_blobs_stemmed(docs, mod=4)).collect()
+    assert len(groups) == 4
+    assert all(r["n_docs"] == 4 and r["rep_doc"] % 4 == 0 for r in groups)
+
+    # same two frames, swapped order -> distinct fingerprints
+    rng = np.random.default_rng(3)
+    a, b = (rng.integers(0, 256, (6, 8, 3), dtype=np.uint8) for _ in range(2))
+    blobs = spark.createDataFrame(
+        [(1, encode_avi([a, b])), (2, encode_avi([b, a]))],
+        "doc_id long, payload binary",
+    )
+    assert video_exact_dedup(blobs).count() == 2
+
+
+def test_video_dedup_query_matches_oracle(spark):
+    from metrics_database_cron_script_spark.oracle import check_query
+
+    res = check_query(spark, "/root/testdata/sf0.001", "x_video_dedup")
     assert res["ok"], res
