@@ -1344,6 +1344,65 @@ WHERE l.doc_id IS NULL"""
     )
 
 
+def _curation_pipeline_oracle() -> str:
+    """The MULTIMODAL curation pipeline in SQL: the text pipeline's
+    survivor set (quality gate → exact dedup → near-dup drop — the same
+    CTEs as x_dedup_pipeline), then IMAGE exact dedup over the survivors'
+    decoded aHashes (the _PHASH_CTE formula restricted to survivors,
+    keep-lowest-doc_id per hash)."""
+    return (
+        r"""
+WITH pbase AS (
+  SELECT * FROM documents
+  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) >= 10
+    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) >= length(text) * 0.5
+), pexact AS (
+  SELECT * FROM pbase
+  QUALIFY row_number() OVER (
+    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    ORDER BY doc_id) = 1
+), """
+        + _minhash_pair_cte("pexact")
+        + """, plosers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM pjacc WHERE jaccard >= 0.85
+), tsurv AS (
+  SELECT e.* FROM pexact e LEFT JOIN plosers l ON l.doc_id = e.doc_id
+  WHERE l.doc_id IS NULL
+), """
+        + _PHASH_CTE.replace("FROM documents", "FROM tsurv")
+        + """
+SELECT t.* FROM tsurv t JOIN ph ON ph.doc_id = t.doc_id
+QUALIFY row_number() OVER (PARTITION BY ph.phash ORDER BY t.doc_id) = 1"""
+    )
+
+
+@query("x_curation_pipeline", oracle=_curation_pipeline_oracle())
+def x_curation_pipeline(spark, sf_dir):
+    """The COMPOSED multimodal training-data curation pipeline (round 9):
+    text quality gate → exact text dedup → MinHash near-dup drop (the
+    x_dedup_pipeline stages, portable twin) → IMAGE exact dedup over the
+    survivors' decoded aHashes (keep-lowest-doc_id per perceptual hash) —
+    the end-to-end shape a real corpus build runs, with the FINAL
+    survivor set value-hash-checked against DuckDB recomputing every
+    stage including the decoded pixels. Scale shape: each stage is the
+    already-audited plan (two-level aggs, band-bucket equi-join, Arrow
+    decode, 64-bit-hash groupBy); composition adds no new shuffle class.
+    """
+    from pyspark.sql import Window
+
+    survivors = D.dedup_pipeline_portable(
+        load_table(spark, sf_dir, "documents")
+    )
+    hashes = M.ahash_from_blobs(M.synthetic_bmp_blobs(survivors))
+    w = Window.partitionBy("phash").orderBy("doc_id")
+    keep = (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id")
+    )
+    return survivors.join(keep, "doc_id")
+
+
 @query("x_dedup_pipeline", oracle=_dedup_pipeline_oracle())
 def x_dedup_pipeline(spark, sf_dir):
     """Composed training-data dedup (quality gate → exact dedup → near-dup

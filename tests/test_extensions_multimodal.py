@@ -139,3 +139,32 @@ def test_quarantine_empty_shingle_docs_routes_tokenless(spark):
     n_shingles = word_shingles(docs.filter("doc_id in (3, 4)")).count()
     assert n_shingles == 0
     assert word_shingles(docs.filter("doc_id = 2")).count() > 0
+
+
+def test_curation_pipeline_composes_text_and_image_stages(spark):
+    """Round 9 capstone: the multimodal curation pipeline's IMAGE stage
+    must be ACTIVE at fixture scale (drop at least one perceptual-hash
+    duplicate beyond the text survivors — a pipeline whose last stage is
+    a no-op would green-wash the composition), keep survivors a strict
+    subset, and match its DuckDB oracle."""
+    from metrics_database_cron_script_spark.functions import dedup as D
+    from metrics_database_cron_script_spark.oracle import check_query
+    from metrics_database_cron_script_spark.plans import QUERIES
+    from metrics_database_cron_script_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    text_surv = {
+        r["doc_id"]
+        for r in D.dedup_pipeline_portable(
+            load_table(spark, sf, "documents")
+        ).select("doc_id").collect()
+    }
+    final = {
+        r["doc_id"]
+        for r in QUERIES["x_curation_pipeline"](spark, sf)
+        .select("doc_id")
+        .collect()
+    }
+    assert final < text_surv  # strict subset: image stage dropped someone
+    res = check_query(spark, sf, "x_curation_pipeline")
+    assert res["ok"], res
