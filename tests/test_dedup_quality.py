@@ -377,6 +377,48 @@ def test_ivf_topk_matmul_matches_pair_probe(spark):
     assert matmul == pair and len(matmul) > 0
 
 
+def test_ivf_index_write_probe_prunes_partitions_and_matches(spark, tmp_path):
+    """Round 9: the persisted cell-partitioned IVF index (ivf_index_write
+    → ivf_index_probe, the query-serving path) must (a) return exactly
+    the fused fit+probe's results (same seed ⇒ same quantizer ⇒ same
+    top-k), (b) lay out ONE file per cell (the 65k-tiny-files discipline
+    from BENCH_ANN_SFXL), and (c) resolve the probe's cell filter to
+    STATIC PARTITION PRUNING — the scan's PartitionFilters must carry the
+    cell predicate, so only probed cell directories are read."""
+    import os
+
+    from metrics_database_cron_script_spark.functions.similarity import (
+        ivf_index_probe,
+        ivf_index_write,
+        ivf_topk_matmul,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    idx = str(tmp_path / "ivf-index")
+    centers = ivf_index_write(emb, idx, n_cells=8, seed=42)
+    assert len(centers) == 8
+    cell_dirs = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cell_dirs) == 8
+    for d in cell_dirs:
+        files = [f for f in os.listdir(os.path.join(idx, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)  # repartition("cell") discipline
+
+    probe = ivf_index_probe(spark, idx, queries, k=5, n_probe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+    got = {(r["q_id"], r["vec_id"], r["cos"]) for r in probe.collect()}
+    want = {
+        (r["q_id"], r["vec_id"], r["cos"])
+        for r in ivf_topk_matmul(emb, queries, k=5, n_cells=8, n_probe=2).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_ivf_probe_matmul_matches_pair_scorer(spark):
     """ivf_probe_matmul (the batched-query IVF scan, round-8) must produce
     exactly the pair-join scorer's results for the same probed cells —
