@@ -175,6 +175,80 @@ def synthetic_wav_blobs_stemmed(docs: DataFrame, mod: int = 3) -> DataFrame:
     )
 
 
+def _synth_wavs_scaled(mod: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            out = []
+            for d in ids:
+                d = int(d)
+                scale = 1 + d % mod
+                samples = synth_wav_samples(d - d % mod) * scale
+                out.append(encode_wav(samples.astype(np.int16), SAMPLE_RATE))
+            yield pd.DataFrame({"doc_id": ids, "payload": out})
+
+    return gen
+
+
+def synthetic_wav_blobs_scaled(docs: DataFrame, mod: int = 3) -> DataFrame:
+    """doc_id → WAV bytes of the doc's STEM audio VOLUME-SCALED by
+    (1 + doc_id % mod): every `mod` consecutive docs carry the same
+    recording at different amplitudes — byte-DIFFERENT, sample-digest-
+    DIFFERENT duplicates that only a loudness-invariant fingerprint can
+    group (the plant for x_audio_fingerprint_dedup). Fixture samples are
+    ±2000, so ×mod stays far inside int16."""
+    return docs.select("doc_id").mapInPandas(
+        _synth_wavs_scaled(mod), schema="doc_id long, payload binary"
+    )
+
+
+def audio_delta_fingerprint(
+    blobs: DataFrame, frame: int = 64, hop: int = 32
+) -> DataFrame:
+    """(doc_id, fingerprint): the SIGN-OF-DELTA energy fingerprint — bit
+    i = '1' iff frame i's energy exceeds frame i−1's — the core move of
+    the classic audio-fingerprint family (Haitsma-Kalper/Chromaprint
+    shape): volume scaling multiplies every sample by k, every frame
+    energy by exactly k² (integer math end to end), and a positive
+    scaling preserves every comparison INCLUDING ties — so the
+    fingerprint is amplitude-INVARIANT while any re-timing or content
+    change flips bits. One decode pass, one groupBy(doc) with a sorted
+    frame-struct array folded to a bitstring; the shuffle carries one
+    short string per file."""
+    from pyspark.sql import functions as F
+
+    fe = frame_energy(blobs, frame=frame, hop=hop)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("frame_idx"), F.col("energy")))
+    )
+    bits = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.when(
+            F.element_at(arr, i + 1)["energy"] > F.element_at(arr, i)["energy"],
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return fe.groupBy("doc_id").agg(
+        F.array_join(bits, "").alias("fingerprint")
+    )
+
+
+def audio_fingerprint_dedup(
+    blobs: DataFrame, frame: int = 64, hop: int = 32
+) -> DataFrame:
+    """Loudness-invariant AUDIO dedup: group by the delta-sign energy
+    fingerprint (audio_delta_fingerprint). Catches volume-scaled copies
+    that exact dedup (wav_exact_dedup's sample digests) provably cannot —
+    the distinction the tests pin."""
+    from pyspark.sql import functions as F
+
+    fp = audio_delta_fingerprint(blobs, frame=frame, hop=hop)
+    return fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+
+
 def wav_exact_dedup(blobs: DataFrame) -> DataFrame:
     """Exact AUDIO dedup over DECODED content (round 9 — the audio twin
     of multimodal's x_phash_dedup grouping): the fingerprint is the full

@@ -1182,6 +1182,62 @@ def x_wav_dedup(spark, sf_dir):
 
 
 @query(
+    "x_audio_fingerprint_dedup",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id, doc_id - doc_id % 3 AS stem, 1 + doc_id % 3 AS scale
+  FROM documents
+), dims AS (
+  SELECT doc_id, stem, scale,
+         400 + (stem % 7) * 50 AS n, 1 + stem % 2 AS ch
+  FROM meta
+), mono AS (
+  SELECT d.doc_id, d.n, i.i AS i,
+         d.scale * SUM((d.stem * 37 + i.i * 13 + c.c * 101) % 4001 - 2000)
+           AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS c) c
+  GROUP BY d.doc_id, d.n, i.i, d.scale
+), frames AS (
+  SELECT m.doc_id, f.f AS frame_idx, SUM(m.v * m.v) AS energy
+  FROM mono m,
+       LATERAL (SELECT unnest(generate_series(0, (m.n - 64) // 32)) AS f) f
+  WHERE m.i >= f.f * 32 AND m.i < f.f * 32 + 64
+  GROUP BY m.doc_id, f.f
+), bits AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN energy > lag(energy) OVER (
+                PARTITION BY doc_id ORDER BY frame_idx)
+              THEN '1' ELSE '0' END AS bit,
+         lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM frames
+), fp AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY frame_idx) AS fingerprint
+  FROM bits WHERE prev IS NOT NULL GROUP BY doc_id
+)
+SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS rep_doc
+FROM fp GROUP BY fingerprint""",
+)
+def x_audio_fingerprint_dedup(spark, sf_dir):
+    """LOUDNESS-INVARIANT audio dedup (round 9): every 3 consecutive docs
+    carry the same recording VOLUME-SCALED ×1/×2/×3 — byte-different,
+    sample-digest-different — and the delta-sign energy fingerprint
+    (audio.audio_delta_fingerprint, the Haitsma-Kalper/Chromaprint move:
+    bit i = energy_i > energy_{i-1}; scaling multiplies every integer
+    energy by exactly k², preserving every comparison) groups them
+    anyway. The oracle recomputes scaled samples → channel mix → frame
+    energies → lag comparisons → the fingerprint STRING per doc, and
+    groups BY FINGERPRINT on both sides — so decode, framing, the
+    invariance argument and the grouping are all value-checked. Exact
+    dedup provably cannot group these (tests pin the contrast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return AU.audio_fingerprint_dedup(
+        AU.synthetic_wav_blobs_scaled(docs, mod=3)
+    )
+
+
+@query(
     "x_video_dedup",
     oracle="""
 WITH stems AS (

@@ -149,3 +149,27 @@ def test_wav_dedup_query_matches_oracle(spark):
 
     res = check_query(spark, "/root/testdata/sf0.001", "x_wav_dedup")
     assert res["ok"], res
+
+
+def test_fingerprint_dedup_groups_volume_scaled_copies_exact_cannot(spark):
+    """Round 9: the delta-sign energy fingerprint must group the SAME
+    recording at different volumes (x1/x2/x3 sample scaling — integer
+    energies scale by exactly k², every comparison preserved), which the
+    exact sample-digest dedup provably cannot; and it must still separate
+    different stems."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.functions.audio import (
+        audio_fingerprint_dedup,
+        synthetic_wav_blobs_scaled,
+        wav_exact_dedup,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 30)
+    blobs = synthetic_wav_blobs_scaled(docs, mod=3)
+    fp_groups = audio_fingerprint_dedup(blobs).collect()
+    assert len(fp_groups) == 10  # one group per stem
+    assert all(r["n_docs"] == 3 and r["rep_doc"] % 3 == 0 for r in fp_groups)
+    # exact dedup sees 30 distinct sample digests — zero grouping
+    assert wav_exact_dedup(blobs).count() == 30
