@@ -231,6 +231,86 @@ def synthetic_avi_blobs_stemmed(docs: DataFrame, mod: int = 4) -> DataFrame:
     )
 
 
+def _synth_avis_perturbed(mod: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            out = []
+            for d in ids:
+                d = int(d)
+                r = d % mod
+                frames = synth_video_frames(d - r)
+                if r:
+                    # complement the first r channel values of frame 0's
+                    # corner pixel — one frame differs, the rest shared
+                    frames = [f.copy() for f in frames]
+                    frames[0][0, 0, :r] = 255 - frames[0][0, 0, :r]
+                out.append(encode_avi(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": out})
+
+    return gen
+
+
+def synthetic_avi_blobs_perturbed(docs: DataFrame, mod: int = 4) -> DataFrame:
+    """doc_id → AVI of the doc's STEM video with (doc_id % mod) corner
+    channel values of FRAME 0 complemented: videos within a stem share
+    every frame except (possibly) frame 0 — the near-dup plant for
+    x_video_frame_neardup (trimmed/retouched-copy shape)."""
+    return docs.select("doc_id").mapInPandas(
+        _synth_avis_perturbed(mod), schema="doc_id long, payload binary"
+    )
+
+
+def video_frame_neardup_pairs(
+    blobs: DataFrame, threshold: float = 0.25
+) -> DataFrame:
+    """NEAR-duplicate video pairs by FRAME-SET Jaccard — frames are the
+    shingles (round 9, the video twin of text n-gram Jaccard): each
+    decoded frame reduces to its exact integer digest (dims + pixel sum +
+    position-weighted sum), candidate pairs come from an EQUI-JOIN on the
+    frame digest (two videos sharing zero frames never meet — the same
+    never-all-pairs invariant every dedup operator here keeps), and
+    jaccard = |shared| / (|A| + |B| − |shared|) over DISTINCT frame
+    digests. Catches retouched/extended copies whose containers and
+    order-sensitive fingerprints (video_exact_dedup) differ. At corpus
+    scale the shuffle key is a ~32-byte digest tuple; bucket growth is
+    bounded by true duplicate structure, as with text shingles."""
+    from pyspark.sql import functions as F
+
+    digest_cols = ["width", "height", "px_sum", "px_weighted"]
+    d = (
+        decode_frame_stats(blobs, every_k=1)
+        .select("doc_id", *digest_cols)
+        .distinct()
+    )
+    sizes = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a = d.select(F.col("doc_id").alias("doc_a"), *digest_cols)
+    b = d.select(F.col("doc_id").alias("doc_b"), *digest_cols)
+    shared = (
+        a.join(b, digest_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def video_exact_dedup(blobs: DataFrame) -> DataFrame:
     """Exact VIDEO dedup over DECODED content (round 9): the fingerprint
     is the per-frame digest stream folded ORDER-SENSITIVELY — n_frames,

@@ -1280,6 +1280,68 @@ def x_video_dedup(spark, sf_dir):
     return VI.video_exact_dedup(VI.synthetic_avi_blobs_stemmed(docs, mod=4))
 
 
+@query(
+    "x_video_frame_neardup",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id, doc_id - doc_id % 4 AS stem, doc_id % 4 AS r
+  FROM documents
+), dims AS (
+  SELECT doc_id, stem, r, 8 + 4 * (stem % 3) AS w, 6 + 2 * (stem % 2) AS h,
+         2 + stem % 3 AS nf
+  FROM meta
+), px AS (
+  SELECT d.doc_id, t.t AS frame_idx, d.w, d.h,
+         CASE WHEN t.t = 0 AND x.x = 0 AND y.y = 0 AND c.c < d.r
+              THEN 255 - ((d.stem * 29 + t.t * 59 + x.x * 7 + y.y * 13
+                           + c.c * 101) % 256)
+              ELSE (d.stem * 29 + t.t * 59 + x.x * 7 + y.y * 13
+                    + c.c * 101) % 256 END AS val,
+         (((y.y * d.w + x.x) * 3 + c.c) % 97) AS pw
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS t) t,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+       (SELECT unnest([0, 1, 2]) AS c) c
+), digests AS (
+  SELECT DISTINCT doc_id, width, height, px_sum, px_weighted FROM (
+    SELECT doc_id, frame_idx, MIN(w) AS width, MIN(h) AS height,
+           CAST(SUM(val) AS BIGINT) AS px_sum,
+           CAST(SUM(val * pw) AS BIGINT) AS px_weighted
+    FROM px GROUP BY doc_id, frame_idx)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS nf FROM digests GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM digests a
+  JOIN digests b ON a.width = b.width AND a.height = b.height
+   AND a.px_sum = b.px_sum AND a.px_weighted = b.px_weighted
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b, s.shared,
+       ROUND(s.shared / (na.nf + nb.nf - s.shared), 6) AS jaccard
+FROM shared s
+JOIN sizes na ON na.doc_id = s.doc_a
+JOIN sizes nb ON nb.doc_id = s.doc_b
+WHERE s.shared / (na.nf + nb.nf - s.shared) >= 0.25""",
+)
+def x_video_frame_neardup(spark, sf_dir):
+    """Video NEAR-dup by frame-set Jaccard — frames as shingles (round 9):
+    every 4 consecutive docs share a stem video, with docs r=1..3 carrying
+    a retouched frame 0 (corner channel values complemented), so stem
+    members share all-but-one frame and stems share nothing. Candidates
+    come from an equi-join on EXACT per-frame integer digests (never
+    all-pairs); the oracle recomputes every decoded pixel including the
+    retouch boundary, so the container walk, per-frame digesting, the
+    shared-frame join and the Jaccard arithmetic are all value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return VI.video_frame_neardup_pairs(
+        VI.synthetic_avi_blobs_perturbed(docs, mod=4), threshold=0.25
+    )
+
+
 @query("x_embed_ivf_topk", oracle=None)  # approximate → rows-only
 def x_embed_ivf_topk(spark, sf_dir):
     """IVF ANN via the per-cell BLAS matmul probe (ivf_topk_matmul) — the

@@ -167,3 +167,36 @@ def test_video_dedup_query_matches_oracle(spark):
 
     res = check_query(spark, "/root/testdata/sf0.001", "x_video_dedup")
     assert res["ok"], res
+
+
+def test_frame_neardup_finds_all_planted_pairs_no_cross_stem(spark):
+    """Round 9: frame-set Jaccard must find EVERY within-stem pair (each
+    stem's 4 variants share all-but-one frame) and no cross-stem pair
+    (different stems share zero frames); video_exact_dedup must NOT group
+    the retouched variants (the near-dup operator earns its keep)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.functions.video import (
+        synthetic_avi_blobs_perturbed,
+        video_exact_dedup,
+        video_frame_neardup_pairs,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 24)
+    blobs = synthetic_avi_blobs_perturbed(docs, mod=4)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in video_frame_neardup_pairs(blobs, threshold=0.25).collect()
+    }
+    want = {
+        pair
+        for stem in range(0, 24, 4)
+        for pair in combinations(range(stem, stem + 4), 2)
+    }
+    assert got == want  # all 36 planted pairs, nothing else
+    # exact dedup cannot group them: each variant's retouched frame makes
+    # every one of the 24 videos a distinct content fingerprint
+    assert video_exact_dedup(blobs).count() == 24
