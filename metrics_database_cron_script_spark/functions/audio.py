@@ -214,13 +214,26 @@ def audio_delta_fingerprint(
     fingerprint is amplitude-INVARIANT while any re-timing or content
     change flips bits. One decode pass, one groupBy(doc) with a sorted
     frame-struct array folded to a bitstring; the shuffle carries one
-    short string per file."""
+    short string per file.
+
+    Docs with fewer than 2 frames are DROPPED (a delta fingerprint needs
+    a predecessor — the SQL oracle's `prev IS NOT NULL` boundary emits no
+    row for them). Without the size guard, Spark's sequence(1, 0) would
+    auto-step DOWN to [1, 0] and fabricate a spurious '00' fingerprint
+    (or raise under ANSI mode)."""
     from pyspark.sql import functions as F
 
     fe = frame_energy(blobs, frame=frame, hop=hop)
-    arr = F.array_sort(
-        F.collect_list(F.struct(F.col("frame_idx"), F.col("energy")))
+    frames = (
+        fe.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("frame_idx"), F.col("energy")))
+            ).alias("frames")
+        )
+        .filter(F.size("frames") > 1)
     )
+    arr = F.col("frames")
     bits = F.transform(
         F.sequence(F.lit(1), F.size(arr) - 1),
         lambda i: F.when(
@@ -228,8 +241,8 @@ def audio_delta_fingerprint(
             F.lit("1"),
         ).otherwise(F.lit("0")),
     )
-    return fe.groupBy("doc_id").agg(
-        F.array_join(bits, "").alias("fingerprint")
+    return frames.select(
+        "doc_id", F.array_join(bits, "").alias("fingerprint")
     )
 
 

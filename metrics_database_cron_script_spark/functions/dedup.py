@@ -147,7 +147,7 @@ def word_shingles(docs: DataFrame, n: int = 3, hashed: bool = True) -> DataFrame
     return shingled.distinct()
 
 
-def quarantine_empty_shingle_docs(docs: DataFrame, n: int = 3):
+def quarantine_empty_shingle_docs(docs: DataFrame):
     """Expectations-style routing of degenerate TEXT signatures (round-9
     verdict item 6, the word_shingles twin of
     multimodal.quarantine_degenerate_hashes): a doc with no tokens
@@ -156,8 +156,10 @@ def quarantine_empty_shingle_docs(docs: DataFrame, n: int = 3):
     pure candidate noise. Returns `Validated(good, quarantined)`; `good`
     feeds word_shingles/minhash, `quarantined` carries the violated-rule
     tag. The rule mirrors word_shingles' own boundary exactly: shingles
-    exist iff the token array is non-empty (short docs below `n` tokens
-    still emit one truncated shingle — they stay in `good`)."""
+    exist iff the token array is non-empty — deliberately INDEPENDENT of
+    shingle width n (short docs below n tokens still emit one truncated
+    shingle, so they stay in `good`), which is why this takes no n
+    parameter."""
     from metrics_database_cron_script_spark.operators.expectations import validate
 
     return validate(

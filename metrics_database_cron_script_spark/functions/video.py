@@ -301,13 +301,22 @@ def video_frame_neardup_pairs(
             "doc_a",
             "doc_b",
             "shared",
-            F.round(
+            (
                 F.col("shared")
-                / (F.col("na") + F.col("nb") - F.col("shared")),
-                6,
-            ).alias("jaccard"),
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("_jaccard_raw"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # Filter on the UNROUNDED ratio — the same boundary the SQL
+        # oracle uses — then round only in the projected column. Filtering
+        # on the rounded value would keep pairs whose true jaccard lies in
+        # [threshold - 5e-7, threshold) that the oracle drops.
+        .filter(F.col("_jaccard_raw") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(F.col("_jaccard_raw"), 6).alias("jaccard"),
+        )
     )
 
 

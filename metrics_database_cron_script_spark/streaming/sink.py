@@ -222,6 +222,21 @@ def stream_rollup_maintenance(
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         snap_full = read_or_empty(spark, state_path, schema)
+        # Money-mode guard: merge_daily_rollups adopts the SNAPSHOT's
+        # sum_value type (reference_ops.merge_daily_rollups), so merging
+        # decimal deltas into a pre-existing double snapshot would silently
+        # cast them to double and void the documented exactness guarantee.
+        # Fail fast with a migration hint instead.
+        snap_type = snap_full.schema["sum_value"].dataType.simpleString()
+        if snap_type != sum_type:
+            raise ValueError(
+                f"rollup state at {state_path} stores sum_value as "
+                f"{snap_type} but money={money} requires {sum_type} — "
+                "merging would adopt the snapshot's type and silently lose "
+                f"{'decimal exactness' if money else 'the double layout'}. "
+                "Migrate the snapshot (cast sum_value and atomic_overwrite) "
+                "or rerun with the matching money mode."
+            )
         head = snap_full.agg(
             F.max("epoch").alias("e"), F.max("lineage").alias("l")
         ).collect()[0]

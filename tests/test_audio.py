@@ -173,3 +173,29 @@ def test_fingerprint_dedup_groups_volume_scaled_copies_exact_cannot(spark):
     assert all(r["n_docs"] == 3 and r["rep_doc"] % 3 == 0 for r in fp_groups)
     # exact dedup sees 30 distinct sample digests — zero grouping
     assert wav_exact_dedup(blobs).count() == 30
+
+
+def test_delta_fingerprint_drops_docs_with_fewer_than_two_frames(spark):
+    """Round 10 (ADVICE): a delta fingerprint needs a predecessor frame, so
+    docs with 0 or 1 energy frames must emit NO row — matching the SQL
+    oracle's `prev IS NOT NULL` boundary. Without the size guard, Spark's
+    sequence(1, 0) auto-steps DOWN to [1, 0] and fabricates a spurious '00'
+    fingerprint for the single-frame doc."""
+    from metrics_database_cron_script_spark.functions.audio import (
+        audio_delta_fingerprint,
+    )
+
+    blobs = spark.createDataFrame(
+        [
+            (1, encode_wav(_pcm(100, 1, seed=1))),  # 0 frames (< frame size)
+            (2, encode_wav(_pcm(128, 1, seed=2))),  # exactly 1 frame
+            (3, encode_wav(_pcm(300, 1, seed=3))),  # 3 frames -> 2 deltas
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r["fingerprint"]
+        for r in audio_delta_fingerprint(blobs, frame=128, hop=64).collect()
+    }
+    assert set(rows) == {3}
+    assert len(rows[3]) == 2 and set(rows[3]) <= {"0", "1"}

@@ -281,3 +281,28 @@ def test_stream_to_idempotent_sink_empty_stream_returns_zero(spark, tmp_path):
     )
     assert n == 0
     assert not os.path.exists(sink)
+
+
+def test_stream_rollup_money_mode_mismatch_refuses(spark, tmp_path):
+    """Round 10 (ADVICE): merging decimal deltas into a pre-existing
+    DOUBLE-typed snapshot would adopt the snapshot's type (merge_daily_rollups
+    keeps the snapshot's sum_value dtype) and silently void the money-mode
+    exactness guarantee — the run must fail fast with a migration hint, in
+    BOTH directions."""
+    import pytest
+
+    from metrics_database_cron_script_spark.streaming.sink import (
+        stream_rollup_maintenance,
+    )
+
+    state = str(tmp_path / "rollup.parquet")
+    stream_rollup_maintenance(
+        spark, SF_SMOKE, state, str(tmp_path / "ckpt1"), query_name="t_money1"
+    )  # builds a double-typed snapshot
+
+    with pytest.raises(Exception) as ei:
+        stream_rollup_maintenance(
+            spark, SF_SMOKE, state, str(tmp_path / "ckpt2"),
+            query_name="t_money2", money=True,
+        )
+    assert "sum_value" in str(ei.value) and "money" in str(ei.value)

@@ -200,3 +200,23 @@ def test_frame_neardup_finds_all_planted_pairs_no_cross_stem(spark):
     # exact dedup cannot group them: each variant's retouched frame makes
     # every one of the 24 videos a distinct content fingerprint
     assert video_exact_dedup(blobs).count() == 24
+
+
+def test_neardup_threshold_filters_on_unrounded_jaccard(spark):
+    """Round 10 (ADVICE): the threshold must compare the UNROUNDED ratio —
+    the same boundary the SQL oracle uses. A pair with true jaccard 2/3
+    (0.66666…) rounds to 0.666667; at threshold 0.6666668 the rounded value
+    passes but the true ratio fails, so the pair must be DROPPED. At a
+    threshold below the true ratio it is kept with the rounded projection."""
+    from metrics_database_cron_script_spark.functions.video import (
+        video_frame_neardup_pairs,
+    )
+
+    f = _frames(4, 4, 3, seed=11)  # three distinct frames
+    blobs = spark.createDataFrame(
+        [(1, encode_avi(f[:2])), (2, encode_avi(f))],  # shared=2, union=3
+        "doc_id long, payload binary",
+    )
+    assert video_frame_neardup_pairs(blobs, threshold=0.6666668).count() == 0
+    kept = video_frame_neardup_pairs(blobs, threshold=0.6).collect()
+    assert len(kept) == 1 and kept[0]["jaccard"] == 0.666667
