@@ -123,7 +123,10 @@ def first_touch(events: DataFrame) -> DataFrame:
 
 
 def aum_routing(
-    events: DataFrame, watermark: str = WATERMARK, money: str = "double"
+    events: DataFrame,
+    watermark: str = WATERMARK,
+    money: str = "double",
+    whale_obs=None,
 ) -> DataFrame:
     """P5: the nominations/AUM routing matrix (updatescript.py:154-218),
     loop-carried state rewritten as window functions (SURVEY.md §8.P5).
@@ -152,7 +155,24 @@ def aum_routing(
     scale 17 (precision cap), silently shaving the 18th fractional digit;
     (28,18) operands leave headroom so every delta keeps scale 18 exactly
     — and DuckDB's matching cast then produces bit-identical doubles.
-    """
+
+    `whale_obs` (optional pyspark Observation): rides the per-user
+    aggregate and records ``max_user_batch`` — the largest per-user
+    in-batch list this run materialized — plus ``n_users``. The fused
+    shape holds ONE user's batch rows in one aggregation buffer, so a
+    skewed "whale" key is the plan's memory hazard. Measured (round 10,
+    single-task heap poll around the whale stage, GC'd baseline): a
+    1 M-event whale drives ≤ 0.8 GB of JVM heap (~840 B/event upper
+    bound — object-backed list entries plus the explode pass; the
+    map-side shuffle spill of the same list is 4.8 B/event lz4'd), and
+    the output is value-correct (tests/test_routing_property.py::
+    test_whale_key_fused_routing_correct_and_observed). Alert on
+    max_user_batch ≳ 5 M (≈4 GB buffer at the measured rate): above
+    that, route the whale user_ids through the unfused two-pass shape
+    (per-user state aggregate joined back to the batch — the pre-round-9
+    plan, still expressible with first_touch()+join) and union the
+    results; below it, the fused single-scan plan wins on every
+    measurement."""
     if money not in ("double", "decimal"):
         raise ValueError(f"money mode must be 'double' or 'decimal', got {money!r}")
     tx = tx_view(events)
@@ -195,6 +215,12 @@ def aum_routing(
             ).alias("__batch"),
         )
     )
+    if whale_obs is not None:
+        per_user = per_user.observe(
+            whale_obs,
+            F.max(F.size("__batch")).alias("max_user_batch"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
     b = F.col("b")
     flagged = (
         per_user.select("seen_pre", "__first", F.explode("__batch").alias("b"))

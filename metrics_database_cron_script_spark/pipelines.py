@@ -13,7 +13,9 @@ Differences from the reference, by design (SURVEY.md §3/§7):
 
 State layout under `state_dir`: `prices.parquet`, `tx_enriched.parquet`,
 `stats.parquet`, `sink_nominations.parquet`, `sink_amountstaked.parquet`,
-`sink_aum.parquet`, `daily_rollup.parquet` (incrementally merged, P6),
+`sink_aum.parquet`, `seen_users.parquet` (first-touch ledger: user_id +
+first_ts, watermark-fenced on read), `daily_rollup.parquet`
+(incrementally merged, P6),
 `phash_chunks.parquet` + `phash_hashes.parquet` + `phash_edges.parquet`
 (incremental image near-dup state, P7), `watermark.parquet`.
 """
@@ -94,11 +96,16 @@ def update_tx_enriched(
                 "without a price"
             )
 
+    # Frontier fence (round 10): the batch is watermark-scanned over an
+    # immutable source, so a sink row can only collide with a batch
+    # event_id if its own ts > watermark — the anti-join needs the
+    # crash-overlap window, not O(sink history). See idempotent_append.
     return ST.idempotent_append(
         enriched,
         _sink(state_dir, "tx_enriched"),
         key="event_id",
         pre_publish=_i3_gate,
+        fence=F.col("ts") > F.lit(watermark),
     )
 
 
@@ -128,10 +135,12 @@ def update_routing(
 ) -> dict[str, int]:
     """P5: routing matrix → three idempotent sink appends
     (updatescript.py:154-218). First-touch is computed against the
-    watermark-fenced successful-tx history of the immutable source (plus
-    the intra-batch window) — equivalent to the reference's persisted-sink
-    probe under the commit protocol, and replay-deterministic where the
-    sink probe is not (see the seen_pre comment below)."""
+    persisted `seen_users` ledger fenced by the watermark (plus the
+    intra-batch window) — equivalent to the reference's persisted-sink
+    probe under the commit protocol, replay-deterministic where the sink
+    probe is not, and O(users), not O(event history), per run (see the
+    seen_ledger comment below). All four appends are frontier-fenced: no
+    step scans sink history on a healthy run."""
     tx = R.tx_view(events)
     batch = tx.filter((F.col("ts") > F.lit(watermark)) & F.col("successful"))
     aum_path = _sink(state_dir, "sink_aum")
@@ -140,17 +149,30 @@ def update_routing(
     # watermark commit changes the regenerated row SET on replay (the
     # half-published batch marks its own users seen, so the replay emits
     # different volumes that the event_id anti-join cannot reconcile).
-    # Instead the seen set comes from the IMMUTABLE source fenced by the
-    # watermark: by induction every user with a successful tx at
-    # ts <= watermark has an AUM row (their first touch), so this equals
-    # the reference's persisted-sink probe (updatescript.py:175) whenever
-    # sink and watermark are consistent — and unlike it, it gives the
-    # same answer across crash replays.
-    seen_pre = (
-        tx.filter((F.col("ts") <= F.lit(watermark)) & F.col("successful"))
-        .select("user_id")
-        .distinct()
-    )
+    # Round 10: the seen set lives in a persisted first-touch LEDGER
+    # `seen_users.parquet` (user_id, first_ts), read FENCED by
+    # first_ts <= watermark — rows published by a crashed run carry
+    # first_ts > watermark and are excluded, so the filtered ledger equals
+    # the source-derived set (every user with a successful tx at
+    # ts <= watermark, by induction over committed runs) and gives the
+    # same answer across crash replays, WITHOUT the O(history) distinct
+    # the source derivation paid on every run. A missing ledger
+    # (bootstrap, or state from before the ledger existed) is rebuilt from
+    # the immutable source once — the reference's persisted-sink probe
+    # (updatescript.py:175) made crash-safe.
+    seen_path = _sink(state_dir, "seen_users")
+    seen_bootstrap = not os.path.exists(seen_path)
+    if seen_bootstrap:
+        seen_ledger = (
+            tx.filter((F.col("ts") <= F.lit(watermark)) & F.col("successful"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("first_ts"))
+        )
+    else:
+        seen_ledger = spark.read.parquet(seen_path).filter(
+            F.col("first_ts") <= F.lit(watermark)
+        )
+    seen_pre = seen_ledger.select("user_id")
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = (
@@ -175,18 +197,45 @@ def update_routing(
         F.when(F.col("first_touch"), F.col("stake")).otherwise(F.col("delta")).alias("volume"),
     )
     by_chain = ["chain"]  # SURVEY §7.0 fact layout → partition pruning
+    # Frontier fence (round 10): every batch row has ts > watermark (R2
+    # scan over the immutable source), so only sink rows in the
+    # crash-overlap window (ts > watermark — published by a run that died
+    # before its watermark commit) can collide with a batch key. The fence
+    # turns each sink's anti-join build side from O(full sink history)
+    # into a metadata-pruned scan that is EMPTY on every healthy run —
+    # the last O(history) term in the daily path.
+    fence = F.col("ts") > F.lit(watermark)
     try:
-        return {
+        out = {
             "nominations": ST.idempotent_append(
                 nominations, _sink(state_dir, "sink_nominations"), key="event_id",
-                partition_by=by_chain,
+                partition_by=by_chain, fence=fence,
             ),
             "amountstaked": ST.idempotent_append(
                 amountstaked, _sink(state_dir, "sink_amountstaked"), key="event_id",
-                partition_by=by_chain,
+                partition_by=by_chain, fence=fence,
             ),
-            "aum": ST.idempotent_append(aum, aum_path, key="event_id", partition_by=by_chain),
+            "aum": ST.idempotent_append(
+                aum, aum_path, key="event_id", partition_by=by_chain, fence=fence,
+            ),
         }
+        # Ledger maintenance: this batch's first-touch users join the seen
+        # set with their true global first_ts (first_touch ⇒ no successful
+        # tx ≤ watermark, so the batch minimum IS the global minimum). On
+        # bootstrap the derived history ledger rides the same append (a
+        # missing sink appends everything). The first_ts fence keeps a
+        # crash-overlap replay from scanning ledger history, mirroring the
+        # event sinks.
+        new_seen = flagged.filter(F.col("first_touch")).select(
+            "user_id", F.col("ts").alias("first_ts")
+        )
+        if seen_bootstrap:
+            new_seen = seen_ledger.unionByName(new_seen)
+        ST.idempotent_append(
+            new_seen, seen_path, key="user_id",
+            fence=F.col("first_ts") > F.lit(watermark),
+        )
+        return out
     finally:
         flagged.unpersist()
 

@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # INT64 micros, not the INT96 legacy default: INT96 parquet carries
+        # NO min/max column statistics, so a pushed timestamp predicate
+        # (e.g. the append-sink frontier fence, state.idempotent_append)
+        # can never skip a row group. Micros timestamps make watermark
+        # filters metadata-prunable — on a 100 TB sink the fence scan
+        # touches only the row groups overlapping the crash window.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

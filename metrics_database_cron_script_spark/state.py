@@ -161,6 +161,7 @@ def idempotent_append(
     key: str,
     partition_by: list[str] | None = None,
     pre_publish=None,
+    fence=None,
 ) -> int:
     """R14 as a set operation: append only rows whose `key` is absent from
     the sink. Returns the number of rows appended. The existing-keys side is
@@ -185,7 +186,24 @@ def idempotent_append(
     - a crash mid-rename leaves some fresh keyed rows visible; the
       replay's anti-join skips exactly those, so batch idempotency and
       exactly-once row content are preserved (same guarantee, smaller
-      window than the previous in-place append)."""
+      window than the previous in-place append).
+
+    `fence` (optional Column predicate over SINK columns) bounds the
+    anti-join's existing-keys side to the rows that could possibly collide
+    with this batch — the frontier fence. For a watermark-scanned batch
+    (R2, updatescript.py:59: every batch row has ts > watermark over an
+    IMMUTABLE source) a sink row can only share a key with a batch row if
+    its own ts > watermark, i.e. it was published by a run that crashed
+    before committing the watermark. Passing
+    ``fence=(F.col("ts") > F.lit(watermark))`` therefore shrinks the
+    existing-side scan from O(sink history) to the crash-overlap window —
+    empty on every healthy run — while preserving exactly the same append
+    set. The predicate reaches the parquet scan (PushedFilters), and with
+    stats-bearing timestamps (session.py pins TIMESTAMP_MICROS) prunes
+    whole row groups: on a 100 TB sink the fence reads metadata, not
+    history. CORRECTNESS CONTRACT: the caller must guarantee that any sink
+    row NOT satisfying `fence` cannot share `key` with any batch row; the
+    watermark contract above is the canonical instance."""
     spark = new.sparkSession
     # Reap stage dirs stranded by a previous crashed run (the finally
     # below can't run under SIGKILL). Single-writer model (module
@@ -197,8 +215,10 @@ def idempotent_append(
             if n.startswith(f"{base}.stage-"):
                 shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
     if _exists(path):
-        existing = spark.read.parquet(path).select(key)
-        fresh = new.join(existing, key, "left_anti")
+        existing = spark.read.parquet(path)
+        if fence is not None:
+            existing = existing.filter(fence)
+        fresh = new.join(existing.select(key), key, "left_anti")
     else:
         fresh = new
     obs = Observation()

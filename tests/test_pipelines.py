@@ -394,3 +394,62 @@ def test_run_batch_replay_noop_under_aqe(spark, state_dir, monkeypatch):
     except Exception:
         after = None
     assert after == before, "excludedRules conf leaked out of the append"
+
+
+def test_routing_seen_ledger_incremental_across_runs(spark, tmp_path):
+    """Round 10: the persisted first-touch ledger must make run N+1 flag
+    first_touch exactly like the old O(history) source derivation — a user
+    whose first successful tx landed in run N is NOT first-touch in run
+    N+1 — and the ledger itself must equal the source-derived seen set
+    after each committed run."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.pipelines import update_routing
+    from metrics_database_cron_script_spark.operators.reference_ops import tx_view
+    from metrics_database_cron_script_spark.sources import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    wm1 = datetime.datetime(2024, 1, 10)
+    wm2 = datetime.datetime(2024, 1, 20)
+    state = str(tmp_path / "state")
+
+    update_routing(spark, events, state, wm1)   # bootstrap + batch (wm1, ...]
+    # sabotage-resistant check: ledger == source-derived first touches
+    ledger = spark.read.parquet(f"{state}/seen_users.parquet")
+    want = (
+        tx_view(events)
+        .filter(F.col("successful"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    assert sorted(map(tuple, ledger.collect())) == sorted(map(tuple, want.collect()))
+
+    # now rewind to a mid-state and advance: run over (wm1, wm2], then
+    # (wm2, ...] — the second run must flag NO user already seen <= wm2
+    state2 = str(tmp_path / "state2")
+    early = events.filter(F.col("ts") <= F.lit(wm2))
+    update_routing(spark, early, state2, wm1)
+    r2 = update_routing(spark, events, state2, wm2)
+    aum2 = spark.read.parquet(f"{state2}/sink_aum.parquet")
+    # every user first-touched in run 1 (first_ts <= wm2) appears exactly
+    # once as a stake-volume first-touch row across BOTH runs combined:
+    # re-flagging in run 2 would produce a second row with a new event_id
+    first_rows = (
+        aum2.join(
+            tx_view(events).filter(F.col("successful"))
+            .groupBy("user_id").agg(F.min("event_id").alias("first_eid")),
+            "user_id",
+        )
+        .filter(F.col("event_id") == F.col("first_eid"))
+    )
+    per_user = first_rows.groupBy("user_id").count().filter("count > 1")
+    assert per_user.count() == 0
+    assert r2["aum"] > 0
+    # and the two-phase sink equals the single-run-from-scratch sink
+    clean = str(tmp_path / "clean_all")
+    update_routing(spark, events, clean, wm1)
+    a = sorted(map(tuple, spark.read.parquet(f"{clean}/sink_aum.parquet").collect()))
+    b = sorted(map(tuple, aum2.collect()))
+    assert a == b

@@ -103,3 +103,66 @@ def test_window_rewrite_matches_sequential_simulation(spark, raw_rows):
         for row in aum_routing(events, watermark="2024-01-15 00:00:00").collect()
     }
     assert got == simulate_routing(rows)
+
+
+def test_whale_key_fused_routing_correct_and_observed(spark):
+    """Round 10 (verdict item 3): the fused single-scan aum_routing holds
+    ONE user's entire batch in one aggregation buffer, so a skewed whale
+    key is the plan's memory hazard. Pin (a) output correctness for a
+    1 M-event whale (exact row counts, exact volume sums, exactly one
+    first-touch row on the (ts, event_id) argmin), and (b) the whale
+    observability contract: whale_obs reports max_user_batch = 1 M so a
+    driver can alert before the buffer grows toward executor memory."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.reference_ops import (
+        aum_routing,
+    )
+
+    n = 1_000_000
+    # whale: user 7, 1M events after the watermark, delta = 1.5 on every
+    # row (value 2.0, bonded 0.5); two normal users for contrast
+    base = datetime.datetime(2024, 1, 16)
+    whale = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.lit(base) + F.make_interval(secs=F.col("id"))).alias("ts"),
+        F.lit(7).alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.lit(2.0).alias("value"),
+        F.lit('{"k": 0.5}').alias("props"),
+    )
+    normals = spark.range(n, n + 2).select(
+        F.col("id").alias("event_id"),
+        (F.lit(base) + F.make_interval(secs=F.col("id") - n)).alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.lit(3.0).alias("value"),
+        F.lit('{"k": 3.0}').alias("props"),
+    )
+    events = whale.unionByName(normals)
+
+    obs = Observation()
+    out = aum_routing(
+        events, watermark="2024-01-15 00:00:00", whale_obs=obs
+    )
+    agg = {
+        (r["sink"]): (r["n"], r["vol"])
+        for r in out.groupBy("sink")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("volume"), 6).alias("vol"))
+        .collect()
+    }
+    # whale: every odd event_id -> kusama nominations(1.5); every even ->
+    # polkadot amountstaked(1.5); every row -> aum(2.0 first, 1.5 after).
+    # normals: delta == 0 -> nominations(3.0) + first-touch aum(3.0) each.
+    assert agg["nominations"] == (n // 2 + 2, round(1.5 * (n // 2) + 6.0, 6))
+    assert agg["amountstaked"] == (n // 2, round(1.5 * (n // 2), 6))
+    assert agg["aum"] == (n + 2, round(1.5 * (n - 1) + 2.0 + 6.0, 6))
+    # exactly one whale first-touch row, on the (ts, event_id) argmin
+    firsts = out.filter(
+        (F.col("sink") == "aum") & (F.col("volume") == 2.0)
+    ).collect()
+    assert len(firsts) == 1 and firsts[0]["event_id"] == 0
+    got = obs.get
+    assert got["max_user_batch"] == n
+    assert got["n_users"] == 3

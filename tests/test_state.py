@@ -187,3 +187,48 @@ def test_pre_publish_abort_leaves_sink_untouched(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
     # no stage garbage next to the sink either
     assert [n for n in os.listdir(str(tmp_path)) if ".stage-" in n] == []
+
+
+def test_idempotent_append_fence_bounds_existing_scan(spark, tmp_path):
+    """Round 10: the frontier fence must (a) preserve exactly-once append
+    semantics across a full replay AND a crash-overlap partial publish, and
+    (b) reach the sink scan as a pushed parquet filter, so the existing-keys
+    side is the crash window — not O(sink history)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.state import idempotent_append
+
+    sink = str(tmp_path / "fenced.parquet")
+    wm = datetime.datetime(2024, 1, 10)
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (
+                F.lit(datetime.datetime(2024, 1, 1))
+                + F.make_interval(days=F.col("id"))
+            ).alias("ts"),
+        )
+
+    # history: ts <= watermark (ids 0..9 → Jan 2..11? keep strictly <= wm)
+    hist = mk(0, 9)  # Jan 1+0d .. Jan 9 → all <= Jan 10
+    assert idempotent_append(hist, sink, key="event_id") == 9
+
+    fence = F.col("ts") > F.lit(wm)
+    batch = mk(10, 15)  # Jan 11..15, all > wm
+    # crash-overlap: pre-publish PART of the batch (simulates mid-rename)
+    assert idempotent_append(mk(10, 12), sink, key="event_id", fence=fence) == 2
+    # replay of the full batch appends exactly the missing 3 rows
+    assert idempotent_append(batch, sink, key="event_id", fence=fence) == 3
+    # full replay is a no-op
+    assert idempotent_append(batch, sink, key="event_id", fence=fence) == 0
+    total = spark.read.parquet(sink).count()
+    assert total == 14
+    assert spark.read.parquet(sink).select("event_id").distinct().count() == 14
+
+    # plan check: the fence is pushed to the sink's parquet scan
+    existing = spark.read.parquet(sink).filter(fence)
+    plan = existing._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(ts" in plan
