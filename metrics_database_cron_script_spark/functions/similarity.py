@@ -289,7 +289,9 @@ def ivf_probe_matmul(
         spark = queries.sparkSession
         return spark.createDataFrame([], "q_id long, vec_id long, cos double")
     d2 = ((q_mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    probe = np.argsort(d2, axis=1)[:, :n_probe]
+    # stable sort: an exact distance tie routes to the LOWER cell index —
+    # the same (dist, cell) order the SQL oracle's QUALIFY uses
+    probe = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
     cell_to_q: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
         for c in probe[qi]:
@@ -436,6 +438,58 @@ def cosine_near_dup_pairs(corpus: DataFrame, threshold: float = 0.3) -> DataFram
         "vec_b",
         F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
     ).filter(F.col("cos") >= threshold)
+
+
+def ivf_fixed_centers(
+    n_cells: int = 16, dim: int = 64, scale: float = 0.25
+) -> list[list[float]]:
+    """Deterministic sha256-derived IVF coarse centers — the quantizer twin
+    of pq_fixed_codebooks (round 10, verdict item 5): center component
+    (c, d) is uniform in [-scale/2, scale/2), replayable across runs,
+    engines and clusters, which makes the FULL IVF pipeline (assign →
+    probe-cell routing → per-cell exact re-rank) SQL-expressible and
+    therefore oracle-checkable. The MLlib-KMeans quantizer (ivf_fit) gives
+    data-adaptive cells and stays the production default; the fixed
+    centers trade recall points for a bit-exact external contract."""
+    out = []
+    for c in range(n_cells):
+        cent = []
+        for d in range(dim):
+            h = hashlib.sha256(f"ivfcenter:{c}:{d}".encode()).digest()
+            cent.append((int.from_bytes(h[:4], "big") / 2**32 - 0.5) * scale)
+        out.append(cent)
+    return out
+
+
+def ivf_assign_fixed(
+    corpus: DataFrame, centers: list[list[float]]
+) -> DataFrame:
+    """Assign every corpus row to its nearest fixed center as a PURE
+    EXPRESSION (no MLlib, no UDF): squared distance per center via the
+    left-associative F.aggregate fold — the exact association a SQL
+    `t1 + t2 + ...` expansion reproduces, so an oracle replays the
+    assignment bitwise — ties to the LOWER cell index (array_position
+    returns the first minimum). Returns (vec_id, embedding, cell), the
+    same contract as ivf_fit's assignment half."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(x) for x in cent]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for cent in centers
+        ]
+    )
+    return corpus.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+    )
 
 
 def ivf_fit(
@@ -788,6 +842,107 @@ def pca_top_component(corpus: DataFrame) -> DataFrame:
     return corpus.select(
         "vec_id", F.round(centered_dot, 6).alias("pc1_score")
     )
+
+
+def pca_power_start(dim: int = 64) -> list[float]:
+    """Deterministic sha256-derived power-iteration start vector (round 10,
+    verdict item 5 — the PCA twin of pq_fixed_codebooks / ivf_fixed_centers):
+    component d uniform in [-0.5, 0.5), replayable across runs, engines and
+    clusters."""
+    out = []
+    for d in range(dim):
+        h = hashlib.sha256(f"pcastart:{d}".encode()).digest()
+        out.append(int.from_bytes(h[:4], "big") / 2**32 - 0.5)
+    return out
+
+
+def _round6_scalar(x: float) -> float:
+    """HALF_UP 6-dp rounding of a python float — the same convention as
+    Spark's F.round and the numpy _round6 used by the matmul scorers."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def pca_scores_power(corpus: DataFrame, n_iter: int = 64) -> DataFrame:
+    """First-principal-component score per embedding via FIXED-START,
+    PINNED-ITERATION power iteration on the 6-dp-ROUNDED moment matrix —
+    the ORACLE-CHECKABLE variant of pca_top_component (round 10): every
+    data-dependent input to the iteration (mu = mean, m2 = E[x xᵀ], both
+    elementwise HALF_UP-rounded at 6 dp) is identical across engines
+    provided no moment lands within the cross-engine summation-order
+    wobble (~1e-12) of a rounding boundary — certified per fixture by
+    tests/test_pca.py — after which the whole pipeline (matvec w = m2·v −
+    mu·(mu·v), normalize, n_iter (default 64 — the fixture embeddings are near-isotropic, eigengap ratio ~0.93, so 8 iterations leave a 0.57 residual) iterations, sign fixed by the first
+    |component| > 1e-6, per-row centered projection) is deterministic
+    IEEE double arithmetic with LEFT-ASSOCIATIVE folds on both sides, so
+    DuckDB replays it bitwise. The eigensolve variant (pca_top_component,
+    exact eigenvector, no rounding of the covariance) stays the library
+    production path; the rounded moments perturb the component by
+    O(5e-7 / eigengap) — differential-tested against numpy in
+    tests/test_pca.py. Same moment aggregation as pca_top_component: one
+    fixed-size partial per Arrow batch, no d²-wide shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    head = corpus.select("embedding").first()
+    if head is None:
+        raise ValueError("pca_scores_power: empty corpus")
+    d_dim = len(head[0])
+
+    def _moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0).tolist()],
+                    "ss": [(m.T @ m).reshape(-1).tolist()],
+                }
+            )
+
+    parts = corpus.select("embedding").mapInPandas(
+        _moments, schema="n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([p["s"] for p in parts], axis=0)
+    ss = np.sum([p["ss"] for p in parts], axis=0)
+    mu = [_round6_scalar(float(x) / n) for x in s]
+    m2 = [_round6_scalar(float(x) / n) for x in ss]
+
+    v = pca_power_start(d_dim)
+    for _ in range(n_iter):
+        dm = 0.0
+        for j in range(d_dim):
+            dm = dm + mu[j] * v[j]
+        w = []
+        for i in range(d_dim):
+            acc = 0.0
+            for j in range(d_dim):
+                acc = acc + m2[i * d_dim + j] * v[j]
+            w.append(acc - mu[i] * dm)
+        norm = 0.0
+        for x in w:
+            norm = norm + x * x
+        norm = norm**0.5
+        v = [x / norm for x in w]
+    first = next((x for x in v if abs(x) > 1e-6), 1.0)
+    if first < 0:
+        v = [-x for x in v]
+
+    mu_arr = F.array(*[F.lit(x) for x in mu])
+    pc_arr = F.array(*[F.lit(x) for x in v])
+    centered = F.zip_with(
+        F.col("embedding"), mu_arr, lambda a, m: a.cast("double") - m
+    )
+    score = F.aggregate(
+        F.zip_with(centered, pc_arr, lambda d, p: d * p),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return corpus.select("vec_id", F.round(score, 6).alias("pc1_score"))
 
 
 def semdedup(corpus: DataFrame, threshold: float = 0.3) -> DataFrame:

@@ -17,7 +17,9 @@ State layout under `state_dir`: `prices.parquet`, `tx_enriched.parquet`,
 first_ts, watermark-fenced on read), `daily_rollup.parquet`
 (incrementally merged, P6),
 `phash_chunks.parquet` + `phash_hashes.parquet` + `phash_edges.parquet`
-(incremental image near-dup state, P7), `watermark.parquet`.
+(incremental image near-dup state, P7), `ivf_index.parquet` +
+`ivf_frontier.parquet` (cell-partitioned ANN index + its explicit
+frontier marker, P8), `watermark.parquet`.
 """
 
 from __future__ import annotations
@@ -362,6 +364,75 @@ def update_image_dedup(
     return {"batch_docs": n_batch, "hashes_appended": appended}
 
 
+def update_embedding_index(
+    spark: SparkSession, sf_dir: str, state_dir: str, n_cells: int = 16
+) -> dict[str, object]:
+    """P8 (engine extension, round 10): incremental ANN-index maintenance
+    in the daily driver — the embeddings twin of P7's image state. The
+    cell-partitioned IVF index (similarity.ivf_index_write layout: one
+    directory per coarse cell, centers in the _ivf_centers.json sidecar)
+    is bootstrapped once from the full corpus, then each day's new
+    vectors are assigned to the FROZEN coarse centers (ivf_assign_fixed
+    over the sidecar centers — the standard IVF maintenance contract;
+    re-fitting would silently re-shape every existing cell, so a re-fit
+    is an explicit rebuild, not a daily side effect) and appended to
+    their cell directories.
+
+    Crash safety differs from P7 deliberately: a derived frontier
+    (max key IN the state) can advance past unpublished rows when an
+    append crashes mid-publish, so P8 keeps an EXPLICIT frontier marker
+    (`ivf_frontier.parquet`, watermark-style) committed AFTER the append.
+    A crash between append and marker commit leaves index rows above the
+    frontier; the replay's anti-join is fenced on exactly that window
+    (`vec_id > frontier` — the idempotent_append fence contract), so the
+    replay appends only the missing rows and never rescans the index.
+    Probes (similarity.ivf_index_probe) read only probed cell dirs —
+    static partition pruning; equivalence with a fresh same-centers probe
+    is gated in tests/test_pipelines.py. Single-writer like all P1-P7
+    state; concurrent writers should wrap the index in
+    versioned.VersionedSnapshot. Skips when the source has no embeddings
+    table."""
+    import json as _json
+
+    from metrics_database_cron_script_spark.functions import similarity as S
+    from metrics_database_cron_script_spark.sources.tables import table_path
+
+    if not os.path.exists(table_path(sf_dir, "embeddings")):
+        return {"skipped": "no embeddings table"}
+    emb = load_table(spark, sf_dir, "embeddings")
+    index_p = _sink(state_dir, "ivf_index")
+    frontier_p = _sink(state_dir, "ivf_frontier")
+
+    def _commit_frontier(hi: int) -> None:
+        ST.atomic_overwrite(
+            spark.createDataFrame([(int(hi),)], "frontier long"), frontier_p
+        )
+
+    if not os.path.isdir(index_p):
+        S.ivf_index_write(emb, index_p, n_cells=n_cells)
+        hi = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+        n = spark.read.parquet(index_p).count()
+        _commit_frontier(hi)  # frontier commits LAST
+        return {"bootstrap_vectors": n, "batch_vectors": 0}
+
+    frontier = spark.read.parquet(frontier_p).collect()[0]["frontier"]
+    batch = emb.filter(F.col("vec_id") > F.lit(frontier))
+    with open(os.path.join(index_p, "_ivf_centers.json")) as fh:
+        centers = _json.load(fh)["centers"]
+    assigned = S.ivf_assign_fixed(batch, centers)
+    appended = ST.idempotent_append(
+        assigned,
+        index_p,
+        key="vec_id",
+        partition_by=["cell"],
+        fence=F.col("vec_id") > F.lit(frontier),
+    )
+    row = batch.agg(F.max("vec_id").alias("m")).collect()[0]
+    if row["m"] is not None:
+        _commit_frontier(row["m"])  # AFTER the append (replay-safe order)
+    return {"batch_vectors": appended, "frontier_in": frontier}
+
+
 def run_batch(
     spark: SparkSession,
     sf_dir: str,
@@ -419,6 +490,9 @@ def run_batch(
     )
     report["image_dedup"] = timed(
         "p7_image_dedup", lambda: update_image_dedup(spark, sf_dir, state_dir)
+    )
+    report["embed_index"] = timed(
+        "p8_embed_index", lambda: update_embedding_index(spark, sf_dir, state_dir)
     )
     timed("watermark_commit", lambda: wm_store.commit(run_ts))
     # LAST, after every sink (fixes §3 hazard)

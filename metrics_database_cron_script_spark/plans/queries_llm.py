@@ -1342,18 +1342,78 @@ def x_video_frame_neardup(spark, sf_dir):
     )
 
 
-@query("x_embed_ivf_topk", oracle=None)  # approximate → rows-only
+def _ivf_topk_oracle(n_cells: int = 16, dim: int = 64, n_probe: int = 2, k: int = 5) -> str:
+    """The FULL IVF pipeline in SQL on the fixed sha256-derived coarse
+    centers (similarity.ivf_fixed_centers) embedded as literals — the same
+    make-the-approximation-deterministic move as the PQ codebook oracle:
+    cell assignment (argmin squared distance over the literal centers,
+    ties to the lower cell = Spark's array_position / the matmul probe's
+    stable argsort), per-query probe-cell routing (n_probe nearest centers
+    by the same distance), candidate equi-join on cell, exact 6-dp cosine
+    with vec_id tie-break. Squared-distance terms expand per element in
+    the SAME left-associative order as Spark's aggregate fold; the scored
+    cosine rides list_dot_product, whose 6-dp parity with the engine's
+    scorers is proven by x_embed_cosine_topk."""
+    from metrics_database_cron_script_spark.functions.similarity import (
+        ivf_fixed_centers,
+    )
+
+    centers = ivf_fixed_centers(n_cells=n_cells, dim=dim)
+    center_rows = ",\n  ".join(
+        f"({c}, [{', '.join(repr(x) for x in cent)}])"
+        for c, cent in enumerate(centers)
+    )
+    dist = " + ".join(
+        f"(v[{d+1}] - c.cent[{d+1}])*(v[{d+1}] - c.cent[{d+1}])" for d in range(dim)
+    )
+    qdist = dist.replace("v[", "q_vec[")
+    return f"""
+WITH centers(cell, cent) AS (VALUES
+  {center_rows}
+), emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+), q AS (
+  SELECT vec_id AS q_id, v AS q_vec FROM emb WHERE vec_id < 10
+), assign AS (
+  SELECT e.vec_id, e.v, c.cell
+  FROM emb e, centers c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY {dist}, c.cell) = 1
+), qprobe AS (
+  SELECT q.q_id, q.q_vec, c.cell
+  FROM q, centers c
+  QUALIFY row_number() OVER (PARTITION BY q.q_id
+                             ORDER BY {qdist}, c.cell) <= {n_probe}
+)
+SELECT p.q_id, a.vec_id,
+       ROUND(list_dot_product(p.q_vec, a.v)
+             / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+FROM qprobe p JOIN assign a USING (cell)
+WHERE a.vec_id <> p.q_id
+QUALIFY row_number() OVER (PARTITION BY p.q_id ORDER BY cos DESC, a.vec_id) <= {k}"""
+
+
+@query("x_embed_ivf_topk", oracle=_ivf_topk_oracle())
 def x_embed_ivf_topk(spark, sf_dir):
-    """IVF ANN via the per-cell BLAS matmul probe (ivf_topk_matmul) — the
+    """IVF ANN via the per-cell BLAS matmul probe (ivf_probe_matmul) — the
     shape BENCH_ANN_SFXL.json measured 8× faster than the pair-join probe
-    at 10 M vectors (recall 0.999 at 4.4 s vs 37.7 s brute). Rows-only:
-    the MLlib KMeans quantizer is engine-private; correctness is pinned
-    instead by tests/test_dedup_quality.py — the matmul probe is
-    rank-identical to the SQL-transparent pair-join probe (ivf_topk) on
-    the same quantizer and probed cells, and that pair probe's scorer is
-    the oracled brute-force cosine contract."""
+    at 10 M vectors (recall 0.999 at 4.4 s vs 37.7 s brute). ORACLED since
+    round 10 (rows-only tail task): the registered query runs the FIXED
+    sha256-derived coarse quantizer (ivf_fixed_centers + the expression
+    assigner ivf_assign_fixed), so assignment, probe routing and scoring
+    are all literal-deterministic and DuckDB replays the pipeline end to
+    end — the PQ codebook conversion's template applied to the quantizer.
+    The MLlib-KMeans quantizer (ivf_fit/ivf_topk_matmul) remains the
+    production default in the library — data-adaptive cells give better
+    recall — equivalence-gated against the pair probe in
+    tests/test_dedup_quality.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk_matmul(emb, _queries_table(spark, sf_dir), k=5)
+    centers = S.ivf_fixed_centers()
+    assigned = S.ivf_assign_fixed(emb, centers)
+    return S.ivf_probe_matmul(assigned, _queries_table(spark, sf_dir), centers, k=5)
 
 
 def _pq_topk_oracle(m=8, codes=16, sub=8, k=5, rerank=4) -> str:
@@ -3553,12 +3613,83 @@ def x_bm25(spark, sf_dir):
     )
 
 
-@query("x_embed_pca_scores", oracle=None)  # eigensolve floats → rows-only
+def _pca_scores_oracle(dim: int = 64, n_iter: int = 64) -> str:
+    """The FULL fixed-start power-iteration PCA in SQL (round 10 — the
+    x_embed_pca_scores rows-only conversion): moments aggregated by
+    unnest-over-(i,j) (64² groups — no 4096-aggregate projection, which
+    DuckDB plans pathologically), elementwise ROUND(·,6) to pin the one
+    cross-engine nondeterminism (float summation order; boundary margins
+    certified in tests/test_pca.py), then {n_iter} matvec+normalize CTEs
+    on the literal sha256 start vector and a per-row centered projection
+    — every fold list-ordered, matching the engine's left-associative
+    aggregate exactly. CTEs are MATERIALIZED: DuckDB inlines plain CTEs,
+    which re-evaluates the chain exponentially (measured 30 s → 0.2 s at
+    sf0.001)."""
+    from metrics_database_cron_script_spark.functions.similarity import (
+        pca_power_start,
+    )
+
+    v0_lit = ", ".join(repr(x) for x in pca_power_start(dim))
+    matvec = (
+        f"list_transform(generate_series(1, {dim}), i -> "
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"j -> m.m2[(i-1)*{dim} + j] * t.v[j])) - m.mu[i] * d.dm)"
+    )
+    iters = f"it0(v) AS MATERIALIZED (SELECT CAST([{v0_lit}] AS DOUBLE[]))"
+    prev = "it0"
+    for t in range(1, n_iter + 1):
+        iters += f""",
+d{t}(dm) AS MATERIALIZED (
+  SELECT list_sum(list_transform(generate_series(1,{dim}), j -> m.mu[j] * t.v[j]))
+  FROM mom m, {prev} t),
+w{t}(w) AS MATERIALIZED (SELECT {matvec} FROM mom m, {prev} t, d{t} d),
+it{t}(v) AS MATERIALIZED (
+  SELECT list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y*y))))
+  FROM w{t})"""
+        prev = f"it{t}"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nrows AS (SELECT COUNT(*) AS n FROM emb),
+cross_terms AS (
+  SELECT (gi.i - 1) * {dim} + gj.j AS k, SUM(e.v[gi.i] * e.v[gj.j]) AS sv
+  FROM emb e,
+       generate_series(1, {dim}) AS gi(i),
+       generate_series(1, {dim}) AS gj(j)
+  GROUP BY k
+), m2l AS MATERIALIZED (
+  SELECT list(ROUND(sv / n, 6) ORDER BY k) AS m2 FROM cross_terms, nrows GROUP BY n
+), mul AS MATERIALIZED (
+  SELECT list(ROUND(sv / n, 6) ORDER BY i) AS mu FROM (
+    SELECT gi.i AS i, SUM(e.v[gi.i]) AS sv
+    FROM emb e, generate_series(1, {dim}) AS gi(i) GROUP BY gi.i
+  ), nrows GROUP BY n
+), mom AS MATERIALIZED (SELECT mul.mu, m2l.m2 FROM mul, m2l),
+{iters},
+pc(v) AS MATERIALIZED (
+  SELECT CASE WHEN list_filter(v, x -> abs(x) > 1e-6)[1] < 0
+              THEN list_transform(v, x -> -x) ELSE v END
+  FROM {prev}
+)
+SELECT e.vec_id,
+       ROUND(list_sum(list_transform(generate_series(1,{dim}),
+             j -> (e.v[j] - m.mu[j]) * p.v[j])), 6) AS pc1_score
+FROM emb e, mom m, pc p"""
+
+
+@query("x_embed_pca_scores", oracle=_pca_scores_oracle())
 def x_embed_pca_scores(spark, sf_dir):
-    """First principal component of the embedding corpus (distributed
-    moment aggregation + driver-side 64x64 eigensolve), scored per vector;
-    numpy differential in tests/test_pca.py."""
-    return S.pca_top_component(load_table(spark, sf_dir, "embeddings"))
+    """First principal component of the embedding corpus, scored per
+    vector. ORACLED since round 10 (rows-only tail task): the registered
+    query runs fixed-start pinned-iteration power iteration on the
+    6-dp-rounded moment matrix (similarity.pca_scores_power) — every
+    data-dependent quantity the iteration consumes is rounded to a
+    certified-margin grid, after which both engines execute identical
+    IEEE double arithmetic, so DuckDB replays the eigensolve-equivalent
+    end to end. The exact-eigensolve variant (pca_top_component) stays
+    the library production path; numpy differentials for both in
+    tests/test_pca.py."""
+    return S.pca_scores_power(load_table(spark, sf_dir, "embeddings"))
 
 
 @query(

@@ -493,6 +493,24 @@ def c_topk_per_group(spark, sf_dir):
     # exchange and thereby defeats the partial prune, shuffling every row;
     # ~0.2 s faster at single-file fixture scale (scan-width-bound sort) but
     # strictly worse at cluster scale, where shuffle volume dominates.
+    #
+    # Round-10 SFXL decomposition (153.6 M rows, 256 k suppkeys, 32 threads):
+    # scan floor 1.2 s; sortWithinPartitions on the same keys 10.7 s; full
+    # query ~10.4-11.2 s — the query IS the local sort, the partial prune +
+    # shuffle + final window add <1 s. Measured-and-rejected alternatives:
+    # packed single-long orderBy (cents|orderkey|linenumber in 63 bits,
+    # value-identical): interleaved A/B 9.9 vs 9.3 s — no win, the sorter is
+    # per-row machinery-bound, not record-width-bound, and prefix ties are
+    # already rare (~19 rows/suppkey/task); one-phase repartition 8.0 s —
+    # local win, rejected (shuffles the whole fact at cluster scale); numpy
+    # mapInPandas partial top-k 38 s (Arrow transfer of the full fact);
+    # threshold two-pass 14.4 s (pass 1 pays the same window). What DOES
+    # close the DuckDB gap is the table LAYOUT: lineitem clustered by
+    # l_suppkey (operators/layout.clustered_write; applied to the shared
+    # SFXL copy by bench_sfxl.ensure_clustered_lineitem) lets the window
+    # sort's TimSort collapse on presorted runs — 11.0 s → 4.8 s, at or
+    # below the DuckDB wall on the same files, with q1/q9/q21 unchanged or
+    # slightly better. The plan here stays layout-agnostic.
     return (
         li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
         .withColumn("__rn", F.row_number().over(w))

@@ -469,3 +469,67 @@ def test_ivf_probe_matmul_matches_pair_scorer(spark):
         for r in arrow_pair_topk(pairs, k=5).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ivf_fixed_centers_assignment_matches_numpy_and_oracles(spark):
+    """Round 10: the fixed sha256-derived coarse quantizer must (a) assign
+    cells exactly as an independent numpy argmin over the same literal
+    centers (ties to lower index), and (b) make the registered
+    x_embed_ivf_topk query value-match its DuckDB oracle — the full IVF
+    pipeline replayed in SQL."""
+    import numpy as np
+
+    from metrics_database_cron_script_spark.functions.similarity import (
+        ivf_assign_fixed,
+        ivf_fixed_centers,
+    )
+    from metrics_database_cron_script_spark.oracle import check_query
+    from metrics_database_cron_script_spark.sources import load_table
+
+    centers = ivf_fixed_centers()
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign_fixed(emb, centers).collect()
+    }
+    rows = emb.collect()
+    C = np.asarray(centers, dtype=np.float64)
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        d = ((v[None, :] - C) ** 2).sum(axis=1)
+        assert got[r["vec_id"]] == int(np.argmin(d))  # argmin: first min wins
+
+    res = check_query(spark, SF_SMOKE, "x_embed_ivf_topk")
+    assert res["ok"], res
+
+
+def test_ivf_fixed_recall_floor(spark):
+    """The fixed quantizer trades recall for oracle-checkability — pin the
+    floor so a regression to useless cells is caught: recall@5 vs oracled
+    brute force must stay ≥ 0.5 at fixture scale with n_probe=2 of 16
+    cells (the trained quantizer's recall test is separate and stricter)."""
+    from metrics_database_cron_script_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_assign_fixed,
+        ivf_fixed_centers,
+        ivf_probe_matmul,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    centers = ivf_fixed_centers()
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_probe_matmul(
+            ivf_assign_fixed(emb, centers), queries, centers, k=5
+        ).collect()
+    }
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall

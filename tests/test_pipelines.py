@@ -453,3 +453,92 @@ def test_routing_seen_ledger_incremental_across_runs(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(f"{clean}/sink_aum.parquet").collect()))
     b = sorted(map(tuple, aum2.collect()))
     assert a == b
+
+
+def test_embedding_index_incremental_replay_and_probe_equivalence(spark, tmp_path):
+    """Round 10 (P8): the daily ANN-index maintenance must (a) bootstrap a
+    cell-partitioned index and serve probes identical to a fresh
+    same-centers probe over the full corpus, (b) append only the new
+    vectors on the next day with the SAME frozen centers, (c) be a byte-
+    identical no-op on replay, and (d) recover a crash-overlap partial
+    publish without duplicating or losing rows."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.functions import similarity as S
+    from metrics_database_cron_script_spark.pipelines import update_embedding_index
+    from metrics_database_cron_script_spark.sources import load_table
+
+    def tree_digest(root):
+        h = hashlib.md5()
+        for dp, _dn, fs in sorted(os.walk(root)):
+            for f in sorted(fs):
+                p = os.path.join(dp, f)
+                h.update(os.path.relpath(p, root).encode())
+                h.update(open(p, "rb").read())
+        return h.hexdigest()
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cut = 400
+    day0 = str(tmp_path / "day0")
+    os.makedirs(day0)
+    emb.filter(F.col("vec_id") <= cut).write.parquet(f"{day0}/embeddings.parquet")
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+
+    r0 = update_embedding_index(spark, day0, state)
+    assert r0["bootstrap_vectors"] == cut + 1
+
+    # (b) incremental append from the grown source, frozen centers
+    r1 = update_embedding_index(spark, SF_SMOKE, state)
+    total = emb.count()
+    assert r1["batch_vectors"] == total - (cut + 1)
+    idx = spark.read.parquet(f"{state}/ivf_index.parquet")
+    assert idx.count() == total
+    assert idx.select("vec_id").distinct().count() == total
+
+    # (a)+(probe gate): served probe == fresh probe on the same frozen centers
+    import json
+
+    centers = json.load(open(f"{state}/ivf_index.parquet/_ivf_centers.json"))["centers"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    served = {
+        (r["q_id"], r["vec_id"], r["cos"])
+        for r in S.ivf_index_probe(
+            spark, f"{state}/ivf_index.parquet", queries, k=5
+        ).collect()
+    }
+    fresh = {
+        (r["q_id"], r["vec_id"], r["cos"])
+        for r in S.ivf_probe_matmul(
+            S.ivf_assign_fixed(emb, centers), queries, centers, k=5
+        ).collect()
+    }
+    assert served == fresh and len(served) > 0
+
+    # (c) replay no-op: byte-identical index, frontier unchanged
+    d_before = tree_digest(f"{state}/ivf_index.parquet")
+    r2 = update_embedding_index(spark, SF_SMOKE, state)
+    assert r2["batch_vectors"] == 0
+    assert tree_digest(f"{state}/ivf_index.parquet") == d_before
+
+    # (d) crash overlap: roll the frontier marker back (as if the append
+    # published but the marker commit died) — replay must append nothing
+    # new (fenced anti-join absorbs the already-published rows) and
+    # converge to the same content
+    from metrics_database_cron_script_spark.state import atomic_overwrite
+
+    atomic_overwrite(
+        spark.createDataFrame([(cut,)], "frontier long"),
+        f"{state}/ivf_frontier.parquet",
+    )
+    r3 = update_embedding_index(spark, SF_SMOKE, state)
+    assert r3["batch_vectors"] == 0  # all crash-window rows already present
+    idx2 = spark.read.parquet(f"{state}/ivf_index.parquet")
+    assert idx2.count() == total
+    assert idx2.select("vec_id").distinct().count() == total
