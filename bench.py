@@ -129,6 +129,64 @@ def run_query(spark, fn, sf_dir: str, runs: int = 3) -> dict:
     }
 
 
+def noise_control(spark, sf_dir: str) -> dict:
+    """Machine-state control probes (round 10, verdict item 6): three
+    fixed workloads whose PLANS never change across rounds, so a
+    round-over-round headline delta can be attributed from the artifact
+    alone — if the controls moved with the headline (as in the r8→r9
+    +15%), the delta is machine state, not plan drift.
+
+    - floor_job_s: median of 15 one-partition count() actions on a
+      prebuilt 1-row range — the per-job scheduler floor (same probe
+      protocol as bench_compare.py).
+    - cpu_canary_s: min of 5 fixed numpy matmul loops — pure CPU/memory
+      bandwidth, engine-independent.
+    - scan_canary_s: min of 3 full-table sum() scans of the orders
+      fixture via a hand-built plan (never a registry entry, so query
+      rewrites can't touch it) — JVM + page-cache + parquet-reader state.
+    """
+    import numpy as np
+
+    one = spark.range(0, 1, 1, 1)
+    one.count()
+    floor_runs = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        one.count()
+        floor_runs.append(time.perf_counter() - t0)
+    floor_job_s = sorted(floor_runs)[len(floor_runs) // 2]
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((512, 512))
+    cpu_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        b = a
+        for _ in range(20):
+            b = b @ a
+            b /= np.abs(b).max()
+        cpu_runs.append(time.perf_counter() - t0)
+
+    from pyspark.sql import functions as F
+    from metrics_database_cron_script_spark.sources.tables import table_path
+
+    scan = spark.read.parquet(table_path(sf_dir, "orders")).agg(
+        F.sum("o_totalprice")
+    )
+    scan.collect()
+    scan_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scan.collect()
+        scan_runs.append(time.perf_counter() - t0)
+
+    return {
+        "floor_job_s": round(floor_job_s, 4),
+        "cpu_canary_s": round(min(cpu_runs), 4),
+        "scan_canary_s": round(min(scan_runs), 4),
+    }
+
+
 def main() -> None:
     src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from metrics_database_cron_script_spark import get_spark
@@ -157,12 +215,14 @@ def main() -> None:
         except Exception:
             pass
 
+    control_pre = noise_control(spark, sf_dir)
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in HEADLINE:
         r = run_query(spark, QUERIES[name], sf_dir, runs=5)
         timings[name] = r["s"]
         detail[name] = r
+    control_post = noise_control(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     sf = src_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -175,6 +235,11 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "layout": "presplit" if sf_dir != src_dir else "raw",
                 "detail": detail,
+                # machine-state controls bracketing the measured loop: when
+                # a round-over-round headline delta is NOT mirrored by these
+                # fixed-plan probes, the delta is plan drift; when it is
+                # mirrored, it is machine state (README "Benchmarks" notes)
+                "control": {"pre": control_pre, "post": control_post},
             }
         )
     )

@@ -294,6 +294,17 @@ def main() -> None:
     )
     n_docs = docs_all.count()
     n_docs0 = docs_all.filter(F.col("doc_id") <= F.lit(doc_cut)).count()
+    # embeddings fence for P8 (ANN-index maintenance in the driver, round
+    # 10): same id-tail shape as the docs fence — day 0 bootstraps the
+    # cell-partitioned index, the daily batch appends the tail vectors
+    emb_all = load_table(spark, sfxl, "embeddings")
+    max_vec = emb_all.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    vec_cut = max_vec - max(1, (max_vec + 1) // 32)
+    emb_all.filter(F.col("vec_id") <= F.lit(vec_cut)).write.parquet(
+        os.path.join(day0_dir, "embeddings.parquet")
+    )
+    n_vecs = emb_all.count()
+    n_vecs0 = emb_all.filter(F.col("vec_id") <= F.lit(vec_cut)).count()
     phase("corpus", {
         "events_total": n_total,
         "events_day0": n_day0,
@@ -303,6 +314,9 @@ def main() -> None:
         "docs_total": n_docs,
         "docs_day0": n_docs0,
         "docs_daily_batch": n_docs - n_docs0,
+        "vectors_total": n_vecs,
+        "vectors_day0": n_vecs0,
+        "vectors_daily_batch": n_vecs - n_vecs0,
     })
 
     # ---- day 0: bootstrap the pipeline state (one-time) -------------------
@@ -319,6 +333,7 @@ def main() -> None:
         "tx_appended": rep0["tx_appended"],
         "routing_appended": rep0["routing_appended"],
         "image_bootstrap_docs": rep0["image_dedup"].get("bootstrap_docs"),
+        "ivf_bootstrap_vectors": rep0["embed_index"].get("bootstrap_vectors"),
     })
 
     # ---- THE daily job, pipelines half: run_batch over the grown source ---
@@ -339,6 +354,9 @@ def main() -> None:
     image_edges_digest = _tree_digest(
         os.path.join(state_dir, "phash_edges.parquet")
     )
+    ivf_index_digest = _tree_digest(
+        os.path.join(state_dir, "ivf_index.parquet")
+    )
     phase("daily_pipelines", {
         "wall_s": wall_daily,
         "steps": steps,
@@ -348,6 +366,7 @@ def main() -> None:
         "rollup_days_touched": rep["rollup_days_touched"],
         "image_batch_docs": rep["image_dedup"].get("batch_docs"),
         "image_hashes_appended": rep["image_dedup"].get("hashes_appended"),
+        "ivf_vectors_appended": rep["embed_index"].get("batch_vectors"),
         "watermark_out": str(rep["watermark_out"]),
     })
 
@@ -519,6 +538,10 @@ def main() -> None:
         "image_edges_byte_identical": _tree_digest(
             os.path.join(state_dir, "phash_edges.parquet")
         ) == image_edges_digest,
+        "ivf_vectors_appended_on_replay": rep_r["embed_index"].get("batch_vectors"),
+        "ivf_index_byte_identical": _tree_digest(
+            os.path.join(state_dir, "ivf_index.parquet")
+        ) == ivf_index_digest,
         "note": "append sinks are BYTE-identical (untouched dirs); stats "
         "is an OCC keep-latest snapshot — replay writes a new version "
         "directory with identical CONTENT (stored-wins tie rule), so the "
@@ -532,6 +555,9 @@ def main() -> None:
         and all(v == 0 for v in rep_r["routing_appended"].values())
         and rep_r["rollup_days_touched"] == 0
         and rep_r["image_dedup"].get("batch_docs") == 0
+        and rep_r["embed_index"].get("batch_vectors") == 0
+        and _tree_digest(os.path.join(state_dir, "ivf_index.parquet"))
+        == ivf_index_digest
         and _tree_digest(os.path.join(state_dir, "phash_edges.parquet"))
         == image_edges_digest
         and sink_digests_r == sink_digests

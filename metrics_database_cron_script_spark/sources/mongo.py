@@ -67,6 +67,97 @@ CONNECTOR_READ_OPTIONS = frozenset(
 )
 
 
+# The documented batch-WRITE options, v10.x (round 10, verdict item 8 —
+# https://www.mongodb.com/docs/spark-connector/current/batch-mode/
+# batch-write-config/). The reference's two sink shapes map onto these:
+# R8 append = operationType "insert"; R9 upsert = operationType
+# "replace"/"update" keyed by idFieldList (the connector upserts when the
+# id matches, updatescript.py's update_one(..., upsert=True)).
+CONNECTOR_WRITE_PREFIX = "spark.mongodb.write."
+CONNECTOR_WRITE_OPTIONS = frozenset(
+    {
+        "connection.uri",
+        "database",
+        "collection",
+        "comment",
+        "mongoClientFactory",
+        "convertJson",
+        "idFieldList",
+        "ignoreNullValues",
+        "maxBatchSize",
+        "operationType",
+        "ordered",
+        "upsertDocument",
+        "writeConcern.w",
+        "writeConcern.journal",
+        "writeConcern.wTimeoutMS",
+    }
+)
+
+
+def validate_write_options(opts: dict[str, str]) -> dict[str, str]:
+    """Write-path twin of validate_read_options: check every key against
+    the vendored v10.x batch-WRITE contract and return the bare-key form.
+    The same silent-ignore hazard applies with a worse failure mode: a
+    typo'd `idFieldList` or `operationType` turns an idempotent upsert
+    into blind inserts — duplicate sink rows, not an error."""
+    normalized = {}
+    for k, v in opts.items():
+        bare = k[len(CONNECTOR_WRITE_PREFIX):] if k.startswith(
+            CONNECTOR_WRITE_PREFIX
+        ) else k
+        if bare not in CONNECTOR_WRITE_OPTIONS:
+            raise KeyError(
+                f"option {k!r} is not in the vendored mongo-spark-connector "
+                "v10.x batch-write contract; a live connector would silently "
+                f"ignore it (documented: {sorted(CONNECTOR_WRITE_OPTIONS)})"
+            )
+        normalized[bare] = v
+    return normalized
+
+
+def upsert_write_options(
+    uri: str, database: str, collection: str, id_fields: list[str]
+) -> dict[str, str]:
+    """The R9 sink shape as connector options: keyed replace-with-upsert —
+    the connector's equivalent of the reference's
+    `update_one({_id: ...}, {$set: ...}, upsert=True)` loop
+    (updatescript.py:111-147), executed as one distributed write. Validated
+    against the vendored write contract; `ordered=false` because keyed
+    upserts are independent (retries of a failed batch re-apply cleanly)."""
+    return validate_write_options(
+        {
+            "connection.uri": uri,
+            "database": database,
+            "collection": collection,
+            "operationType": "replace",
+            "upsertDocument": "true",
+            "idFieldList": ",".join(id_fields),
+            "ordered": "false",
+            "writeConcern.w": "majority",
+        }
+    )
+
+
+def append_write_options(
+    uri: str, database: str, collection: str
+) -> dict[str, str]:
+    """The R8 sink shape as connector options: plain inserts. Idempotency
+    stays the ENGINE's job (state.idempotent_append's fenced anti-join runs
+    before the write), exactly as on the parquet sinks — the connector's
+    insert path has no dedup of its own."""
+    return validate_write_options(
+        {
+            "connection.uri": uri,
+            "database": database,
+            "collection": collection,
+            "operationType": "insert",
+            "ordered": "false",
+            "writeConcern.w": "majority",
+        }
+    )
+
+
 def validate_read_options(opts: dict[str, str]) -> dict[str, str]:
     """Check every key against the vendored v10.x contract and return the
     map in the bare-key form `DataFrameReader.option()` documents. Raises

@@ -84,3 +84,38 @@ def test_smoke_script_exists_and_targets_connector_jar():
         body = f.read()
     assert "--packages org.mongodb.spark:mongo-spark-connector_2.13" in body
     assert stat.S_IXUSR & os.stat(sh).st_mode
+
+
+def test_write_options_validated_against_vendored_contract():
+    """Round 10 (verdict item 8): the WRITE path's option names are
+    asserted against the vendored v10.x batch-write contract the same way
+    the read path is — a typo'd idFieldList/operationType would be
+    silently ignored live, turning a keyed upsert into duplicate-row
+    inserts."""
+    from metrics_database_cron_script_spark.sources.mongo import (
+        CONNECTOR_WRITE_OPTIONS,
+        append_write_options,
+        upsert_write_options,
+        validate_write_options,
+    )
+
+    up = upsert_write_options(
+        "mongodb://example.invalid:27017", "metrics", "stats", ["chain"]
+    )
+    assert up["operationType"] == "replace" and up["upsertDocument"] == "true"
+    assert up["idFieldList"] == "chain"
+    assert set(up) <= CONNECTOR_WRITE_OPTIONS
+
+    ap = append_write_options(
+        "mongodb://example.invalid:27017", "metrics", "sink_aum"
+    )
+    assert ap["operationType"] == "insert"
+    assert set(ap) <= CONNECTOR_WRITE_OPTIONS
+
+    # prefixed form normalizes; unknown keys refuse loudly
+    pre = validate_write_options(
+        {"spark.mongodb.write.maxBatchSize": "512"}
+    )
+    assert pre == {"maxBatchSize": "512"}
+    with pytest.raises(KeyError, match="batch-write contract"):
+        validate_write_options({"idFieldsList": "chain"})  # typo'd name
