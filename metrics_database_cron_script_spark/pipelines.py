@@ -308,17 +308,23 @@ def update_image_dedup(
 
     State: `phash_chunks.parquet` (hamming-LSH index), `phash_hashes.
     parquet` (aHash store), `phash_edges.parquet` (bucket-attributed
-    scored star edges). The batch frontier is max(doc_id) IN THE HASH
-    STORE — the state is its own progress marker, like P6's
-    merged_through: docs above the frontier are this run's batch (the
-    fixtures' doc_id is ingest-ordered; a production deployment would
-    gate on an ingest timestamp the same way). Commit order makes a crash
-    anywhere replayable: edges overwrite first (refresh is idempotent —
-    recomputed touched-bucket edges replace themselves via the bucket
-    anti-join, and re-ingested docs are absorbed by the membership
-    distinct()s), then chunks, then the hash store LAST — only its
-    append advances the frontier, so a replay after any earlier crash
-    re-runs the same batch to the same result.
+    scored star edges), `phash_frontier.parquet` (explicit progress
+    marker — round 10). The batch frontier was originally max(doc_id)
+    IN THE HASH STORE, but a derived frontier is crash-unsafe: a store
+    append that dies mid-publish leaves SOME batch rows visible, so the
+    derived max can land past rows that never published and the replay
+    would silently skip them. The marker closes that window the same way
+    P8's does: committed AFTER the store append, so a crash anywhere
+    leaves it at the previous batch boundary and the replay re-runs the
+    whole batch — the fenced anti-joins (doc_id > frontier, the
+    idempotent_append fence contract) absorb whatever the crashed run
+    already published. Pre-marker state migrates by deriving the
+    frontier from the store once (correct for any state written by a
+    COMPLETED run). Commit order: edges overwrite first (refresh is
+    idempotent — recomputed touched-bucket edges replace themselves via
+    the bucket anti-join, and re-ingested docs are absorbed by the
+    membership distinct()s), then chunks, then the hash store, then the
+    marker LAST.
 
     Cost per day is O(batch decode+hash + touched-bucket membership),
     never a corpus rescan — measured 0.185× a full rebuild at 2.56 M
@@ -333,6 +339,12 @@ def update_image_dedup(
     chunks_p = _sink(state_dir, "phash_chunks")
     hashes_p = _sink(state_dir, "phash_hashes")
     edges_p = _sink(state_dir, "phash_edges")
+    frontier_p = _sink(state_dir, "phash_frontier")
+
+    def _commit_frontier(hi) -> None:
+        ST.atomic_overwrite(
+            spark.createDataFrame([(int(hi),)], "frontier long"), frontier_p
+        )
 
     if not os.path.isdir(hashes_p):
         hashes = M.ahash_from_blobs(
@@ -341,11 +353,19 @@ def update_image_dedup(
         chunks, store, edges = M.phash_star_state(hashes)
         ST.atomic_overwrite(edges, edges_p)
         ST.atomic_overwrite(chunks, chunks_p)
-        ST.atomic_overwrite(store, hashes_p)  # frontier commits LAST
+        ST.atomic_overwrite(store, hashes_p)
+        hi = hashes.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        if hi is not None:
+            _commit_frontier(hi)  # marker commits LAST
         return {"bootstrap_docs": hashes.count(), "batch_docs": 0}
 
     store = spark.read.parquet(hashes_p)
-    frontier = store.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if os.path.isdir(frontier_p):
+        frontier = spark.read.parquet(frontier_p).collect()[0]["frontier"]
+    else:
+        # pre-marker state: written by a completed run, so the store max
+        # IS the batch boundary — derive once, the marker takes over below
+        frontier = store.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
     batch_docs = docs.filter(F.col("doc_id") > F.lit(frontier))
     batch_hashes = M.ahash_from_blobs(
         M.synthetic_bmp_blobs(batch_docs)
@@ -353,14 +373,25 @@ def update_image_dedup(
     n_batch = batch_hashes.count()
     if n_batch == 0:
         return {"batch_docs": 0, "hashes_appended": 0}
+    # a crashed run may have published part of this batch into the store —
+    # drop those rows from the refresh's "existing" side so membership
+    # stays exact, and let the fenced appends absorb the rest
+    store_pre = store.filter(F.col("doc_id") <= F.lit(frontier))
     chunks = spark.read.parquet(chunks_p)
     edges = spark.read.parquet(edges_p)
     new_edges = M.refresh_phash_star_edges(
-        chunks, store, edges, batch_hashes
+        chunks, store_pre, edges, batch_hashes
     ).localCheckpoint(eager=True)  # cut lineage: the plan reads edges_p
     ST.atomic_overwrite(new_edges, edges_p)
-    ST.idempotent_append(M.phash_chunks(batch_hashes), chunks_p, key="doc_id")
-    appended = ST.idempotent_append(batch_hashes, hashes_p, key="doc_id")
+    fence = F.col("doc_id") > F.lit(frontier)
+    ST.idempotent_append(
+        M.phash_chunks(batch_hashes), chunks_p, key="doc_id", fence=fence
+    )
+    appended = ST.idempotent_append(
+        batch_hashes, hashes_p, key="doc_id", fence=fence
+    )
+    hi = batch_hashes.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    _commit_frontier(hi)  # AFTER the store append (replay-safe order)
     return {"batch_docs": n_batch, "hashes_appended": appended}
 
 

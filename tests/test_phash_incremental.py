@@ -102,3 +102,58 @@ def test_star_edges_are_linear_in_bucket_size(spark):
     # and every edge hangs off the hub (min doc_id)
     assert edges.filter(F.col("doc_a") != 0).count() == 0
     assert edges.filter(F.col("hamming") != 0).count() == 0
+
+
+def test_p7_frontier_marker_recovers_partial_store_publish(spark, tmp_path):
+    """Round 10: the derived max(doc_id) frontier was crash-unsafe — a
+    store append dying mid-publish leaves SOME batch rows visible, so the
+    derived max could land past rows that never published and the replay
+    would silently skip them. With the explicit marker (committed after
+    the store append), that exact crash must replay to the clean result;
+    pre-marker state (no marker file) must still migrate and run."""
+    import os
+    import shutil
+
+    from metrics_database_cron_script_spark.pipelines import update_image_dedup
+    from metrics_database_cron_script_spark.sources.tables import load_table
+    from metrics_database_cron_script_spark.state import idempotent_append
+
+    docs = load_table(spark, SF, "documents")
+    cut = int(docs.agg(F.max("doc_id")).collect()[0][0]) - 40
+
+    day0 = str(tmp_path / "day0"); os.makedirs(day0)
+    docs.filter(F.col("doc_id") <= cut).write.parquet(f"{day0}/documents.parquet")
+
+    # the CLEAN two-run result to converge to
+    clean = str(tmp_path / "clean"); os.makedirs(clean)
+    update_image_dedup(spark, day0, clean)
+    update_image_dedup(spark, SF, clean)
+    want = {
+        p: sorted(map(tuple, spark.read.parquet(f"{clean}/{p}.parquet").collect()))
+        for p in ("phash_hashes", "phash_chunks", "phash_edges")
+    }
+
+    # crashed run: bootstrap, then simulate a PARTIAL store publish of the
+    # next batch (a strict subset of batch hashes lands; marker untouched)
+    crashed = str(tmp_path / "crashed"); os.makedirs(crashed)
+    update_image_dedup(spark, day0, crashed)
+    batch = docs.filter(F.col("doc_id") > cut)
+    partial = M.ahash_from_blobs(
+        M.synthetic_bmp_blobs(batch.filter(F.col("doc_id") % 2 == 0))
+    )
+    idempotent_append(partial, f"{crashed}/phash_hashes.parquet", key="doc_id")
+    # under the OLD derived frontier, max(doc_id) now exceeds unpublished
+    # odd batch ids — they would be skipped forever; the marker replays all
+    rep = update_image_dedup(spark, SF, crashed)
+    assert rep["batch_docs"] == batch.count()
+    got = {
+        p: sorted(map(tuple, spark.read.parquet(f"{crashed}/{p}.parquet").collect()))
+        for p in ("phash_hashes", "phash_chunks", "phash_edges")
+    }
+    assert got == want
+
+    # pre-marker migration: delete the marker; a fresh daily run derives
+    # the frontier from the store once and proceeds (no-op here)
+    shutil.rmtree(f"{crashed}/phash_frontier.parquet")
+    rep2 = update_image_dedup(spark, SF, crashed)
+    assert rep2["batch_docs"] == 0

@@ -171,10 +171,16 @@ def test_image_dedup_incremental_equals_full_and_replays(spark, state_dir, tmp_p
     assert r0["bootstrap_docs"] > 0
 
     # simulate the crash window later: snapshot the pre-batch hash store
+    # AND the frontier marker (round 10 — the marker commits after the
+    # store, so any crash before the store completed also leaves the
+    # marker at its pre-batch value)
     hashes_p = state_dir + "/phash_hashes.parquet"
     edges_p = state_dir + "/phash_edges.parquet"
+    frontier_p = state_dir + "/phash_frontier.parquet"
     pre_store = str(tmp_path / "store-backup")
+    pre_frontier = str(tmp_path / "frontier-backup")
     shutil.copytree(hashes_p, pre_store)
+    shutil.copytree(frontier_p, pre_frontier)
 
     r1 = update_image_dedup(spark, SF_SMOKE, state_dir)
     assert r1["batch_docs"] > 0 and r1["hashes_appended"] == r1["batch_docs"]
@@ -195,11 +201,14 @@ def test_image_dedup_incremental_equals_full_and_replays(spark, state_dir, tmp_p
     assert r2 == {"batch_docs": 0, "hashes_appended": 0}
     assert canon_edges(spark.read.parquet(edges_p)) == got
 
-    # crash window: edges/chunks committed, hash store NOT advanced —
-    # the replay re-runs the batch against the already-refreshed edge
-    # state and must converge to the identical result
+    # crash window: edges/chunks committed, hash store (and therefore the
+    # marker, which commits after it) NOT advanced — the replay re-runs
+    # the batch against the already-refreshed edge state and must
+    # converge to the identical result
     shutil.rmtree(hashes_p)
     shutil.copytree(pre_store, hashes_p)
+    shutil.rmtree(frontier_p)
+    shutil.copytree(pre_frontier, frontier_p)
     r3 = update_image_dedup(spark, SF_SMOKE, state_dir)
     assert r3["batch_docs"] == r1["batch_docs"]
     assert canon_edges(spark.read.parquet(edges_p)) == got
