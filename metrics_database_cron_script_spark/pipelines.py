@@ -448,6 +448,12 @@ def update_embedding_index(
 
     frontier = spark.read.parquet(frontier_p).collect()[0]["frontier"]
     batch = emb.filter(F.col("vec_id") > F.lit(frontier))
+    # one cheap agg decides no-op BEFORE any staged write: on a replay the
+    # pushed vec_id predicate prunes the source scan to row-group stats
+    # and the empty batch skips the append machinery entirely
+    row = batch.agg(F.max("vec_id").alias("m")).collect()[0]
+    if row["m"] is None:
+        return {"batch_vectors": 0, "frontier_in": frontier}
     with open(os.path.join(index_p, "_ivf_centers.json")) as fh:
         centers = _json.load(fh)["centers"]
     assigned = S.ivf_assign_fixed(batch, centers)
@@ -458,9 +464,7 @@ def update_embedding_index(
         partition_by=["cell"],
         fence=F.col("vec_id") > F.lit(frontier),
     )
-    row = batch.agg(F.max("vec_id").alias("m")).collect()[0]
-    if row["m"] is not None:
-        _commit_frontier(row["m"])  # AFTER the append (replay-safe order)
+    _commit_frontier(row["m"])  # AFTER the append (replay-safe order)
     return {"batch_vectors": appended, "frontier_in": frontier}
 
 
