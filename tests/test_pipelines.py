@@ -551,3 +551,71 @@ def test_embedding_index_incremental_replay_and_probe_equivalence(spark, tmp_pat
     idx2 = spark.read.parquet(f"{state}/ivf_index.parquet")
     assert idx2.count() == total
     assert idx2.select("vec_id").distinct().count() == total
+
+
+def test_stats_incremental_matches_full_recompute_and_survives_crash(spark, tmp_path):
+    """Round 10: P3's running totals maintain incrementally through the
+    stats ledger — (a) two fenced runs must equal the one-shot full
+    recompute to float-increment tolerance, (b) a crash-replay (ledger row
+    published, watermark not advanced) must regenerate the identical
+    stats row and not double-count, and (c) the daily cost carries no
+    full-history aggregate (the batch scan is watermark-fenced)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.reference_ops import tx_view
+    from metrics_database_cron_script_spark.pipelines import update_stats
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.state import Watermark
+
+    events = load_table(spark, SF_SMOKE, "events")
+    wm1 = datetime.datetime(2024, 1, 15)
+    ts1 = datetime.datetime(2024, 1, 15)
+    ts2 = datetime.datetime(2024, 3, 1)
+
+    # (a) two-phase: bootstrap through wm1, then increment the tail
+    state = str(tmp_path / "state")
+    early = events.filter(F.col("ts") <= F.lit(wm1))
+    update_stats(spark, early, state, ts1, Watermark.EPOCH)
+    update_stats(spark, events, state, ts2, wm1)
+    got = {
+        r["chain"]: (r["totalAmountCurrentlyManaged"], r["totalAmountStaked"])
+        for r in spark.read.parquet(f"{state}/stats.parquet").collect()
+    }
+    want = {
+        r["chain"]: (r["acm"], r["staked"])
+        for r in tx_view(events)
+        .groupBy("chain")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            ).alias("acm"),
+            F.sum("value").alias("staked"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for c in want:
+        for g, w in zip(got[c], want[c]):
+            assert abs(g - w) <= 1e-6 * max(1.0, abs(w)), (c, g, w)
+
+    # (b) crash-replay: ledger row for ts2 exists, watermark still wm1 →
+    # rerun regenerates the same totals, ledger append dedups, stats
+    # content unchanged
+    before = sorted(map(tuple, spark.read.parquet(f"{state}/stats.parquet").collect()))
+    ledger_n = spark.read.parquet(f"{state}/stats_ledger.parquet").count()
+    update_stats(spark, events, state, ts2, wm1)
+    after = sorted(map(tuple, spark.read.parquet(f"{state}/stats.parquet").collect()))
+    assert after == before
+    assert spark.read.parquet(f"{state}/stats_ledger.parquet").count() == ledger_n
+
+    # (c) next-day run from the committed frontier: base comes from the
+    # ledger, the batch window is empty → totals unchanged
+    ts3 = datetime.datetime(2024, 4, 1)
+    update_stats(spark, events, state, ts3, ts2)
+    final = {
+        r["chain"]: (r["totalAmountCurrentlyManaged"], r["totalAmountStaked"])
+        for r in spark.read.parquet(f"{state}/stats.parquet").collect()
+    }
+    assert final == got
