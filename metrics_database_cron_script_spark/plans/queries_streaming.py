@@ -551,3 +551,34 @@ def s_stream_exec_rest(spark, sf_dir):
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+from metrics_database_cron_script_spark.plans.queries_llm import (
+    _MINHASH_PORTABLE_ORACLE as _MH_PORTABLE_ORACLE,
+)
+
+
+@query("s_stream_exec_neardup", oracle=_MH_PORTABLE_ORACLE)
+def s_stream_exec_neardup(spark, sf_dir):
+    """Seventh STREAM-EXECUTED gate entry, and the first CUSTOM STATEFUL
+    one: MinHash+LSH near-dup with cross-batch bucket state via
+    `applyInPandasWithState` (streaming/neardup.py). The documents fixture
+    drains as 4 micro-batches; each LSH bucket keeps its membership in the
+    state store, so a doc is compared only against earlier members of the
+    buckets it lands in (the streaming twin of the P6 band-index probe).
+    Signatures are computed per-row (array_min over md5-prefix transforms
+    — no streaming agg), emission is order-independent (min,max) pairs,
+    and verification joins the static doc store post-drain — so the live
+    stateful execution is value-hash-checked against the IDENTICAL DuckDB
+    oracle as the batch `x_near_dup_minhash_portable` pipeline.
+    Reference parity: the updatescript.py:166-179 dedup guards, as
+    arrival-time streaming state instead of a cron-batch anti-join."""
+    import uuid
+
+    from metrics_database_cron_script_spark.streaming.neardup import (
+        run_streaming_neardup,
+    )
+
+    return run_streaming_neardup(
+        spark, sf_dir, query_name=f"s_exec_ndup_{uuid.uuid4().hex[:8]}"
+    )
