@@ -367,6 +367,7 @@ def main() -> None:
         "image_batch_docs": rep["image_dedup"].get("batch_docs"),
         "image_hashes_appended": rep["image_dedup"].get("hashes_appended"),
         "ivf_vectors_appended": rep["embed_index"].get("batch_vectors"),
+        "compaction": rep["compaction"],
         "watermark_out": str(rep["watermark_out"]),
     })
 
@@ -542,6 +543,7 @@ def main() -> None:
         "ivf_index_byte_identical": _tree_digest(
             os.path.join(state_dir, "ivf_index.parquet")
         ) == ivf_index_digest,
+        "compaction_on_replay": rep_r["compaction"],
         "note": "append sinks are BYTE-identical (untouched dirs); stats "
         "is an OCC keep-latest snapshot — replay writes a new version "
         "directory with identical CONTENT (stored-wins tie rule), so the "
@@ -563,6 +565,41 @@ def main() -> None:
         and sink_digests_r == sink_digests
         and edges_equal
     )
+    # ---- P9 compaction micro-bench: measured value of bin-packing ---------
+    # Fragment a COPY of the enriched-tx sink into ~240 small files (what
+    # eight months of daily appends look like), then measure a keyed scan
+    # before/after compact(). The win is file-open + planning overhead —
+    # exactly the term that grows unbounded without maintenance.
+    frag_dir = os.path.join(scratch, "frag-tx")
+    tx_path = os.path.join(state_dir, "tx_enriched.parquet")
+    spark.read.parquet(tx_path).repartition(240).write.parquet(frag_dir)
+    spark.catalog.refreshByPath(frag_dir)
+
+    def keyed_scan(path):
+        df = spark.read.parquet(path)
+        return df.groupBy(F.to_date("ts").alias("d")).count().count()
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact, parquet_file_count,
+    )
+    _, scan_frag = _timed(lambda: keyed_scan(frag_dir))
+    files_before = parquet_file_count(frag_dir)
+    rows_before = spark.read.parquet(frag_dir).count()
+    _, compact_wall = _timed(lambda: compact(spark, frag_dir, target_mb=64))
+    spark.catalog.refreshByPath(frag_dir)
+    files_after = parquet_file_count(frag_dir)
+    _, scan_packed = _timed(lambda: keyed_scan(frag_dir))
+    phase("sink_compaction_micro", {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows_preserved": spark.read.parquet(frag_dir).count() == rows_before,
+        "compact_wall_s": compact_wall,
+        "keyed_scan_fragmented_s": scan_frag,
+        "keyed_scan_compacted_s": scan_packed,
+        "note": "same rows, same query; the delta is file-open/planning "
+        "overhead that daily appends accrete without P9",
+    })
+
     out["replay_noop"] = ok
     # merge-write the artifact like the --streaming-only branch: keep the
     # streaming-twin rows already measured, replace every batch phase

@@ -52,46 +52,108 @@ def leaf_parquet_dirs(path: str) -> list[str]:
     return sorted(leaves)
 
 
+def recover_staging(base: str) -> None:
+    """Reap-or-restore leftover `__compact-*` staging from a crashed run.
+
+    The swap protocol per leaf is: (1) write staging/tmp/<rel>, (2) rename
+    leaf → staging/old/<rel>, (3) rename staging/tmp/<rel> → leaf. A crash
+    between (2) and (3) leaves the leaf ABSENT from the table and its only
+    copy under staging/old — so recovery must move such leaves back before
+    anything is deleted. Leaves whose target exists again (crash after (3),
+    before cleanup) are superseded copies and are discarded with the rest
+    of the staging. tmp/ content is always discardable: it was never the
+    only copy. Idempotent and cheap (one listdir when there is no
+    leftover), so the daily driver runs it unconditionally."""
+    parent, name = os.path.split(base)
+    for n in os.listdir(parent or "."):
+        if not n.startswith(f"{name}.__compact-"):
+            continue
+        staging = os.path.join(parent, n)
+        old_root = os.path.join(staging, "old")
+        if os.path.isdir(old_root):
+            # materialize the leaf list BEFORE renaming anything — renaming
+            # directories out from under an in-flight os.walk skips subtrees
+            for root in leaf_parquet_dirs(old_root):
+                rel = os.path.relpath(root, old_root)
+                leaf = base if rel == "__root__" else os.path.join(base, rel)
+                if not os.path.isdir(leaf) or not any(
+                    f.endswith(".parquet") for f in os.listdir(leaf)
+                ):
+                    os.makedirs(os.path.dirname(leaf) or "/", exist_ok=True)
+                    if os.path.isdir(leaf):
+                        # empty placeholder dir: replace wholesale
+                        shutil.rmtree(leaf)
+                    os.rename(root, leaf)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def compact(
     spark: SparkSession, path: str, target_mb: int = 64, min_files: int = 2
 ) -> int:
-    """Rewrite the parquet table at `path` into ~target_mb files and return
-    the new file count. Partition-aware: each leaf partition directory is
-    compacted independently (a whole-table read would inline the partition
-    columns and destroy the `partitionBy` layout — and per-leaf rewrites
-    are also the unit a cluster would parallelize/ratelimit). No-op per
-    leaf when it already has fewer than `min_files` files."""
+    """Bin-pack the SMALL files of the parquet table at `path` into
+    ~target_mb files and return the new file count. Partition-aware: each
+    leaf partition directory is compacted independently (a whole-table
+    read would inline the partition columns and destroy the `partitionBy`
+    layout — and per-leaf rewrites are also the unit a cluster would
+    parallelize/ratelimit). No-op per leaf when fewer than `min_files`
+    files are packable.
+
+    INCREMENTAL by construction: only files smaller than HALF the target
+    are read and rewritten; everything else is carried into the swapped-in
+    leaf as HARDLINKS — no data copy, no re-read. So the cost of a
+    compaction run is O(bytes written since the last one), never O(sink
+    history). The half-target threshold is what makes the fixpoint stable:
+    packed output lands just UNDER target size (n_out is rounded up), so a
+    `< target` packability test would re-pack yesterday's output every
+    run — a full-history rewrite on every trigger, the write-side twin of
+    the O(history) anti-join the frontier fences removed from the read
+    side. With `< target/2`, a packed file either reached target/2 and is
+    permanently done, or the whole accumulator is still under target/2 —
+    and re-merging THAT with new debt is bounded by a constant (target/2
+    bytes), not by history."""
     # All staging lives OUTSIDE the table root: tmp/old dirs inside it
     # would be picked up by partition inference as phantom partitions
     # (duplicated rows / conflicting-structure errors for any concurrent
     # reader) and a crashed run's leftovers would look like real leaves to
-    # the next compaction. Leftover staging from a crashed run is reaped
-    # here; the swap itself leaves only the between-renames window in
-    # which one partition is briefly absent — this op assumes the same
-    # single-maintenance-writer window as the rest of state.py, and the
-    # snapshot-isolated variant is VersionedSnapshot.compact_partitions.
+    # the next compaction. A crashed run's staging is RECOVERED, not just
+    # deleted (recover_staging): a crash between the two swap renames
+    # leaves the leaf's only copy under staging/old, and a blind reap
+    # would destroy it. This op assumes the same single-maintenance-writer
+    # window as the rest of state.py; the snapshot-isolated variant is
+    # VersionedSnapshot.compact_partitions.
     base = path.rstrip("/")
-    parent, name = os.path.split(base)
-    for n in os.listdir(parent or "."):
-        if n.startswith(f"{name}.__compact-"):
-            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+    recover_staging(base)
     staging = f"{base}.__compact-{uuid.uuid4().hex[:8]}"
+    target_bytes = target_mb * 1024 * 1024
     try:
         for leaf in leaf_parquet_dirs(path):
-            n_files = parquet_file_count(leaf)
-            if n_files < min_files:
+            files = [
+                (f, os.path.getsize(os.path.join(leaf, f)))
+                for f in os.listdir(leaf)
+                if f.endswith(".parquet")
+            ]
+            small = {f for f, sz in files if sz < target_bytes // 2}
+            small_bytes = sum(sz for f, sz in files if f in small)
+            n_out = max(1, math.ceil(small_bytes / target_bytes))
+            if len(small) < min_files or n_out >= len(small):
                 continue
-            total = dir_bytes(leaf)
-            n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-            if n_out >= n_files:
-                continue
-            df = spark.read.parquet(leaf)
             rel = os.path.relpath(leaf, base)
             if rel == ".":  # flat table: the leaf IS the root
                 rel = "__root__"
             tmp = os.path.join(staging, "tmp", rel)
             old = os.path.join(staging, "old", rel)
-            df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+            df = spark.read.parquet(*(os.path.join(leaf, f) for f in sorted(small)))
+            # coalesce, not repartition: the scan already bin-packs the
+            # small files into read partitions (maxPartitionBytes /
+            # openCostInBytes), so a full shuffle would only re-spread
+            # already-even sub-target chunks — measured as the dominant
+            # cost of the daily P9 step at SFXL before the switch
+            df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+            # full-size files ride the swap as hardlinks: same bytes, new
+            # directory entry, zero copy (same-filesystem sibling staging)
+            for f, _sz in files:
+                if f not in small:
+                    os.link(os.path.join(leaf, f), os.path.join(tmp, f))
             os.makedirs(os.path.dirname(old), exist_ok=True)
             os.rename(leaf, old)
             os.rename(tmp, leaf)

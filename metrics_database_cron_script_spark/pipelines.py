@@ -19,7 +19,10 @@ first_ts, watermark-fenced on read), `daily_rollup.parquet`
 `phash_chunks.parquet` + `phash_hashes.parquet` + `phash_edges.parquet`
 (incremental image near-dup state, P7), `ivf_index.parquet` +
 `ivf_frontier.parquet` (cell-partitioned ANN index + its explicit
-frontier marker, P8), `watermark.parquet`.
+frontier marker, P8), `watermark.parquet`. The append sinks are
+bin-packed by the P9 compaction step (`run_maintenance`) once their
+file count crosses the trigger — content-identical rewrites, so none of
+the fences/frontiers above notice.
 """
 
 from __future__ import annotations
@@ -601,6 +604,79 @@ def run_batch(
         "p8_embed_index", lambda: update_embedding_index(spark, sf_dir, state_dir)
     )
     timed("watermark_commit", lambda: wm_store.commit(run_ts))
-    # LAST, after every sink (fixes §3 hazard)
+    # LAST among the data effects, after every sink (fixes §3 hazard).
+    # Compaction runs AFTER the commit on purpose: it changes file layout,
+    # never row content, so a crash mid-compaction can cost at most a
+    # re-compaction — the watermark must not wait on maintenance.
+    report["compaction"] = timed(
+        "p9_compaction", lambda: run_maintenance(spark, state_dir)
+    )
     report["watermark_out"] = run_ts
+    return report
+
+
+# Append sinks whose file count grows with every cron run. The overwrite
+# snapshots (stats, daily_rollup, watermark, frontier markers) rewrite
+# themselves each run and stay at a bounded file count — never listed here.
+APPEND_SINKS = (
+    "prices",
+    "tx_enriched",
+    "sink_aum",
+    "sink_nominations",
+    "sink_amountstaked",
+    "stats_ledger",
+    "seen_users",
+    "phash_chunks",
+    "phash_hashes",
+    "phash_edges",
+    "ivf_index",
+)
+
+
+def run_maintenance(
+    spark: SparkSession,
+    state_dir: str,
+    trigger_files: int = 16,
+    target_mb: int = 64,
+) -> dict[str, dict[str, int]]:
+    """P9: small-file compaction over the append sinks (engine extension —
+    the reference appends documents to Mongo collections forever,
+    updatescript.py:168-218, and leaves layout to the storage engine;
+    a parquet lake must do its own bin-packing or daily appends turn a
+    100 TB table into millions of files and scan PLANNING starts to
+    dominate scans).
+
+    Policy: a sink is compacted only once its table-wide file count
+    reaches `trigger_files` — daily appends then amortize to one rewrite
+    per ~trigger_files runs per sink, so maintenance cost stays
+    O(files-written-since-last-compaction), not O(history). Content is
+    bit-for-bit preserved (rows, not files, carry the idempotency fences
+    and frontier markers, so replay semantics are untouched — pinned by
+    tests/test_pipelines.py). Crash-safe via maintenance.recover_staging:
+    a run that died between swap renames is healed before the next
+    compaction, and every compacted path is refreshed in the session
+    catalog (Spark caches file listings per path; a stale FileIndex after
+    an in-place swap throws FILE_NOT_EXIST on the next read)."""
+    from metrics_database_cron_script_spark.operators import maintenance as M
+
+    import time as _time
+
+    report: dict[str, dict[str, int]] = {}
+    for name in APPEND_SINKS:
+        path = _sink(state_dir, name)
+        if not os.path.isdir(path):
+            continue
+        M.recover_staging(path.rstrip("/"))
+        before = M.parquet_file_count(path)
+        if before < trigger_files:
+            continue
+        t0 = _time.perf_counter()
+        after = M.compact(spark, path, target_mb=target_mb)
+        spark.catalog.refreshByPath(path)
+        if after != before:
+            report[name] = {
+                "files_before": before,
+                "files_after": after,
+                "wall_s": round(_time.perf_counter() - t0, 3),
+            }
     return report

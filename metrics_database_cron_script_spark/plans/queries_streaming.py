@@ -582,3 +582,31 @@ def s_stream_exec_neardup(spark, sf_dir):
     return run_streaming_neardup(
         spark, sf_dir, query_name=f"s_exec_ndup_{uuid.uuid4().hex[:8]}"
     )
+
+
+@query(
+    "s_stream_exec_stateful_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS n, MAX(ts) AS last_ts
+FROM events GROUP BY user_id""",
+)
+def s_stream_exec_stateful_totals(spark, sf_dir):
+    """Eighth STREAM-EXECUTED gate entry, second CUSTOM-STATEFUL one — the
+    ACCUMULATOR shape (per-key running count/sum/max state) next to
+    s_stream_exec_neardup's MEMBERSHIP shape: the events fixture staged as
+    4 range-partitioned files drains through `applyInPandasWithState`
+    running totals (streaming/stateful.py) one file per micro-batch, so
+    per-user state is genuinely built across batches, and the final
+    accumulators are value-hash-checked against the batch GROUP BY.
+    Reference parity: the R15 loop-carried per-stash state
+    (updatescript.py:175-186) generalized to arbitrary per-key
+    accumulators maintained in the state store."""
+    import uuid
+
+    from metrics_database_cron_script_spark.streaming.stateful import (
+        run_stateful_running_totals_multibatch,
+    )
+
+    return run_stateful_running_totals_multibatch(
+        spark, sf_dir, query_name=f"s_exec_totals_{uuid.uuid4().hex[:8]}"
+    )

@@ -277,15 +277,13 @@ def compact(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     """Small-files compaction: incremental idempotent appends accumulate one
     file per batch; periodically bin-pack the table back to ~target_mb files
     (the maintenance job every parquet lake needs — Delta's OPTIMIZE, by
-    hand). Returns the resulting file count. Atomic via directory swap."""
-    import math
-
-    size = sum(
-        os.path.getsize(os.path.join(dirpath, f))
-        for dirpath, _, files in os.walk(path)
-        for f in files
+    hand). Returns the resulting file count. Delegates to
+    operators.maintenance.compact — the INCREMENTAL implementation (only
+    sub-half-target files are rewritten, full-size files carried as
+    hardlinks, partition-aware, crash-recovering staging) — so there is one
+    compaction semantics in the engine, not a whole-history-rewrite twin."""
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact as _compact,
     )
-    n_files = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    atomic_overwrite(df.repartition(n_files).localCheckpoint(eager=True), path)
-    return n_files
+
+    return _compact(spark, path, target_mb=target_mb)

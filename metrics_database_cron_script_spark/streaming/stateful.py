@@ -90,3 +90,73 @@ def run_stateful_running_totals(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def run_stateful_running_totals_multibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str | None = None,
+    n_files: int = 4,
+):
+    """The same accumulator operator, drained as REAL multiple micro-batches
+    (the single-file driver fixture otherwise arrives as one mega-batch and
+    exercises no state handoff): the events table is staged as `n_files`
+    range-partitioned files and streamed with maxFilesPerTrigger=1, so most
+    users' accumulators are built up across several batches. Returns the
+    final (user_id, n, last_ts) rows — the deterministic slice of the
+    state (`total` is emitted rounded and its HALF_EVEN-vs-HALF_UP .5-tie
+    ambiguity is a documented tolerance in the pytest, so the exact-hash
+    oracle checks the two exactly-reproducible fields plus row identity)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.sources import load_table
+
+    if query_name is None:
+        query_name = f"s_totals_{_uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    staging = tempfile.mkdtemp(prefix="stream_totals_")
+    try:
+        # range-partitioned on (user_id, ts) so each user's rows span
+        # several adjacent files deterministically — not one hash bucket
+        ev.repartitionByRange(n_files, "user_id", "ts").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            _running_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # update-mode sink holds one emission per (user, batch-touching-
+        # user); n is cumulative so keep-last == max-n
+        w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+        return (
+            spark.table(query_name)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "n", "last_ts")
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -619,3 +619,50 @@ def test_stats_incremental_matches_full_recompute_and_survives_crash(spark, tmp_
         for r in spark.read.parquet(f"{state}/stats.parquet").collect()
     }
     assert final == got
+
+
+def test_p9_compaction_bin_packs_sinks_and_preserves_replay(spark, state_dir):
+    """Round 10 (P9): the daily driver's maintenance step must (a) leave
+    low-file-count sinks alone on a normal run, (b) bin-pack a sink whose
+    file count crossed the trigger with content bit-identical, and (c)
+    leave the idempotency fences working — a replay after compaction still
+    appends nothing."""
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        parquet_file_count,
+    )
+    from metrics_database_cron_script_spark.pipelines import (
+        run_batch,
+        run_maintenance,
+    )
+
+    r1 = run_batch(spark, SF_SMOKE, state_dir)
+    # fresh state dir: nothing should have enough files to trigger
+    assert r1["compaction"] == {}
+
+    sink = f"{state_dir}/tx_enriched.parquet"  # flat-layout sink
+    # fragment the sink the way months of daily appends would: same
+    # content, many tiny files (a mid-test append of new rows would have
+    # to respect each sink's partitionBy layout; a rewrite sidesteps that)
+    rows = spark.read.parquet(sink).collect()
+    cur_rows = sorted(r["event_id"] for r in rows)
+    import shutil as _sh
+
+    _sh.rmtree(sink)
+    spark.createDataFrame(rows).repartition(24).write.parquet(sink)
+    spark.catalog.refreshByPath(sink)
+    n_files = parquet_file_count(sink)
+    assert n_files >= 16
+
+    rep = run_maintenance(spark, state_dir)
+    assert "tx_enriched" in rep
+    assert rep["tx_enriched"]["files_after"] < rep["tx_enriched"]["files_before"]
+    after_rows = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    assert after_rows == cur_rows
+
+    # replay after compaction: fences intact, nothing appended, and the
+    # maintenance step itself is a no-op now
+    r2 = run_batch(spark, SF_SMOKE, state_dir)
+    assert r2["prices_appended"] == 0
+    assert r2["tx_appended"] == 0
+    assert all(v == 0 for v in r2["routing_appended"].values())
+    assert r2["compaction"] == {}

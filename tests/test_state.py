@@ -232,3 +232,170 @@ def test_idempotent_append_fence_bounds_existing_scan(spark, tmp_path):
     existing = spark.read.parquet(sink).filter(fence)
     plan = existing._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(ts" in plan
+
+
+def test_compact_recovery_restores_leaf_lost_between_renames(spark, tmp_path):
+    """Crash window hardening (round 10): a run that died BETWEEN the two
+    swap renames leaves the leaf's only copy under staging/old. The next
+    recover_staging (run by compact() itself and by the P9 driver step)
+    must move it back — a blind staging reap here would be data loss."""
+    import os
+    import shutil
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact,
+        parquet_file_count,
+        recover_staging,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "sink")
+    ev = load_table(spark, SF_SMOKE, "events").limit(30).drop("props")
+    ev.repartition(6).write.parquet(path)
+    orig = sorted(r["event_id"] for r in spark.read.parquet(path).collect())
+
+    # simulate the crash: leaf renamed into staging/old, replacement never
+    # landed (tmp still holds it), table root gone
+    staging = path + ".__compact-deadbeef"
+    os.makedirs(os.path.join(staging, "tmp"))
+    os.makedirs(os.path.join(staging, "old"))
+    os.rename(path, os.path.join(staging, "old", "__root__"))
+    assert not os.path.exists(path)
+
+    recover_staging(path)
+    assert not os.path.exists(staging)
+    assert sorted(r["event_id"] for r in spark.read.parquet(path).collect()) == orig
+
+    # and the superseded-copy case: staging/old exists but the leaf was
+    # already swapped back in (crash after rename #2) → staging discarded,
+    # live leaf untouched
+    os.makedirs(os.path.join(staging, "old"))
+    shutil.copytree(path, os.path.join(staging, "old", "__root__"))
+    n_before = parquet_file_count(path)
+    recover_staging(path)
+    assert not os.path.exists(staging)
+    assert parquet_file_count(path) == n_before
+    assert sorted(r["event_id"] for r in spark.read.parquet(path).collect()) == orig
+
+    # compact() itself heals leftovers before staging anew
+    os.makedirs(os.path.join(staging, "tmp", "__root__"))
+    compact(spark, path, target_mb=64)
+    assert not os.path.exists(staging)
+    assert sorted(r["event_id"] for r in spark.read.parquet(path).collect()) == orig
+
+
+def test_compact_recovery_partitioned_leaf(spark, tmp_path):
+    """Same crash window for a partitionBy layout: only the lost leaf is
+    restored; surviving leaves and their content are untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        recover_staging,
+    )
+    from metrics_database_cron_script_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "chained")
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .limit(40)
+        .drop("props")
+        .withColumn("chain", F.when(F.col("event_id") % 2 == 0, "dot").otherwise("ksm"))
+    )
+    ev.write.partitionBy("chain").parquet(path)
+    orig = sorted(r["event_id"] for r in spark.read.parquet(path).collect())
+
+    staging = path + ".__compact-cafebabe"
+    os.makedirs(os.path.join(staging, "old"))
+    os.rename(
+        os.path.join(path, "chain=dot"), os.path.join(staging, "old", "chain=dot")
+    )
+    recover_staging(path)
+    assert not os.path.exists(staging)
+    spark.catalog.refreshByPath(path)
+    assert sorted(r["event_id"] for r in spark.read.parquet(path).collect()) == orig
+
+
+def test_compact_is_incremental_big_files_untouched(spark, tmp_path):
+    """Round 10: compaction must be O(bytes since last compaction), never
+    O(sink history) — files already at target size are carried across the
+    swap as hardlinks (same inode), only the small-file debt is read and
+    rewritten. Otherwise a daily-triggered compaction silently becomes a
+    full-history rewrite every run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact,
+        parquet_file_count,
+    )
+
+    path = str(tmp_path / "sink")
+    # "yesterday's packed output": one file guaranteed over the 1 MB target
+    big_df = spark.range(0, 2_000_000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 1000000007).alias("v")
+    )
+    big_df.coalesce(1).write.parquet(path)
+    big_name, = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert os.path.getsize(os.path.join(path, big_name)) >= 1024 * 1024
+    big_inode = os.stat(os.path.join(path, big_name)).st_ino
+    # today's debt: 10 tiny files
+    spark.range(0, 50).select(
+        F.col("id"), (F.col("id") * 7 % 97).alias("v")
+    ).repartition(10).write.mode("append").parquet(path)
+    spark.catalog.refreshByPath(path)
+    rows_before = spark.read.parquet(path).count()
+    n_before = parquet_file_count(path)
+    assert n_before == 11
+
+    after = compact(spark, path, target_mb=1)
+    spark.catalog.refreshByPath(path)
+    # the big file survived AS THE SAME INODE (hardlink, not a rewrite)
+    assert os.path.exists(os.path.join(path, big_name))
+    assert os.stat(os.path.join(path, big_name)).st_ino == big_inode
+    # the 10 small files packed down; content identical
+    assert after < n_before
+    assert spark.read.parquet(path).count() == rows_before
+
+
+def test_compact_reaches_fixpoint_second_run_noop(spark, tmp_path):
+    """Compacting twice must leave the file set IDENTICAL the second time:
+    packed output must never count as packable debt again (the `< target`
+    vs `< target/2` boundary — output lands just under target, so a
+    naive threshold re-packs yesterday's output every run, turning the
+    daily maintenance into a full-history rewrite)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact,
+    )
+
+    path = str(tmp_path / "sink")
+    # enough data that the packed output is a nontrivial file, split into
+    # genuine small-file debt
+    spark.range(0, 1_000_000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 1000000007).alias("v")
+    ).repartition(25).write.parquet(path)
+
+    compact(spark, path, target_mb=1)
+    files_1 = sorted(
+        (f, os.path.getsize(os.path.join(path, f)), os.stat(os.path.join(path, f)).st_ino)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert len(files_1) < 25
+
+    compact(spark, path, target_mb=1)
+    files_2 = sorted(
+        (f, os.path.getsize(os.path.join(path, f)), os.stat(os.path.join(path, f)).st_ino)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    # same names, same sizes, same inodes — nothing was rewritten
+    assert files_2 == files_1

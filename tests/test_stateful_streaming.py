@@ -78,3 +78,40 @@ def test_running_totals_dispatch_matches_batch(spark):
     if not tws_available():
         with pytest.raises(ImportError, match="google.protobuf"):
             run_tws_running_totals(spark, SF_SMOKE, "t_tws_direct")
+
+
+def test_stateful_totals_multibatch_matches_batch_and_crosses_batches(spark):
+    """The multi-micro-batch drain must (a) agree with the batch GROUP BY
+    on every user's count and max-ts, and (b) actually build state across
+    batches — at least some users must have emitted in more than one
+    micro-batch (update-mode emits once per batch that touches the key)."""
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.sources import load_table
+    from metrics_database_cron_script_spark.streaming.stateful import (
+        run_stateful_running_totals_multibatch,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["user_id"]: (r["n"], r["last_ts"])
+        for r in run_stateful_running_totals_multibatch(
+            spark, SF_SMOKE, "t_totals_mb"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["last_ts"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("ts").cast("timestamp")).alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # cross-batch evidence from the raw update-mode sink
+    raw = spark.table("t_totals_mb")
+    multi = raw.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0, "no user spanned more than one micro-batch"
