@@ -8,6 +8,13 @@ AssertionError, OverflowError or a numpy reshape explosion.
 
 No Spark session needed — the codecs are plain functions; keeping these
 tests JVM-free makes the fuzz cheap enough for wide example counts.
+
+Randomized campaigns (fresh seeds, run by hand per the round-9 protocol;
+the suite itself stays derandomized): round 9 found 2 real bugs; round 10
+ran 3,000 rounds × 5 containers × 2 checks (~30k decodes: truncation,
+1-8-byte corruption, window splices, appended noise, cross-format body
+swaps, every payload also through the decode_image dispatcher) — zero
+contract escapes.
 """
 
 from __future__ import annotations

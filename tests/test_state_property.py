@@ -40,3 +40,57 @@ def test_snapshot_overwrite_state_machine(spark, tmp_path_factory, batches):
             for r in spark.read.parquet(path).collect()
         }
         assert got == model
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    appends=st.lists(
+        st.tuples(
+            st.integers(1, 40),   # rows in this append
+            st.integers(1, 6),    # files it is spread across
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    target_mb=st.sampled_from([1, 64]),
+)
+def test_compact_property_content_and_fixpoint(
+    spark, tmp_path_factory, appends, target_mb
+):
+    """For ANY append history and target: compaction preserves row content
+    exactly, never increases the file count, and is a fixpoint — a second
+    immediate run changes nothing (names, sizes, inodes)."""
+    import os
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact,
+        parquet_file_count,
+    )
+
+    path = str(tmp_path_factory.mktemp("cprop") / "sink")
+    base = 0
+    for rows, nfiles in appends:
+        spark.range(base, base + rows).repartition(nfiles).write.mode(
+            "append"
+        ).parquet(path)
+        base += rows
+    spark.catalog.refreshByPath(path)
+    want = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    n0 = parquet_file_count(path)
+
+    n1 = compact(spark, path, target_mb=target_mb)
+    spark.catalog.refreshByPath(path)
+    assert n1 <= n0
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == want
+
+    def snap():
+        return sorted(
+            (f, os.path.getsize(os.path.join(path, f)),
+             os.stat(os.path.join(path, f)).st_ino)
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+
+    before = snap()
+    n2 = compact(spark, path, target_mb=target_mb)
+    assert n2 == n1
+    assert snap() == before
