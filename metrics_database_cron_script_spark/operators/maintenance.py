@@ -91,12 +91,17 @@ def compact(
     spark: SparkSession, path: str, target_mb: int = 64, min_files: int = 2
 ) -> int:
     """Bin-pack the SMALL files of the parquet table at `path` into
-    ~target_mb files and return the new file count. Partition-aware: each
-    leaf partition directory is compacted independently (a whole-table
-    read would inline the partition columns and destroy the `partitionBy`
-    layout — and per-leaf rewrites are also the unit a cluster would
-    parallelize/ratelimit). No-op per leaf when fewer than `min_files`
-    files are packable.
+    ~target_mb files and return the new file count. Partition-aware, and
+    ONE Spark job regardless of how many partition leaves need packing: a
+    flat table packs with a plain scan; a partitioned table reads every
+    packable leaf's small files in one `basePath` scan (partition columns
+    re-attached from the directory names), repartitions on the partition
+    columns and writes the packed debt with the SAME `partitionBy` layout
+    into staging — per-leaf jobs would mean O(partitions) driver
+    round-trips, which on a date-partitioned 100 TB sink is thousands of
+    scheduler floors for kilobytes of work each. The swap back into the
+    table stays per-leaf (two renames each, crash-recoverable). No-op per
+    leaf when fewer than `min_files` files are packable.
 
     INCREMENTAL by construction: only files smaller than HALF the target
     are read and rewritten; everything else is carried into the swapped-in
@@ -125,32 +130,85 @@ def compact(
     recover_staging(base)
     staging = f"{base}.__compact-{uuid.uuid4().hex[:8]}"
     target_bytes = target_mb * 1024 * 1024
+    # plan first: which leaves pack, their small/full file sets
+    plan: dict[str, tuple[set, list, int]] = {}
+    for leaf in leaf_parquet_dirs(path):
+        files = [
+            (f, os.path.getsize(os.path.join(leaf, f)))
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet")
+        ]
+        small = {f for f, sz in files if sz < target_bytes // 2}
+        small_bytes = sum(sz for f, sz in files if f in small)
+        n_out = max(1, math.ceil(small_bytes / target_bytes))
+        if len(small) < min_files or n_out >= len(small):
+            continue
+        plan[leaf] = (small, files, n_out)
+    if not plan:
+        return parquet_file_count(path)
+
+    def _rel(leaf: str) -> str:
+        r = os.path.relpath(leaf, base)
+        return "__root__" if r == "." else r
+
+    tmp_root = os.path.join(staging, "tmp")
     try:
-        for leaf in leaf_parquet_dirs(path):
-            files = [
-                (f, os.path.getsize(os.path.join(leaf, f)))
-                for f in os.listdir(leaf)
-                if f.endswith(".parquet")
-            ]
-            small = {f for f, sz in files if sz < target_bytes // 2}
-            small_bytes = sum(sz for f, sz in files if f in small)
-            n_out = max(1, math.ceil(small_bytes / target_bytes))
-            if len(small) < min_files or n_out >= len(small):
-                continue
-            rel = os.path.relpath(leaf, base)
-            if rel == ".":  # flat table: the leaf IS the root
-                rel = "__root__"
-            tmp = os.path.join(staging, "tmp", rel)
-            old = os.path.join(staging, "old", rel)
-            df = spark.read.parquet(*(os.path.join(leaf, f) for f in sorted(small)))
+        if list(plan) == [base]:  # flat table: the leaf IS the root
+            small, _files, n_out = plan[base]
+            df = spark.read.parquet(
+                *(os.path.join(base, f) for f in sorted(small))
+            )
             # coalesce, not repartition: the scan already bin-packs the
             # small files into read partitions (maxPartitionBytes /
             # openCostInBytes), so a full shuffle would only re-spread
             # already-even sub-target chunks — measured as the dominant
             # cost of the daily P9 step at SFXL before the switch
-            df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-            # full-size files ride the swap as hardlinks: same bytes, new
-            # directory entry, zero copy (same-filesystem sibling staging)
+            df.coalesce(n_out).write.mode("overwrite").parquet(
+                os.path.join(tmp_root, "__root__")
+            )
+        else:
+            # one job for ALL packable leaves: basePath re-attaches the
+            # partition columns, repartition on them collapses each
+            # leaf's debt into one task, partitionBy restores the layout
+            pcols = [
+                seg.split("=", 1)[0]
+                for seg in _rel(next(iter(plan))).split(os.sep)
+            ]
+            paths = [
+                os.path.join(leaf, f)
+                for leaf, (small, _f, _n) in plan.items()
+                for f in sorted(small)
+            ]
+            df = spark.read.option("basePath", base).parquet(*paths)
+            df.repartition(*pcols).write.mode("overwrite").partitionBy(
+                *pcols
+            ).parquet(tmp_root)
+            # partition VALUES round-trip through inference (dir name →
+            # typed value → dir name); if a value ever re-encodes to a
+            # DIFFERENT dir name, packed rows would land in a leaf the
+            # swap below never touches and then be deleted with staging —
+            # refuse loudly instead
+            staged = {
+                _rel(os.path.join(base, os.path.relpath(d, tmp_root)))
+                for d in leaf_parquet_dirs(tmp_root)
+            }
+            expected = {_rel(leaf) for leaf in plan}
+            if not staged <= expected:
+                raise ValueError(
+                    f"{base}: partition values did not round-trip "
+                    f"({sorted(staged - expected)} not in plan) — "
+                    "compaction aborted before any swap"
+                )
+        # swap each packed leaf: full-size files ride as hardlinks (same
+        # bytes, new directory entry, zero copy — same-filesystem sibling
+        # staging), then the two-rename crash-recoverable swap
+        for leaf, (small, files, _n_out) in plan.items():
+            tmp = os.path.join(tmp_root, _rel(leaf))
+            if not os.path.isdir(tmp):
+                # pack produced no output for this leaf (e.g. all-empty
+                # small files): leave the leaf exactly as it is
+                continue
+            old = os.path.join(staging, "old", _rel(leaf))
             for f, _sz in files:
                 if f not in small:
                     os.link(os.path.join(leaf, f), os.path.join(tmp, f))

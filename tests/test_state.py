@@ -399,3 +399,57 @@ def test_compact_reaches_fixpoint_second_run_noop(spark, tmp_path):
     )
     # same names, same sizes, same inodes — nothing was rewritten
     assert files_2 == files_1
+
+
+def test_compact_multi_leaf_is_one_job(spark, tmp_path):
+    """A partitioned table with many packable leaves (the IVF index's cell
+    layout, a date-partitioned fact at 100 TB) must compact as ONE Spark
+    job, not one per leaf — per-leaf jobs cost O(partitions) scheduler
+    floors for kilobytes of work each. Layout and content must survive the
+    grouped basePath → repartition(pcols) → partitionBy round-trip."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact,
+        parquet_file_count,
+    )
+
+    path = str(tmp_path / "cells")
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 8).alias("cell")
+    )
+    # 3 appends × 8 cells × several files each = plenty of debt per leaf
+    for _ in range(3):
+        df.repartition(4).write.mode("append").partitionBy("cell").parquet(path)
+    spark.catalog.refreshByPath(path)
+    want = sorted(
+        (r["id"], r["cell"]) for r in spark.read.parquet(path).collect()
+    )
+    n_before = parquet_file_count(path)
+    assert n_before >= 8 * 3
+
+    sc = spark.sparkContext
+    sc.setJobGroup("t_compact_grouped", "compaction job count probe")
+    try:
+        after = compact(spark, path, target_mb=64)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("t_compact_grouped")
+    # O(1) in the leaf count: file-listing job + schema probe + the
+    # shuffle stage + the write stage (AQE runs them as separate jobs).
+    # The per-leaf implementation this replaced paid ≥1 write job PER
+    # LEAF — 8 leaves here, thousands on a date-partitioned sink.
+    assert len(jobs) <= 5, f"expected O(1) jobs, got {len(jobs)}"
+
+    spark.catalog.refreshByPath(path)
+    assert after <= 8 + 1
+    assert sorted(os.listdir(path)) and all(
+        d.startswith("cell=") or d.startswith("_") or d.startswith(".")
+        for d in os.listdir(path)
+    )
+    got = sorted(
+        (r["id"], r["cell"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == want
