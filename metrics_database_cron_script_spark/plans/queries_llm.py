@@ -4459,3 +4459,146 @@ def x_ann_recall(spark, sf_dir):
         "n_hit",
         F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_k"),
     )
+
+
+def _curation_pipeline_av_oracle() -> str:
+    """The FIVE-MODALITY curation pipeline in SQL: the x_curation_pipeline
+    stages (text gate → exact → near-dup → image phash keep) continued
+    with AUDIO exact dedup (keep-lowest doc per decoded sample digest,
+    the x_wav_dedup formula restricted to the image survivors) and VIDEO
+    exact dedup (keep-lowest per order-sensitive frame fingerprint, the
+    x_video_dedup formula restricted to the audio survivors). Stems are
+    pure functions of doc_id, so every restriction is subset-safe."""
+    return (
+        r"""
+WITH pbase AS (
+  SELECT * FROM documents
+  WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) >= 10
+    AND length(regexp_replace(lower(text), '[^a-z]', '', 'g')) >= length(text) * 0.5
+), pexact AS (
+  SELECT * FROM pbase
+  QUALIFY row_number() OVER (
+    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    ORDER BY doc_id) = 1
+), """
+        + _minhash_pair_cte("pexact")
+        + """, plosers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM pjacc WHERE jaccard >= 0.85
+), tsurv AS (
+  SELECT e.* FROM pexact e LEFT JOIN plosers l ON l.doc_id = e.doc_id
+  WHERE l.doc_id IS NULL
+), """
+        + _PHASH_CTE.replace("FROM documents", "FROM tsurv")
+        + """, isurv AS (
+  SELECT t.* FROM tsurv t JOIN ph ON ph.doc_id = t.doc_id
+  QUALIFY row_number() OVER (PARTITION BY ph.phash ORDER BY t.doc_id) = 1
+), asrc AS (
+  SELECT doc_id, doc_id - doc_id % 3 AS stem FROM isurv
+), adims AS (
+  SELECT DISTINCT stem, 400 + (stem % 7) * 50 AS n, 1 + stem % 2 AS ch
+  FROM asrc
+), asamp AS (
+  SELECT d.stem, d.n, d.ch, i.i AS i, c.c AS c,
+         (d.stem * 37 + i.i * 13 + c.c * 101) % 4001 - 2000 AS v
+  FROM adims d,
+       LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(0, d.ch - 1)) AS c) c
+), adig AS (
+  SELECT stem, MIN(n) AS n_samples, MIN(ch) AS n_channels,
+         CAST(SUM(v) AS BIGINT) AS s_sum,
+         CAST(SUM(v * ((i * ch + c) % 97)) AS BIGINT) AS s_weighted
+  FROM asamp GROUP BY stem
+), akeep AS (
+  SELECT a.doc_id
+  FROM asrc a JOIN adig d ON d.stem = a.stem
+  QUALIFY row_number() OVER (
+    PARTITION BY d.n_samples, d.n_channels, d.s_sum, d.s_weighted
+    ORDER BY a.doc_id) = 1
+), asurv AS (
+  SELECT i.* FROM isurv i JOIN akeep USING (doc_id)
+), vsrc AS (
+  SELECT doc_id, doc_id - doc_id % 4 AS stem FROM asurv
+), vdims AS (
+  SELECT DISTINCT stem, 8 + 4 * (stem % 3) AS w, 6 + 2 * (stem % 2) AS h,
+         2 + stem % 3 AS nf
+  FROM vsrc
+), vpx AS (
+  SELECT d.stem, t.t AS frame_idx, d.w, d.h, d.nf,
+         (d.stem * 29 + t.t * 59 + x.x * 7 + y.y * 13 + c.c * 101) % 256
+           AS val,
+         (((y.y * d.w + x.x) * 3 + c.c) % 97) AS pw
+  FROM vdims d,
+       LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS t) t,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) y,
+       (SELECT unnest([0, 1, 2]) AS c) c
+), vdig AS (
+  SELECT stem, CAST(MIN(nf) AS BIGINT) AS n_frames,
+         MIN(w) AS width, MIN(h) AS height,
+         CAST(SUM(val) AS BIGINT) AS px_total,
+         CAST(SUM(val * pw * (frame_idx % 89 + 1)) AS BIGINT) AS px_ordered
+  FROM vpx GROUP BY stem
+), vkeep AS (
+  SELECT v.doc_id
+  FROM vsrc v JOIN vdig d ON d.stem = v.stem
+  QUALIFY row_number() OVER (
+    PARTITION BY d.n_frames, d.width, d.height, d.px_total, d.px_ordered
+    ORDER BY v.doc_id) = 1
+)
+SELECT a.* FROM asurv a JOIN vkeep USING (doc_id)"""
+    )
+
+
+@query("x_curation_pipeline_av", oracle=_curation_pipeline_av_oracle())
+def x_curation_pipeline_av(spark, sf_dir):
+    """The curation pipeline composed across ALL FIVE dedup modalities
+    (round 10): text quality gate → exact text dedup → MinHash near-dup
+    drop → IMAGE exact dedup (decoded aHash) → AUDIO exact dedup (decoded
+    PCM sample digest, x_wav_dedup's fingerprint) → VIDEO exact dedup
+    (order-sensitive decoded frame fingerprint, x_video_dedup's) — each
+    stage keep-lowest-doc_id per content fingerprint over the previous
+    stage's survivors, final survivor set value-hash-checked against
+    DuckDB recomputing every stage including all three decoded-pixel/
+    sample families. Scale shape: composition of the already-audited
+    per-stage plans — Arrow-batched decodes, integer-key groupBys,
+    band-bucket equi-join; no new shuffle class, and each decode pass
+    touches only the shrinking survivor set."""
+    surv = D.dedup_pipeline_portable(load_table(spark, sf_dir, "documents"))
+
+    def keep_first(hashes, cols):
+        w = Window.partitionBy(*cols).orderBy("doc_id")
+        return (
+            hashes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("doc_id")
+        )
+
+    img = M.ahash_from_blobs(M.synthetic_bmp_blobs(surv))
+    surv = surv.join(keep_first(img, ["phash"]), "doc_id")
+
+    aud = AU.decode_sample_stats(AU.synthetic_wav_blobs_stemmed(surv, mod=3))
+    surv = surv.join(
+        keep_first(
+            aud, ["rate", "n_samples", "n_channels", "s_sum", "s_weighted"]
+        ),
+        "doc_id",
+    )
+
+    vid = VI.decode_frame_stats(
+        VI.synthetic_avi_blobs_stemmed(surv, mod=4), every_k=1
+    )
+    fp = vid.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("width").alias("width"),
+        F.min("height").alias("height"),
+        F.sum("px_sum").alias("px_total"),
+        F.sum(F.col("px_weighted") * (F.col("frame_idx") % 89 + 1)).alias(
+            "px_ordered"
+        ),
+    )
+    return surv.join(
+        keep_first(
+            fp, ["n_frames", "width", "height", "px_total", "px_ordered"]
+        ),
+        "doc_id",
+    )

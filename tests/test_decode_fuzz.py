@@ -14,7 +14,10 @@ the suite itself stays derandomized): round 9 found 2 real bugs; round 10
 ran 3,000 rounds × 5 containers × 2 checks (~30k decodes: truncation,
 1-8-byte corruption, window splices, appended noise, cross-format body
 swaps, every payload also through the decode_image dispatcher) — zero
-contract escapes.
+contract escapes — plus a CHUNK-LEVEL campaign (4,000 rounds × 4
+containers: PNG chunk shuffle/duplicate/drop/length-flip, RIFF window
+duplicate/drop + size-field flips, JPEG marker-segment shuffles) — also
+zero escapes.
 """
 
 from __future__ import annotations

@@ -168,3 +168,53 @@ def test_curation_pipeline_composes_text_and_image_stages(spark):
     assert final < text_surv  # strict subset: image stage dropped someone
     res = check_query(spark, sf, "x_curation_pipeline")
     assert res["ok"], res
+
+
+def test_curation_pipeline_av_every_stage_active(spark):
+    """Round 10 capstone: the FIVE-modality pipeline's audio and video
+    stages must each be ACTIVE at fixture scale (strictly shrink the
+    previous stage's survivor set — a no-op tail stage would green-wash
+    the composition), and the end-to-end result must match its oracle."""
+    from metrics_database_cron_script_spark.oracle import check_query
+    from metrics_database_cron_script_spark.plans import QUERIES
+    from metrics_database_cron_script_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    img_surv = {
+        r["doc_id"]
+        for r in QUERIES["x_curation_pipeline"](spark, sf)
+        .select("doc_id")
+        .collect()
+    }
+    final = {
+        r["doc_id"]
+        for r in QUERIES["x_curation_pipeline_av"](spark, sf)
+        .select("doc_id")
+        .collect()
+    }
+    assert final < img_surv, "audio/video stages dropped nobody"
+    # prove EACH tail stage active: rebuild the audio-stage survivor set
+    # from the same operators, then video must still shrink it
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.functions import audio as AU
+
+    img_df = load_table(spark, sf, "documents").filter(
+        F.col("doc_id").isin(list(img_surv))
+    )
+    aud = AU.decode_sample_stats(AU.synthetic_wav_blobs_stemmed(img_df, mod=3))
+    w = Window.partitionBy(
+        "rate", "n_samples", "n_channels", "s_sum", "s_weighted"
+    ).orderBy("doc_id")
+    aud_surv = {
+        r["doc_id"]
+        for r in aud.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id")
+        .collect()
+    }
+    assert aud_surv < img_surv, "audio stage dropped nobody"
+    assert final < aud_surv, "video stage dropped nobody"
+    res = check_query(spark, sf, "x_curation_pipeline_av")
+    assert res["ok"], res
