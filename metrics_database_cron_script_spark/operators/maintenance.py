@@ -170,10 +170,20 @@ def compact(
             # one job for ALL packable leaves: basePath re-attaches the
             # partition columns, repartition on them collapses each
             # leaf's debt into one task, partitionBy restores the layout
-            pcols = [
-                seg.split("=", 1)[0]
-                for seg in _rel(next(iter(plan))).split(os.sep)
-            ]
+            rels = [_rel(leaf) for leaf in plan]
+            if any(
+                r == "__root__" or not all("=" in seg for seg in r.split(os.sep))
+                for r in rels
+            ) or len({len(r.split(os.sep)) for r in rels}) != 1:
+                # parquet files at the table root NEXT TO partition dirs
+                # (or non-hive subdirs): partition inference is already
+                # silently dropping rows for every reader — refuse to
+                # "maintain" a corrupt layout instead of entrenching it
+                raise ValueError(
+                    f"{base}: mixed flat/partitioned layout "
+                    f"({sorted(rels)}) — repair the table before compaction"
+                )
+            pcols = [seg.split("=", 1)[0] for seg in rels[0].split(os.sep)]
             paths = [
                 os.path.join(leaf, f)
                 for leaf, (small, _f, _n) in plan.items()

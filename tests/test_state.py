@@ -453,3 +453,34 @@ def test_compact_multi_leaf_is_one_job(spark, tmp_path):
         (r["id"], r["cell"]) for r in spark.read.parquet(path).collect()
     )
     assert got == want
+
+
+def test_compact_refuses_mixed_flat_partitioned_layout(spark, tmp_path):
+    """Parquet files at the table root NEXT TO partition directories mean
+    partition inference is already silently dropping rows for every
+    reader; compaction must refuse loudly rather than entrench (or
+    worsen) the corruption."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact,
+    )
+
+    path = str(tmp_path / "mixed")
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 2).alias("chain")
+    )
+    df.repartition(6).write.partitionBy("chain").parquet(path)
+    # simulate the corrupting flat append: copy a leaf file to the root
+    leaf = os.path.join(path, "chain=0")
+    parts = [f for f in sorted(os.listdir(leaf)) if f.endswith(".parquet")]
+    assert len(parts) >= 3
+    for i, f in enumerate(parts[:3]):
+        shutil.copy(os.path.join(leaf, f), os.path.join(path, f"flat-{i}.parquet"))
+
+    with _pytest.raises(ValueError, match="mixed flat/partitioned"):
+        compact(spark, path, target_mb=64)
