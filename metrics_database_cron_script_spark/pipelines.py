@@ -616,8 +616,11 @@ def run_batch(
 
 
 # Append sinks whose file count grows with every cron run. The overwrite
-# snapshots (stats, daily_rollup, watermark, frontier markers) rewrite
-# themselves each run and stay at a bounded file count — never listed here.
+# snapshots (stats, daily_rollup, watermark, frontier markers, and the
+# phash EDGE state — atomic_overwrite every batch, update_image_dedup)
+# rewrite themselves each run and stay at a bounded file count — never
+# listed here: compacting a snapshot buys nothing the next overwrite
+# doesn't reset.
 APPEND_SINKS = (
     "prices",
     "tx_enriched",
@@ -628,7 +631,6 @@ APPEND_SINKS = (
     "seen_users",
     "phash_chunks",
     "phash_hashes",
-    "phash_edges",
     "ivf_index",
 )
 
