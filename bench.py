@@ -225,6 +225,28 @@ def main() -> None:
     control_post = noise_control(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     sf = src_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Round-10 verdict, What's wrong #1: the single JSON line carrying
+    # headline + detail + control outgrew the driver's tail-capture window
+    # (BENCH_r10.json parsed: null). Emit the per-query detail and the
+    # machine-state controls on their OWN line first (still one JSON object,
+    # still in the artifact), and keep the FINAL line compact — exactly the
+    # {metric, value, unit, queries, sf, layout} headline the driver parses.
+    # Timing methodology is unchanged (same queries, same count() drain,
+    # same min-of-5); only the print format moved.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_detail",
+                # per-query min/max/jobs/tasks — the floor-attribution block
+                "detail": detail,
+                # machine-state controls bracketing the measured loop: when
+                # a round-over-round headline delta is NOT mirrored by these
+                # fixed-plan probes, the delta is plan drift; when it is
+                # mirrored, it is machine state (README "Benchmarks" notes)
+                "control": {"pre": control_pre, "post": control_post},
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -234,12 +256,6 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "layout": "presplit" if sf_dir != src_dir else "raw",
-                "detail": detail,
-                # machine-state controls bracketing the measured loop: when
-                # a round-over-round headline delta is NOT mirrored by these
-                # fixed-plan probes, the delta is plan drift; when it is
-                # mirrored, it is machine state (README "Benchmarks" notes)
-                "control": {"pre": control_pre, "post": control_post},
             }
         )
     )

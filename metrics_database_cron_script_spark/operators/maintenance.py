@@ -52,7 +52,7 @@ def leaf_parquet_dirs(path: str) -> list[str]:
     return sorted(leaves)
 
 
-def recover_staging(base: str) -> None:
+def recover_staging(base: str) -> list[str]:
     """Reap-or-restore leftover `__compact-*` staging from a crashed run.
 
     The swap protocol per leaf is: (1) write staging/tmp/<rel>, (2) rename
@@ -63,7 +63,15 @@ def recover_staging(base: str) -> None:
     before cleanup) are superseded copies and are discarded with the rest
     of the staging. tmp/ content is always discardable: it was never the
     only copy. Idempotent and cheap (one listdir when there is no
-    leftover), so the daily driver runs it unconditionally."""
+    leftover), so the daily driver runs it unconditionally — at the START
+    of the run, before anything reads a sink: healing only at end-of-run
+    would let the batch steps see (and recreate) a missing sink, after
+    which the late heal would discard the restored history as superseded.
+
+    Returns the restored leaf paths (empty when there was nothing to heal)
+    so callers can invalidate Spark's cached FileIndex for the table —
+    a restore changes the file listing without any Spark write."""
+    restored: list[str] = []
     parent, name = os.path.split(base)
     for n in os.listdir(parent or "."):
         if not n.startswith(f"{name}.__compact-"):
@@ -84,7 +92,9 @@ def recover_staging(base: str) -> None:
                         # empty placeholder dir: replace wholesale
                         shutil.rmtree(leaf)
                     os.rename(root, leaf)
+                    restored.append(leaf)
         shutil.rmtree(staging, ignore_errors=True)
+    return restored
 
 
 def compact(
@@ -130,9 +140,30 @@ def compact(
     recover_staging(base)
     staging = f"{base}.__compact-{uuid.uuid4().hex[:8]}"
     target_bytes = target_mb * 1024 * 1024
-    # plan first: which leaves pack, their small/full file sets
+
+    def _rel(leaf: str) -> str:
+        r = os.path.relpath(leaf, base)
+        return "__root__" if r == "." else r
+
+    all_leaves = leaf_parquet_dirs(path)
+    # Layout-uniformity check over EVERY leaf, not just the packable ones:
+    # a single parquet file at the table root next to partition dirs (or a
+    # non-hive subdir) corrupts partition inference for every reader, and
+    # whether that stray leaf happens to be packable this run must not
+    # decide whether we refuse to entrench it.
+    all_rels = [_rel(leaf) for leaf in all_leaves]
+    if all_rels and all_rels != ["__root__"]:
+        if any(
+            r == "__root__" or not all("=" in seg for seg in r.split(os.sep))
+            for r in all_rels
+        ) or len({len(r.split(os.sep)) for r in all_rels}) != 1:
+            raise ValueError(
+                f"{base}: mixed flat/partitioned layout "
+                f"({sorted(all_rels)}) — repair the table before compaction"
+            )
+    # plan: which leaves pack, their small/full file sets
     plan: dict[str, tuple[set, list, int]] = {}
-    for leaf in leaf_parquet_dirs(path):
+    for leaf in all_leaves:
         files = [
             (f, os.path.getsize(os.path.join(leaf, f)))
             for f in os.listdir(leaf)
@@ -146,10 +177,6 @@ def compact(
         plan[leaf] = (small, files, n_out)
     if not plan:
         return parquet_file_count(path)
-
-    def _rel(leaf: str) -> str:
-        r = os.path.relpath(leaf, base)
-        return "__root__" if r == "." else r
 
     tmp_root = os.path.join(staging, "tmp")
     try:
@@ -170,19 +197,8 @@ def compact(
             # one job for ALL packable leaves: basePath re-attaches the
             # partition columns, repartition on them collapses each
             # leaf's debt into one task, partitionBy restores the layout
+            # (layout uniformity already validated over ALL leaves above)
             rels = [_rel(leaf) for leaf in plan]
-            if any(
-                r == "__root__" or not all("=" in seg for seg in r.split(os.sep))
-                for r in rels
-            ) or len({len(r.split(os.sep)) for r in rels}) != 1:
-                # parquet files at the table root NEXT TO partition dirs
-                # (or non-hive subdirs): partition inference is already
-                # silently dropping rows for every reader — refuse to
-                # "maintain" a corrupt layout instead of entrenching it
-                raise ValueError(
-                    f"{base}: mixed flat/partitioned layout "
-                    f"({sorted(rels)}) — repair the table before compaction"
-                )
             pcols = [seg.split("=", 1)[0] for seg in rels[0].split(os.sep)]
             paths = [
                 os.path.join(leaf, f)
@@ -209,6 +225,34 @@ def compact(
                     f"({sorted(staged - expected)} not in plan) — "
                     "compaction aborted before any swap"
                 )
+            # Per-leaf correspondence, not just set subset: two plan rels
+            # whose dir names decode to the SAME typed value (cell=08 and
+            # cell=8) re-encode into one canonical staged leaf — staged is
+            # still a subset of expected, but the swap would merge the
+            # non-canonical leaf's rows into the canonical leaf while the
+            # non-canonical leaf keeps its original files: duplicated rows.
+            # A plan leaf may legitimately be absent from staged ONLY when
+            # every small file it contributed is zero-row (parquet footers
+            # are authoritative and cheap to read).
+            missing = expected - staged
+            if missing:
+                import pyarrow.parquet as _pq
+
+                for leaf, (small, _files2, _n2) in plan.items():
+                    if _rel(leaf) not in missing:
+                        continue
+                    rows = sum(
+                        _pq.ParquetFile(os.path.join(leaf, f)).metadata.num_rows
+                        for f in small
+                    )
+                    if rows:
+                        raise ValueError(
+                            f"{base}: partition dir {_rel(leaf)!r} did not "
+                            f"round-trip to itself ({rows} rows re-encoded "
+                            "into a different leaf — value-collision between "
+                            "partition dir spellings) — compaction aborted "
+                            "before any swap"
+                        )
         # swap each packed leaf: full-size files ride as hardlinks (same
         # bytes, new directory entry, zero copy — same-filesystem sibling
         # staging), then the two-rename crash-recoverable swap

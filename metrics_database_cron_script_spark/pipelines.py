@@ -556,6 +556,23 @@ def run_batch(
     import time as _time
 
     os.makedirs(state_dir, exist_ok=True)
+    # Heal crashed-compaction staging BEFORE any step reads a sink. A crash
+    # between compaction's two swap renames leaves a sink (flat root or
+    # partition leaf) absent with its only copy under staging/old; if P1-P8
+    # ran first they would see a missing sink, recreate it with just the new
+    # batch, and the END-of-run recover_staging would then treat staging/old
+    # as superseded and delete the sink's entire history. Idempotent and one
+    # listdir per sink when there is nothing to heal; the end-of-run call in
+    # run_maintenance stays (it is idempotent too).
+    from metrics_database_cron_script_spark.operators import maintenance as _M
+
+    for _name in APPEND_SINKS:
+        _path = _sink(state_dir, _name)
+        if _M.recover_staging(_path.rstrip("/")):
+            # the heal changed the file listing without a Spark write:
+            # drop any cached FileIndex so this session reads the
+            # restored layout, not a stale (possibly FILE_NOT_EXIST) one
+            spark.catalog.refreshByPath(_path)
     events = load_table(spark, sf_dir, "events")
     wm_store = ST.Watermark(spark, state_dir)
     watermark = wm_store.read()
@@ -666,9 +683,17 @@ def run_maintenance(
     report: dict[str, dict[str, int]] = {}
     for name in APPEND_SINKS:
         path = _sink(state_dir, name)
+        # recover BEFORE the isdir gate: in the crash window a FLAT sink's
+        # root is itself the renamed-away leaf, so the path may not exist
+        # until recover_staging restores it
+        if M.recover_staging(path.rstrip("/")):
+            # restored leaves changed the listing without a Spark write —
+            # refresh even when the sink stays below trigger_files and no
+            # compaction follows (a stale FileIndex throws FILE_NOT_EXIST
+            # on the next same-session read)
+            spark.catalog.refreshByPath(path)
         if not os.path.isdir(path):
             continue
-        M.recover_staging(path.rstrip("/"))
         before = M.parquet_file_count(path)
         if before < trigger_files:
             continue

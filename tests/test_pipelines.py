@@ -666,3 +666,46 @@ def test_p9_compaction_bin_packs_sinks_and_preserves_replay(spark, state_dir):
     assert r2["tx_appended"] == 0
     assert all(v == 0 for v in r2["routing_appended"].values())
     assert r2["compaction"] == {}
+
+
+def test_run_batch_heals_crashed_compaction_before_reading_sinks(
+    spark, state_dir, tmp_path
+):
+    """ADVICE r11 (high): a crash between compaction's two swap renames
+    leaves a sink absent with its only copy under staging/old. If the next
+    run's P1-P8 read (and recreate) the sink BEFORE healing, the
+    end-of-run recover_staging treats staging/old as superseded and
+    deletes the sink's entire history. run_batch must heal at the START."""
+    import datetime as _dt
+    import os
+
+    from metrics_database_cron_script_spark.pipelines import run_batch
+
+    cut = _dt.datetime(2024, 1, 15)
+    run_batch(spark, SF_SMOKE, state_dir, run_ts=cut)
+    sink = f"{state_dir}/tx_enriched.parquet"
+    pre_ids = {r["event_id"] for r in spark.read.parquet(sink).collect()}
+    assert pre_ids
+
+    # simulate the crash window: flat sink root renamed into staging/old,
+    # replacement never landed
+    staging = sink + ".__compact-deadbeef"
+    os.makedirs(os.path.join(staging, "tmp"))
+    os.makedirs(os.path.join(staging, "old"))
+    os.rename(sink, os.path.join(staging, "old", "__root__"))
+    assert not os.path.exists(sink)
+
+    run_batch(spark, SF_SMOKE, state_dir)
+    assert not os.path.exists(staging)
+
+    # the sink must equal one clean uninterrupted history (heal-then-append),
+    # not just the post-cut batch (recreate-then-reap = permanent data loss)
+    clean_dir = str(tmp_path / "clean")
+    run_batch(spark, SF_SMOKE, clean_dir)
+    got = {r["event_id"] for r in spark.read.parquet(sink).collect()}
+    want = {
+        r["event_id"]
+        for r in spark.read.parquet(f"{clean_dir}/tx_enriched.parquet").collect()
+    }
+    assert pre_ids <= got
+    assert got == want

@@ -484,3 +484,108 @@ def test_compact_refuses_mixed_flat_partitioned_layout(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="mixed flat/partitioned"):
         compact(spark, path, target_mb=64)
+
+
+def test_compact_refuses_mixed_layout_even_when_stray_is_unpackable(
+    spark, tmp_path
+):
+    """ADVICE r11 (low): the mixed-layout refusal must run over ALL leaves,
+    not just the packable ones — a SINGLE parquet file at the table root
+    (len(small) < min_files, so never in `plan`) previously slipped past
+    the guard and compaction proceeded on the corrupt layout."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact,
+    )
+
+    path = str(tmp_path / "mixed_one")
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 2).alias("chain")
+    )
+    df.repartition(6).write.partitionBy("chain").parquet(path)
+    leaf = os.path.join(path, "chain=0")
+    parts = [f for f in sorted(os.listdir(leaf)) if f.endswith(".parquet")]
+    # exactly ONE stray root file: unpackable on its own, still corrupting
+    shutil.copy(os.path.join(leaf, parts[0]), os.path.join(path, "flat-0.parquet"))
+
+    with _pytest.raises(ValueError, match="mixed flat/partitioned"):
+        compact(spark, path, target_mb=64)
+
+
+def test_compact_refuses_partition_value_collision(spark, tmp_path):
+    """ADVICE r11 (medium): two partition dirs whose names decode to the
+    SAME typed value (cell=08 and cell=8) re-encode into one canonical
+    staged leaf. The old subset guard (staged <= expected) passed and the
+    swap silently merged cell=08's rows into cell=8 while cell=08 kept its
+    original files — duplicated rows. Compaction must refuse before any
+    swap, leaving both leaves byte-identical."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        compact,
+    )
+
+    path = str(tmp_path / "coll")
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 2 + 8).alias("cell")  # cells 8 and 9
+    )
+    df.repartition(4).write.partitionBy("cell").parquet(path)
+    # forge the collision: the cell=9 leaf renamed to the non-canonical
+    # spelling of 8 (as a buggy external writer would produce)
+    os.rename(os.path.join(path, "cell=9"), os.path.join(path, "cell=08"))
+    before = {
+        leaf: sorted(os.listdir(os.path.join(path, leaf)))
+        for leaf in ("cell=08", "cell=8")
+    }
+
+    with _pytest.raises(ValueError, match="round-trip"):
+        compact(spark, path, target_mb=64)
+
+    # refusal happened BEFORE any swap: both leaves untouched
+    after = {
+        leaf: sorted(os.listdir(os.path.join(path, leaf)))
+        for leaf in ("cell=08", "cell=8")
+    }
+    assert after == before
+    assert not [
+        d for d in os.listdir(os.path.dirname(path)) if "__compact-" in d
+    ]
+
+
+def test_recover_staging_reports_restored_leaves(spark, tmp_path):
+    """recover_staging returns the restored leaf paths so callers can
+    refresh Spark's cached FileIndex (ADVICE r11, low): a restore changes
+    the listing without a Spark write, and skipping the refresh leaves a
+    stale index that can throw FILE_NOT_EXIST on the next read."""
+    import os
+
+    from metrics_database_cron_script_spark.operators.maintenance import (
+        recover_staging,
+    )
+
+    path = str(tmp_path / "sink")
+    spark.range(0, 10).write.parquet(path)
+
+    # nothing to heal → empty
+    assert recover_staging(path) == []
+
+    staging = path + ".__compact-deadbeef"
+    os.makedirs(os.path.join(staging, "old"))
+    os.rename(path, os.path.join(staging, "old", "__root__"))
+    assert recover_staging(path) == [path]
+    assert spark.read.parquet(path).count() == 10
+
+    # superseded copy (target exists again) → discarded, nothing restored
+    import shutil
+
+    os.makedirs(os.path.join(staging, "old"))
+    shutil.copytree(path, os.path.join(staging, "old", "__root__"))
+    assert recover_staging(path) == []
