@@ -434,16 +434,42 @@ def main() -> None:
     t0 = time.perf_counter()
     fresh.select("h").distinct().write.mode("append").parquet(seen_path)
     dedup_steps["seen_append_s"] = round(time.perf_counter() - t0, 3)
-    # step 3: verified near-dup cluster refresh from persisted state
+    # step 3: verified near-dup cluster refresh from persisted state.
+    # Round 11 (verdict item 2): the refresh exposes its intermediate
+    # frames via `_stages`; each is noop-materialized SEPARATELY after the
+    # real timed write so the artifact carries a per-stage decomposition
+    # of the one number that was 61% of the round-10 daily wall. Stage
+    # walls OVERLAP (each sub-DAG recomputes its upstream); the timed
+    # `edge_refresh_s` is the real end-to-end write, unchanged in
+    # methodology. Full protocol + before/after: bench_edge_refresh_
+    # decomp.py / BENCH_EDGE_REFRESH_DECOMP.json / OPTIMIZATION_r11.md.
     bands = spark.read.parquet(os.path.join(vstate, "bands"))
     store = spark.read.parquet(os.path.join(vstate, "store"))
     edges = spark.read.parquet(os.path.join(vstate, "edges"))
     next_edges = os.path.join(scratch, "edges-next")
+    stages: dict = {}
+    # the refresh CALL is inside the timed region: it eagerly materializes
+    # its O(batch) decision relations (see refresh_verified_star_edges)
     t0 = time.perf_counter()
-    D.refresh_verified_star_edges(bands, store, edges, batch).write.parquet(
-        next_edges
+    refreshed = D.refresh_verified_star_edges(
+        bands, store, edges, batch, _stages=stages
     )
+    refreshed.write.parquet(next_edges)
     dedup_steps["edge_refresh_s"] = round(time.perf_counter() - t0, 3)
+    edge_stage_walls: dict[str, float] = {}
+    for name in (
+        "batch_bands", "touched", "old_hubs", "new_members", "displaced",
+        "new_edges", "new_pairs", "store_needed", "verified", "carried",
+    ):
+        df = stages.get(name)
+        if df is None:
+            continue
+        spark.sparkContext.setJobDescription(f"edge_refresh stage: {name}")
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        edge_stage_walls[name] = round(time.perf_counter() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
+    dedup_steps["edge_refresh_stage_walls_s"] = edge_stage_walls
     t0 = time.perf_counter()
     comps = D.connected_components(
         spark.read.parquet(next_edges)
@@ -461,7 +487,11 @@ def main() -> None:
         .collect()[0]
     )
     dedup_steps["components_s"] = round(time.perf_counter() - t0, 3)
-    dedup_steps["total_s"] = round(sum(dedup_steps.values()), 3)
+    # total over the real pipeline steps only — the stage-wall probes are
+    # diagnostic re-materializations, not daily work
+    dedup_steps["total_s"] = round(
+        sum(v for v in dedup_steps.values() if isinstance(v, float)), 3
+    )
     phase("daily_dedup", {
         "corpus_docs": n_corpus,
         "batch_docs": n_batch,

@@ -961,7 +961,10 @@ def minhash_components_verified(
 
 
 def scored_star_edges(
-    bands: DataFrame, shingles: DataFrame, reuse_scores: DataFrame | None = None
+    bands: DataFrame,
+    shingles: DataFrame,
+    reuse_scores: DataFrame | None = None,
+    _stages: dict | None = None,
 ) -> DataFrame:
     """Bucket-attributed, Jaccard-scored star edges: for each LSH bucket
     (band, band_sig), the hub (min doc_id) connects to every other member,
@@ -994,7 +997,13 @@ def scored_star_edges(
     endpoints with a semi-join, so the per-doc size aggregation inside
     `verified_jaccard` never scans the whole store. Zero-intersection
     pairs (possible only via hash collision) score 0.0 instead of
-    vanishing, keeping the state total over its edge set."""
+    vanishing, keeping the state total over its edge set.
+
+    `_stages` (bench-only, round-11 verdict item 2): when a dict is
+    passed, the named intermediate frames are recorded in it so a bench
+    can attribute wall time per stage (noop-materialize each). Never
+    changes the plan — the frames are the same lazy objects the result
+    is built from."""
     hubs = bands.groupBy("band", "band_sig").agg(F.min("doc_id").alias("doc_a"))
     edges = (
         bands.join(hubs, ["band", "band_sig"])
@@ -1022,13 +1031,29 @@ def scored_star_edges(
             .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        needed = needed.join(ids, "doc_id", "leftsemi")
+        # broadcast explicitly: `ids` is O(new pairs) = O(batch) rows, but
+        # its size ESTIMATE derives from the joined batch pipeline and is
+        # wildly wrong — without the hint Catalyst plans a sort-merge semi
+        # that SHUFFLES the whole shingle store (measured 50 s of the 102 s
+        # refresh at the decade corpus vs a 3.5 s scan floor,
+        # BENCH_EDGE_REFRESH_DECOMP.json)
+        needed = needed.join(F.broadcast(ids), "doc_id", "leftsemi")
     scored = verified_jaccard(needed, pairs)
     out = (
         misses.join(scored, ["doc_a", "doc_b"], "left")
         .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
         .select(*cols)
     )
+    if _stages is not None:
+        _stages.update(
+            hubs=hubs,
+            candidate_edges=edges,
+            reuse_hits=hits,
+            reuse_misses=misses,
+            new_pairs=pairs,
+            store_needed=needed,
+            verified=scored,
+        )
     return out if hits is None else hits.unionByName(out)
 
 
@@ -1139,23 +1164,35 @@ def refresh_verified_star_edges(
     num_hashes: int | None = None,
     band_size: int | None = None,
     batch_shingles: DataFrame | None = None,
+    _stages: dict | None = None,
 ) -> DataFrame:
     """Daily refresh of the verified edge state: the batch pays its own
-    shingle + signature compute; buckets the batch collides with are
-    re-resolved (hub = min over FULL membership, index ∪ batch) and their
-    edges re-scored with pair-level score reuse (`scored_star_edges`);
-    every untouched bucket's edges carry forward by a bucket-key
-    anti-join, scanning neither the band index's untouched postings nor
-    the shingle store. Returns the refreshed edge state — same schema,
-    ready to persist as the next day's `index_edges` (the new band/shingle
-    state rows are the batch's own, appended by the caller).
+    shingle + signature compute; every persisted edge row carries forward
+    verbatim unless its bucket's HUB was displaced (hub = min doc_id, so
+    only a batch id below the old hub — non-monotone ingest — invalidates
+    a row); genuinely NEW (bucket, member) postings attach to their
+    bucket's hub as new edges and are Jaccard-verified against the
+    shingle store; the rare displaced buckets are recomputed over their
+    full membership. Cost is O(batch) edges verified + index SCANS only
+    (the round-11 optimization — the previous bucket-level recompute
+    re-derived full touched-bucket membership and pushed it through a
+    pair-level reuse join against the whole edge state, which at the
+    decade corpus meant 46 M membership rows and two full 48.6 M-row
+    state shuffles for 5,324 genuinely new pairs; see
+    BENCH_EDGE_REFRESH_DECOMP.json and OPTIMIZATION_r11.md). Returns the
+    refreshed edge state — same schema, ready to persist as the next
+    day's `index_edges` (the new band/shingle state rows are the batch's
+    own, appended by the caller).
 
     EXACTLY equals `verified_star_state(corpus ∪ batch)[2]` for any batch
     ids (oracled by x_minhash_components_verified_incremental against the
     full-recompute recursive CTE): hub displacement by an out-of-order id
-    is recomputed, not assumed away. With monotone ids (the production
-    append contract) verification touches O(batch) pairs only —
-    BENCH_NEARDUP_SFXL.json measures the decade-scale wall both ways.
+    is recomputed, not assumed away — and a reuse hit the bucket-filtered
+    displaced path no longer sees re-verifies to the identical score
+    (Jaccard is intrinsic to the pair; docs are immutable). With monotone
+    ids (the production append contract) verification touches O(batch)
+    pairs only — BENCH_NEARDUP_SFXL.json measures the decade-scale wall
+    both ways.
 
     A batch doc already present in the index contributes duplicate
     posting rows; membership is `distinct()`-ed so re-ingest cannot
@@ -1200,21 +1237,138 @@ def refresh_verified_star_edges(
         batch_bands = lsh_bands(
             minhash_signatures(batch_shingles, nh), nh, band_size
         )
-    # batch_bands feeds four plan legs and is deliberately NOT
+    # batch_bands feeds several plan legs and is deliberately NOT
     # materialized: recomputing the batch signature pipeline per leg costs
     # seconds (the batch is daily-sized by contract), while a
-    # localCheckpoint's accurate tiny stats cascade into the reuse join —
-    # the semi-filtered edge state inherits a small estimate and Spark
-    # broadcasts a ~30 M-row build relation. Measured on the decade
-    # corpus (same session, warm cache): plain 96 s, checkpoint-only
+    # localCheckpoint's accurate tiny stats cascade into downstream joins
+    # with surprising strategy flips. Measured on the decade corpus in
+    # round 10 (same session, warm cache): plain 96 s, checkpoint-only
     # 336 s, checkpoint + reuse-filter 484 s.
+    #
+    # Round 11 (optimization): EDGE-LEVEL carry-forward replaces the
+    # bucket-level recompute. The old shape re-derived the FULL membership
+    # of every touched bucket (index semi-join ∪ batch, distinct), rebuilt
+    # all (hub, member) candidate edges and pushed them through a
+    # pair-level reuse join against the whole edge state. Measured at the
+    # decade corpus (BENCH_EDGE_REFRESH_DECOMP.json, 12.8 M docs / 5 k
+    # batch): touched buckets covered 46.0 M of the 51.2 M-row band index
+    # (the corpus is clique-heavy by construction), 45.95 M of 45.97 M
+    # candidate edges were reuse HITS and only 5,324 pairs were new — the
+    # recompute did ~8,600× more candidate work than the new information
+    # content, and the reuse leg shuffled the 48.6 M-row edge state twice
+    # (3-column distinct, then a re-shuffle + sort on the pair key).
+    #
+    # The carry-forward observation: a persisted edge row (bucket b:
+    # hub→member) stays EXACTLY valid unless the batch changes b's hub —
+    # hub = min(member ids), so only a batch doc with id < old hub
+    # (non-monotone ingest) can displace it. Therefore:
+    #   carried    = every old edge except those of DISPLACED buckets
+    #                (broadcast anti-join on the bucket key — scan, no
+    #                shuffle; displaced is empty under the monotone
+    #                production contract);
+    #   new edges  = (old hub, m) for each genuinely new batch member m
+    #                of an existing bucket, plus (min, m) within
+    #                brand-new buckets — verified against the shingle
+    #                store exactly like any new pair (a new pair cannot
+    #                have a stored score: its batch endpoint is not in
+    #                the old state, and re-ingested members are filtered
+    #                out by the posting check);
+    #   displaced  = the rare buckets whose hub moved are recomputed with
+    #                the old machinery over their full membership, with
+    #                the reuse side bucket-filtered (a lost cross-bucket
+    #                reuse hit re-verifies to the identical Jaccard —
+    #                scores are intrinsic to the pair).
+    # Every broadcast below is bounded by O(batch × bands) rows (the
+    # daily-batch contract this function already leans on); the index is
+    # only ever SCANNED (3× bands, 2× edges, 1× store), never shuffled.
+    # Refresh ≡ full recompute is pinned by
+    # tests/test_verified_incremental.py (monotone, interleaved/hub-
+    # displacement, re-ingest, both hash modes) and the
+    # x_minhash_components_verified_incremental oracle.
     touched = batch_bands.select("band", "band_sig").distinct()
-    members = (
-        index_bands.select("doc_id", "band", "band_sig")
-        .join(touched, ["band", "band_sig"], "leftsemi")
-        .unionByName(batch_bands.select("doc_id", "band", "band_sig"))
+    bt = F.broadcast(touched)
+    postings = index_bands.select("doc_id", "band", "band_sig")
+    touched_postings = postings.join(bt, ["band", "band_sig"], "leftsemi")
+    # min() combines map-side: the shuffle carries one partial row per
+    # (task, touched bucket), never the posting stream itself
+    old_hubs = touched_postings.groupBy("band", "band_sig").agg(
+        F.min("doc_id").alias("__old_hub")
+    )
+    batch_members = batch_bands.select("doc_id", "band", "band_sig").distinct()
+    # re-ingested (bucket, doc) postings already in the index: their edges
+    # are already in the carried state — emitting them again would
+    # duplicate rows (the invariant test_refresh_tolerates_reingested_
+    # batch_docs pins)
+    already = touched_postings.join(
+        F.broadcast(batch_members), ["band", "band_sig", "doc_id"], "leftsemi"
+    )
+    # no hints below this line unless the LEFT side is index-sized: a
+    # small⋈small join is cheap under any strategy, and every F.broadcast
+    # adds a driver-collected build whose subtree nests the ones above —
+    # plan depth the connected-components collapse pass then re-executes
+    new_members = batch_members.join(
+        already, ["band", "band_sig", "doc_id"], "left_anti"
+    )
+    # EAGER plan truncation: `nm` is the whole batch-placement decision —
+    # O(batch × bands) rows — and EVERY downstream leg (new edges,
+    # displaced keys, the carried anti-join's broadcast, the verification
+    # endpoints) re-nests its subtree (band index agg + membership probe
+    # + batch signature pipeline). Left lazy, the duplicated subtrees
+    # exploded the composed plan to 130 parquet scans / 206
+    # BroadcastExchange nodes at the decade corpus (measured via
+    # explain("formatted")) and OOMed the driver-contract 1 GiB session
+    # at sf0.01; checkpointed, each is computed once and every consumer
+    # is a shallow plan over a cached O(batch)-row leaf. Eager-at-call is
+    # the established pattern for in-plan state builds (the
+    # x_phash_components_incremental builder, connected_components'
+    # collapse phase); benches time the refresh CALL + write together so
+    # this work stays inside the measured wall.
+    nm = new_members.join(old_hubs, ["band", "band_sig"], "left").localCheckpoint(
+        eager=True
+    )
+    displaced = (
+        nm.filter(F.col("doc_id") < F.col("__old_hub"))
+        .select("band", "band_sig")
         .distinct()
     )
+    bd = F.broadcast(displaced)
+    # unchanged-hub existing buckets: the new member attaches to the old hub
+    unchanged_new = (
+        nm.filter(F.col("__old_hub").isNotNull() & (F.col("doc_id") > F.col("__old_hub")))
+        .join(bd, ["band", "band_sig"], "left_anti")
+        .select(
+            "band",
+            "band_sig",
+            F.col("__old_hub").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+    )
+    # brand-new buckets (no old postings): hub = min batch member
+    w_bucket = Window.partitionBy("band", "band_sig")
+    newb_edges = (
+        nm.filter(F.col("__old_hub").isNull())
+        .withColumn("doc_a", F.min("doc_id").over(w_bucket))
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("band", "band_sig", "doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    new_edges = unchanged_new.unionByName(newb_edges)
+    # crash-replay idempotency: the state commit protocol overwrites the
+    # EDGE state before appending the batch's postings (pipelines P7 and
+    # the daily-bench replay re-run the refresh with the refreshed edges
+    # but the PRE-batch band index), so a replayed batch member is
+    # invisible to the posting check above yet its edge already exists.
+    # Suppress any new edge whose (bucket, member) is already an edge row
+    # — the edges-side twin of the `already` posting check. One extra
+    # edge-state SCAN (broadcast semi both ways, O(batch) build sides),
+    # no shuffle; on a healthy run the suppression set is empty.
+    already_edges = index_edges.select("band", "band_sig", "doc_b").join(
+        F.broadcast(new_edges.select("band", "band_sig", "doc_b")),
+        ["band", "band_sig", "doc_b"],
+        "leftsemi",
+    )
+    new_edges = new_edges.join(
+        already_edges, ["band", "band_sig", "doc_b"], "left_anti"
+    ).localCheckpoint(eager=True)  # leaf for pairs/ids/scoring (see nm)
     # align the batch's verification keys with the store's keyspace: the
     # store holds 8-byte xxhash64 shingles (the decade-scale join shape);
     # a raw-string batch relation is hashed to match
@@ -1231,18 +1385,85 @@ def refresh_verified_star_edges(
             f"{batch_t} — verification joins would silently find nothing"
         )
     all_sh = index_shingles.select("doc_id", "shingle").unionByName(b_sh)
-    # The reuse side is the WHOLE edge state, deliberately: semi-filtering
-    # it to touched buckets first looked like a win (scan+filter instead
-    # of a shuffle) but measured 2.2× SLOWER on the decade corpus — the
-    # filter adds a second full shuffle of the 30 M-row state ahead of the
-    # pair-distinct, and under mis-estimated stats can bait a giant
-    # broadcast. One sort-merge join on the pair key is the quiet shape.
-    recomputed = scored_star_edges(members, all_sh, reuse_scores=index_edges)
+    # exact-Jaccard verification of the NEW pairs only (endpoints semi-
+    # restrict the store scan, same as the old reuse-miss path); a pair
+    # with zero surviving intersection (hash collision) scores 0.0, the
+    # state-totality rule scored_star_edges documents. A crash replay
+    # suppresses every new edge above — the probe (one trivial job over
+    # the checkpointed leaf) then skips the store scan entirely.
+    pairs = new_edges.select("doc_a", "doc_b").distinct()
+    if new_edges.limit(1).count() == 0:
+        needed = all_sh.limit(0)
+        new_scored = new_edges.withColumn("jaccard", F.lit(0.0))
+        scored = new_scored.select("doc_a", "doc_b", "jaccard")
+    else:
+        ids = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # broadcast: O(batch)-bounded endpoints; un-hinted, the store semi
+        # planned as a full 679 M-row sort-merge shuffle (see the same
+        # hint in scored_star_edges' reuse branch). persist:
+        # verified_jaccard references this frame THREE times (doc_a side,
+        # doc_b side, per-doc sizes) and each un-persisted reference
+        # re-scans the full shingle store — at the decade corpus that is
+        # 3 × 4.5 s of scan for an O(batch)-row (~8 MB) frame. The cached
+        # footprint is bounded by the batch's own shingles plus its
+        # hubs', released with the session (same precedent as the
+        # posting-list persists in char_ngram_jaccard).
+        needed = all_sh.join(F.broadcast(ids), "doc_id", "leftsemi").persist()
+        scored = verified_jaccard(needed, pairs)
+        new_scored = (
+            new_edges.join(scored, ["doc_a", "doc_b"], "left")
+            .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
+        )
+    # displaced buckets (non-monotone ingest only): full old-style
+    # recompute over their membership, reuse side bucket-filtered. The
+    # branch is decided HERE (displaced derives from the checkpointed
+    # decision leaf, so the probe is one trivial job): on the monotone
+    # production contract it is empty, and skipping the sub-DAG removes
+    # its whole plan weight — scored_star_edges references the shingle
+    # store three times and the posting/edge states once each, all of
+    # which would otherwise scan per execution just to produce 0 rows.
     cols = ["band", "band_sig", "doc_a", "doc_b", "jaccard"]
-    untouched = index_edges.select(*cols).join(
-        touched, ["band", "band_sig"], "left_anti"
+    d_stages: dict | None = {} if _stages is not None else None
+    if displaced.limit(1).count() == 0:
+        recomputed_d = index_edges.select(*cols).limit(0)
+    else:
+        members_d = (
+            touched_postings.join(bd, ["band", "band_sig"], "leftsemi")
+            .unionByName(
+                batch_members.join(bd, ["band", "band_sig"], "leftsemi")
+            )
+            .distinct()
+        )
+        known_d = index_edges.join(bd, ["band", "band_sig"], "leftsemi")
+        recomputed_d = scored_star_edges(
+            members_d, all_sh, reuse_scores=known_d, _stages=d_stages
+        )
+    carried = index_edges.select(*cols).join(
+        bd, ["band", "band_sig"], "left_anti"
     )
-    return untouched.unionByName(recomputed.select(*cols))
+    if _stages is not None:
+        _stages.update(
+            {f"displaced_{k}": v for k, v in (d_stages or {}).items()}
+        )
+        _stages.update(
+            batch_bands=batch_bands,
+            touched=touched,
+            old_hubs=old_hubs,
+            new_members=new_members,
+            displaced=displaced,
+            new_edges=new_edges,
+            new_pairs=pairs,
+            store_needed=needed,
+            verified=scored,
+            carried=carried,
+        )
+    return carried.unionByName(new_scored.select(*cols)).unionByName(
+        recomputed_d.select(*cols)
+    )
 
 
 def minhash_components_verified_refresh(
@@ -1282,6 +1503,15 @@ def minhash_components_verified_refresh(
             edges.filter(F.col("jaccard") >= min_jaccard)
             .select("doc_a", "doc_b")
             .distinct()  # a pair can arrive from several buckets
+            # materialize ONCE before the components loop: the collapse
+            # phase makes several passes over the pair set, and each pass
+            # would otherwise re-execute the whole refresh DAG (its
+            # broadcast builds included) — measured to OOM the 1 GiB
+            # driver-contract session at sf0.01 once the round-11
+            # carry-forward refresh added broadcast legs. Eager is correct
+            # here: connected_components itself runs eagerly on the next
+            # line, and batch_sh must stay persisted through both.
+            .localCheckpoint(eager=True)
         )
         return connected_components(good)
     finally:

@@ -18,7 +18,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
@@ -1293,38 +1293,151 @@ def refresh_phash_star_edges(
     index_edges: DataFrame,
     batch_hashes: DataFrame,
 ) -> DataFrame:
-    """Daily refresh of the image edge state, O(batch + touched-bucket
-    membership) — the image twin of dedup.refresh_verified_star_edges:
-    the batch pays its own decode+aHash (it arrives here as hashes);
-    buckets the batch collides with re-resolve their hub over the FULL
-    membership (index ∪ batch — a batch doc with a smaller id DISPLACES
-    the stored hub, recomputed not assumed away) and re-score their star
-    edges; every untouched bucket's edges carry forward by a bucket-key
-    anti-join, scanning neither the untouched index postings nor the
-    hash store. EXACTLY equals phash_star_state(corpus ∪ batch)[2] for
-    any batch ids (oracled by x_phash_components_incremental against the
+    """Daily refresh of the image edge state, O(batch) — the image twin
+    of dedup.refresh_verified_star_edges (round-11 carry-forward shape):
+    the batch pays its own decode+aHash (it arrives here as hashes); a
+    persisted edge row (bucket: hub→member) stays exactly valid unless
+    the batch DISPLACES its bucket's hub (a batch id below the old hub —
+    non-monotone ingest), so every old edge outside the displaced
+    buckets carries forward by one broadcast anti-join; genuinely new
+    (bucket, member) postings attach to their bucket's hub (or form new
+    buckets around their own min) and only THOSE pairs are Hamming-
+    scored, against a hash store semi-restricted to the new-edge
+    endpoints; displaced buckets recompute over their full membership
+    with the old machinery. The previous shape re-derived full
+    touched-bucket membership and re-scored every touched edge — at the
+    2.56 M-image SFXL corpus that recomputation was 0.185× a full
+    rebuild; this one does O(batch) scoring work and index SCANS only.
+    EXACTLY equals phash_star_state(corpus ∪ batch)[2] for any batch ids
+    (oracled by x_phash_components_incremental against the
     full-recompute recursive CTE over an interleaved hub-displacing
-    split). Re-ingested batch docs are absorbed by the membership/store
-    distinct()s, so replay cannot double edge rows."""
+    split). Re-ingested batch docs are filtered out by the posting
+    membership check, so replay cannot double edge rows. Broadcasts are
+    bounded by O(batch × chunks) rows (the daily-batch contract)."""
     batch_chunks = phash_chunks(batch_hashes)
     touched = batch_chunks.select("chunk_id", "chunk").distinct()
-    members = (
-        index_chunks.select("doc_id", "chunk_id", "chunk")
-        .join(touched, ["chunk_id", "chunk"], "leftsemi")
-        .unionByName(batch_chunks.select("doc_id", "chunk_id", "chunk"))
+    bt = F.broadcast(touched)
+    touched_postings = index_chunks.select("doc_id", "chunk_id", "chunk").join(
+        bt, ["chunk_id", "chunk"], "leftsemi"
+    )
+    old_hubs = touched_postings.groupBy("chunk_id", "chunk").agg(
+        F.min("doc_id").alias("__old_hub")
+    )
+    batch_members = batch_chunks.select("doc_id", "chunk_id", "chunk").distinct()
+    already = touched_postings.join(
+        F.broadcast(batch_members), ["chunk_id", "chunk", "doc_id"], "leftsemi"
+    )
+    new_members = batch_members.join(
+        already, ["chunk_id", "chunk", "doc_id"], "left_anti"
+    )
+    # EAGER plan truncation at the O(batch) decision relation — same
+    # rationale and same plan-explosion/1 GiB-driver failure mode as the
+    # text twin (dedup.refresh_verified_star_edges): every downstream leg
+    # re-nests the index-probe subtree without it
+    nm = new_members.join(old_hubs, ["chunk_id", "chunk"], "left").localCheckpoint(
+        eager=True
+    )
+    displaced = (
+        nm.filter(F.col("doc_id") < F.col("__old_hub"))
+        .select("chunk_id", "chunk")
         .distinct()
     )
-    all_hashes = (
-        index_hashes.select("doc_id", "phash")
-        .unionByName(batch_hashes.select("doc_id", "phash"))
-        .distinct()
+    bd = F.broadcast(displaced)
+    unchanged_new = (
+        nm.filter(
+            F.col("__old_hub").isNotNull() & (F.col("doc_id") > F.col("__old_hub"))
+        )
+        .join(bd, ["chunk_id", "chunk"], "left_anti")
+        .select(
+            "chunk_id",
+            "chunk",
+            F.col("__old_hub").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
     )
-    recomputed = phash_star_edges(members, all_hashes)
+    w_bucket = Window.partitionBy("chunk_id", "chunk")
+    newb_edges = (
+        nm.filter(F.col("__old_hub").isNull())
+        .withColumn("doc_a", F.min("doc_id").over(w_bucket))
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("chunk_id", "chunk", "doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    new_edges = unchanged_new.unionByName(newb_edges)
+    # crash-replay idempotency (the P7 commit order overwrites EDGES before
+    # appending chunk postings, so a replayed batch member is invisible to
+    # the posting check but its edge already exists): suppress new edges
+    # whose (bucket, member) is already an edge row — empty on healthy runs
+    already_edges = index_edges.select("chunk_id", "chunk", "doc_b").join(
+        F.broadcast(new_edges.select("chunk_id", "chunk", "doc_b")),
+        ["chunk_id", "chunk", "doc_b"],
+        "leftsemi",
+    )
+    new_edges = new_edges.join(
+        already_edges, ["chunk_id", "chunk", "doc_b"], "left_anti"
+    ).localCheckpoint(eager=True)  # leaf for endpoint ids + scoring joins
+    all_hashes = index_hashes.select("doc_id", "phash").unionByName(
+        batch_hashes.select("doc_id", "phash")
+    )
+    # hash lookups for scoring touch ONLY new-edge endpoints: the semi
+    # restriction (broadcast — O(batch) ids) keeps the store at scan cost,
+    # and the distinct() dedupes a re-ingested endpoint that appears in
+    # both the index store and the batch. On a crash replay every new
+    # edge is suppressed above — the probe (one trivial job over the
+    # checkpointed leaf) then skips the store scan entirely.
+    if new_edges.limit(1).count() == 0:
+        new_scored = new_edges.withColumn("hamming", F.lit(0).cast("long"))
+    else:
+        ids = (
+            new_edges.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(new_edges.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        needed_hashes = all_hashes.join(
+            F.broadcast(ids), "doc_id", "leftsemi"
+        ).distinct()
+        ha = needed_hashes.select(
+            F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a")
+        )
+        hb = needed_hashes.select(
+            F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b")
+        )
+        new_scored = (
+            new_edges.join(ha, "doc_a")
+            .join(hb, "doc_b")
+            .select(
+                "chunk_id", "chunk", "doc_a", "doc_b",
+                _phash_hamming().alias("hamming"),
+            )
+        )
+    # displaced buckets (non-monotone ingest only): old-style recompute
+    # over their full membership, hash store semi-restricted to it. The
+    # branch is decided here (displaced derives from the checkpointed
+    # decision leaf — one trivial probe job); empty on the monotone
+    # production contract, where skipping the sub-DAG drops its plan
+    # weight and its per-execution index/store scans
     cols = ["chunk_id", "chunk", "doc_a", "doc_b", "hamming"]
-    untouched = index_edges.select(*cols).join(
-        touched, ["chunk_id", "chunk"], "left_anti"
+    if displaced.limit(1).count() == 0:
+        recomputed_d = index_edges.select(*cols).limit(0)
+    else:
+        members_d = (
+            touched_postings.join(bd, ["chunk_id", "chunk"], "leftsemi")
+            .unionByName(
+                batch_members.join(bd, ["chunk_id", "chunk"], "leftsemi")
+            )
+            .distinct()
+        )
+        hashes_d = all_hashes.join(
+            F.broadcast(members_d.select("doc_id").distinct()),
+            "doc_id",
+            "leftsemi",
+        ).distinct()
+        recomputed_d = phash_star_edges(members_d, hashes_d)
+    carried = index_edges.select(*cols).join(
+        bd, ["chunk_id", "chunk"], "left_anti"
     )
-    return untouched.unionByName(recomputed.select(*cols))
+    return carried.unionByName(new_scored.select(*cols)).unionByName(
+        recomputed_d.select(*cols)
+    )
 
 
 # aHash values that carry NO discriminative information: a constant image

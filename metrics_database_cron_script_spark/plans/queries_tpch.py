@@ -720,10 +720,27 @@ def c_tpch_q21_shape(spark, sf_dir):
     # (orderkey, suppkey) are a superset — so Catalyst inserts no further
     # lineitem shuffle, and ReuseExchange shares the one shuffle between the
     # aggregate branch and the join-back branch instead of re-scanning.
+    #
+    # The explicit isNotNull filters exist to make that sharing REAL: the
+    # join-back derives IsNotNull(l_suppkey)/IsNotNull(l_shipdate) and
+    # pushes them into ITS copy of the scan only, so without them the two
+    # subtrees canonicalize differently and ReuseExchange cannot fire —
+    # lineitem is scanned, semi-joined and shuffled TWICE (measured plan,
+    # plans/r11/c_tpch_q21_shape_before.txt ops (1)-(17)). Filtering the
+    # shared input up front makes both branches' subtrees byte-identical.
+    # Semantics: null join keys never survive the oracle's equi-joins, and
+    # a null l_shipdate row can neither win a MAX nor satisfy the
+    # NOT-EXISTS shipdate comparison (NULL predicate → not TRUE), so the
+    # filter drops only rows no branch could count.
     li = key_fan_out(
         load_table(spark, sf_dir, "lineitem")
         .join(o, F.col("l_orderkey") == o["o_orderkey"], "left_semi")
-        .select("l_orderkey", "l_suppkey", "l_shipdate"),
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .filter(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        ),
         "l_orderkey",
     )
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(

@@ -157,3 +157,27 @@ def test_p7_frontier_marker_recovers_partial_store_publish(spark, tmp_path):
     shutil.rmtree(f"{crashed}/phash_frontier.parquet")
     rep2 = update_image_dedup(spark, SF, crashed)
     assert rep2["batch_docs"] == 0
+
+
+def test_crash_replay_with_stale_postings_is_noop(spark, hashes):
+    """The P7 commit order overwrites the EDGE state before appending the
+    batch's chunk postings — a crash in that window replays the batch
+    against REFRESHED edges but the PRE-batch chunk index. Pins the
+    round-11 carry-forward's edge-level suppression: re-running the
+    refresh with that inconsistent state must reproduce the refreshed
+    edge set exactly (no duplicate rows, nothing lost)."""
+    corpus_h = hashes.filter(F.pmod("doc_id", F.lit(7)) != 0)
+    batch_h = hashes.filter(F.pmod("doc_id", F.lit(7)) == 0)
+    chunks, store, edges = M.phash_star_state(corpus_h)
+    # materialized like production (P7 reads the edge state from parquet)
+    refreshed = M.refresh_phash_star_edges(
+        chunks, store, edges, batch_h
+    ).localCheckpoint(eager=True)
+    # crash window: edges are the refreshed state, postings/store are stale
+    replay = M.refresh_phash_star_edges(chunks, store, refreshed, batch_h)
+    got = [
+        (r["chunk_id"], r["chunk"], r["doc_a"], r["doc_b"], r["hamming"])
+        for r in replay.collect()
+    ]
+    assert len(got) == len(set(got)), "duplicate edge rows on crash replay"
+    assert set(got) == _edge_set(refreshed)
