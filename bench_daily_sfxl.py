@@ -447,15 +447,52 @@ def main() -> None:
     store = spark.read.parquet(os.path.join(vstate, "store"))
     edges = spark.read.parquet(os.path.join(vstate, "edges"))
     next_edges = os.path.join(scratch, "edges-next")
+    edges_delta = os.path.join(scratch, "edges-delta")
     stages: dict = {}
+    parts: dict = {}
     # the refresh CALL is inside the timed region: it eagerly materializes
-    # its O(batch) decision relations (see refresh_verified_star_edges)
+    # its O(batch) decision relations (see refresh_verified_star_edges).
+    # Round 12 (VERDICT item 4, base+delta state): on the monotone daily
+    # contract no bucket hub is displaced, so the refreshed state is
+    # EXACTLY old edges ∪ new_scored and the daily WRITE is the O(batch)
+    # delta, not the O(state) snapshot (48.6 M rows/day of pure rewrite at
+    # the decade corpus). The snapshot read-view is base ∪ delta (below);
+    # production merges deltas with the P9-style compact step. The timed
+    # region is unchanged in methodology: refresh call + the state write
+    # the day actually performs.
     t0 = time.perf_counter()
     refreshed = D.refresh_verified_star_edges(
-        bands, store, edges, batch, _stages=stages
+        bands, store, edges, batch, _stages=stages, _parts=parts
     )
-    refreshed.write.parquet(next_edges)
+    if parts["displaced_empty"]:
+        parts["new_scored"].write.parquet(edges_delta)
+        edge_write_mode = "delta_append"
+    else:
+        refreshed.write.parquet(next_edges)
+        edge_write_mode = "full_rewrite"
     dedup_steps["edge_refresh_s"] = round(time.perf_counter() - t0, 3)
+    dedup_steps["edge_write_mode"] = edge_write_mode
+    if edge_write_mode == "delta_append":
+        edges_view = edges.unionByName(spark.read.parquet(edges_delta))
+        dedup_steps["edge_delta_rows"] = spark.read.parquet(edges_delta).count()
+        # diagnostic (untimed): the base ∪ delta read view must be
+        # content-identical to the full refreshed frame the function
+        # returns — the reconstruction proof for the delta layout
+        def _edge_hash(df):
+            return str(
+                df.agg(
+                    F.sum(
+                        F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")
+                    ).alias("h"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0].asDict()
+            )
+
+        dedup_steps["edge_view_equals_full_refresh"] = _edge_hash(
+            edges_view
+        ) == _edge_hash(refreshed)
+    else:
+        edges_view = spark.read.parquet(next_edges)
     edge_stage_walls: dict[str, float] = {}
     for name in (
         "batch_bands", "touched", "old_hubs", "new_members", "displaced",
@@ -472,7 +509,7 @@ def main() -> None:
     dedup_steps["edge_refresh_stage_walls_s"] = edge_stage_walls
     t0 = time.perf_counter()
     comps = D.connected_components(
-        spark.read.parquet(next_edges)
+        edges_view
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b")
         .distinct()
@@ -542,14 +579,24 @@ def main() -> None:
     }
 
     # replay the dedup refresh too: re-ingesting the same batch must leave
-    # the edge state content-identical (the distinct membership guard)
-    next_edges_r = os.path.join(scratch, "edges-next-replay")
-    D.refresh_verified_star_edges(
-        bands, store, spark.read.parquet(next_edges), batch
-    ).write.parquet(next_edges_r)
-    edges_equal = content_hash(
-        spark.read.parquet(next_edges)
-    ) == content_hash(spark.read.parquet(next_edges_r))
+    # the edge state content-identical (the distinct membership guard).
+    # Under the round-12 delta layout the replayed day's write is its
+    # delta — which must be EMPTY (the refresh's posting/edge suppression
+    # absorbs the re-ingested batch), leaving the base ∪ delta view
+    # untouched by construction; the full-rewrite fallback keeps the
+    # original whole-state content comparison.
+    r_parts: dict = {}
+    replayed = D.refresh_verified_star_edges(
+        bands, store, edges_view, batch, _parts=r_parts
+    )
+    if r_parts["displaced_empty"]:
+        edges_equal = r_parts["new_scored"].count() == 0
+    else:
+        next_edges_r = os.path.join(scratch, "edges-next-replay")
+        replayed.write.parquet(next_edges_r)
+        edges_equal = content_hash(edges_view) == content_hash(
+            spark.read.parquet(next_edges_r)
+        )
     phase("replay", {
         "wall_s": wall_replay,
         "steps": steps_r,

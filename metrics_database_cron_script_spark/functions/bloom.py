@@ -48,6 +48,12 @@ from pyspark.sql.types import BooleanType
 _H1 = "__bloom_h1"
 _H2 = "__bloom_h2"
 
+# Bloom-positive candidates at or under this row count take the broadcast
+# backstop (semi-restrict the seen side, then broadcast anti) instead of
+# shuffling the full seen snapshot; ~500k 8-byte keys ≈ 4 MB of data per
+# broadcast build — safe in the 1 GiB driver-contract session.
+_BACKSTOP_BCAST_MAX = 500_000
+
 
 def bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
     """Optimal (m_bits, k_hashes) for n items at the target false-positive
@@ -190,7 +196,24 @@ def bloom_pruned_anti_join(
     probed = might_contain(incoming, key, sketch).persist()
     negatives = probed.filter(~F.col("__bloom_maybe")).drop("__bloom_maybe")
     candidates = probed.filter(F.col("__bloom_maybe")).drop("__bloom_maybe")
-    survivors = candidates.join(existing_keys, key, "left_anti")
+    # Backstop strategy (round 12): candidates number |dups| +
+    # fpp·|incoming| — batch-scale by design — while existing_keys is the
+    # full seen snapshot, so a plain left-anti SHUFFLES the whole seen
+    # side to dismiss a handful of candidates (left-anti can only
+    # broadcast its RIGHT side, and the seen snapshot is far over the
+    # threshold — measured as the dominant term of the daily exact-dedup
+    # step at the 12.8 M-doc decade corpus). When the candidates fit a
+    # broadcast build, semi-restrict the seen side to the candidate keys
+    # first (broadcast semi = pure scan, no shuffle) and anti-join
+    # against THAT — O(candidates) rows broadcast both ways, identical
+    # result (anti vs existing ≡ anti vs existing∩candidate-keys).
+    # Fact-scale incoming frames keep the shuffle backstop.
+    if candidates.limit(_BACKSTOP_BCAST_MAX + 1).count() <= _BACKSTOP_BCAST_MAX:
+        cand_keys = candidates.select(key).distinct()
+        hits = existing_keys.join(F.broadcast(cand_keys), key, "leftsemi")
+        survivors = candidates.join(F.broadcast(hits), key, "left_anti")
+    else:
+        survivors = candidates.join(existing_keys, key, "left_anti")
     out = negatives.unionByName(survivors)
     if eager:
         out = out.localCheckpoint(eager=True)

@@ -551,39 +551,62 @@ def _loop_scratch(sess) -> tuple:
     )
 
 
+# Residuals at or under this row count are solved exactly with a
+# driver-side union-find (bounded collect, same budget class as a
+# broadcast build) instead of the isolated-session distributed loop,
+# whose per-round job floor measured ~2 s to move labels across a 14-row
+# decade-corpus residual (BENCH_COMPONENTS_DECOMP_BEFORE.json).
+_DRIVER_RESIDUAL_MAX = 100_000
+
+
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 50, on_round=None
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    on_round=None,
+    _walls: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → dedup clusters
     (pairs alone can't drive dedup: transitive groups A~B~C must collapse
     to one representative).
 
-    Two-phase, sized for clique-heavy duplicate graphs:
+    Two-phase, sized for clique-heavy duplicate graphs (phase 1 reshaped
+    in round 12 — same result, ~3× fewer full-scale shuffle passes; see
+    BENCH_COMPONENTS_DECOMP_BEFORE.json / OPTIMIZATION_r12.md):
 
-    1. COLLAPSE: one full-scale labeling pass — every node takes the min
-       of its closed neighborhood, then two pointer jumps
-       (label ← label(label(label ...))) — then the edge set is CONTRACTED
-       through the labels (self-loops dropped, deduped). Duplicate
-       cliques collapse onto their hubs here, so the residual graph is
-       the tiny inter-cluster link structure (measured at the 12.8 M-doc
-       decade corpus: 13.7 M star edges contract to a residual a fraction
-       of a percent the size). This phase costs ~2 passes over the full
-       edge set, total.
-    2. ITERATE on the residual: min-label propagation with two pointer
-       jumps per round (one neighbor-min hop, then two pointer-jump
-       doublings — propagation distance ~×4 per round, so long chains
-       converge in O(log diameter) rounds; measured: a 10^6-node path
-       converges in 11 rounds ≈ log4(10^6) + 1) until a
-       fixpoint. Every round here touches only residual-sized data; pure
-       per-round propagation at FULL scale was measured at ~25 s × 30+
-       rounds on the decade graph, which is why the collapse phase exists.
-       Loop state alternates between two parquet slots in a scratch dir
-       (each round overwrites the slot the round before last wrote), so
-       no per-round checkpoints accumulate. The loop runs in an ISOLATED
-       SparkSession (shared context, private SQLConf) whose shuffle width
-       is sized to the residual — the caller's session conf is never
-       touched, so concurrent queries on it can't race the override.
-    3. COMPOSE: final(doc) = residual_component(label(doc)), one join.
+    1. COLLAPSE on the DIRECTED normalized edge set. Pairs are normalized
+       to (least, greatest); after that, min over a node's CLOSED
+       neighborhood equals min over its SMALLER neighbors (any larger
+       neighbor loses to the node itself), so the base labeling is ONE
+       map-combined hash aggregation over the directed pairs (doc_b rows
+       contribute their smaller partner, doc_a-side and self-loop nodes
+       contribute themselves, min per node). The old shape symmetrized +
+       distinct'd the edge set (2× rows, one full extra shuffle) to
+       compute the identical labels, then ran two pointer-jump self-joins
+       (four more full-label shuffles) whose only effect was shrinking a
+       residual that phase 2's driver union-find absorbs regardless. The
+       DIRECTED edge set is then CONTRACTED through the labels
+       (self-loops dropped, deduped). Duplicate cliques collapse onto
+       their hubs here, so the residual is the tiny inter-cluster link
+       structure (measured at the 12.8 M-doc decade corpus: 13.0 M pairs
+       contract to a residual in the tens-to-hundreds of rows).
+    2. SOLVE the residual. A residual at or under _DRIVER_RESIDUAL_MAX
+       rows (it is already counted) is solved exactly with a driver-side
+       union-find — the same bounded-collect budget a broadcast join
+       spends, replacing an isolated-session distributed loop whose
+       per-round job floor cost ~2 s/round to propagate labels over a
+       14-row graph. Larger residuals run the distributed loop: min-label
+       propagation with two pointer jumps per round (propagation distance
+       ~×4 per round, so long chains converge in O(log diameter) rounds;
+       measured: a 10^6-node path converges in 11 rounds ≈ log4(10^6)+1)
+       until a fixpoint. Loop state alternates between two parquet slots
+       in a scratch dir (each round overwrites the slot the round before
+       last wrote), so no per-round checkpoints accumulate. The loop runs
+       in an ISOLATED SparkSession (shared context, private SQLConf)
+       whose shuffle width is sized to the residual — the caller's
+       session conf is never touched, so concurrent queries on it can't
+       race the override.
+    3. COMPOSE: final(doc) = residual_component(label(doc)), one join
+       (the residual solution is broadcast-sized by construction).
 
     Scratch placement: loop state must be readable by every executor AND
     the driver, so the scratch dir lives under the SparkContext's
@@ -595,15 +618,29 @@ def connected_components(
     Correctness: labels only ever shrink and a component's global min
     labels itself, so it survives contraction and the composed mapping
     resolves every member to the true min. Raises (never returns partial
-    labels — they would silently keep duplicate representatives) if the
-    residual doesn't converge within `max_iterations` rounds; coverage is
-    ~4^rounds hops, so the default cap of 50 only trips on graphs beyond
-    any physical corpus (diameter > 4^49).
+    labels — they would silently keep duplicate representatives) if a
+    DISTRIBUTED residual loop doesn't converge within `max_iterations`
+    rounds; coverage is ~4^rounds hops, so the default cap of 50 only
+    trips on graphs beyond any physical corpus (diameter > 4^49). The
+    driver union-find path is exact by construction and never iterates.
 
     Input: (doc_a, doc_b) undirected edges. Output: (doc_id, component)
     where component = min doc_id reachable. `on_round`, when given,
-    receives the residual's changed-label count per round.
+    receives the residual's changed-label count per round. `_walls`
+    (bench-only): phase wall clocks land in the dict — the phases end at
+    real eager sync points, so the walls are sequential, not overlapping.
     """
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        if _walls is not None:
+            now = _time.perf_counter()
+            _walls[name] = round(now - _t0, 3)
+            _t0 = now
+
     def _jump(lbl: DataFrame) -> DataFrame:
         # label(x) ← min(label(x), label(label(x))): the invariant
         # label(x) ≤ x holds throughout (labels start as ids and only
@@ -618,30 +655,52 @@ def connected_components(
             ).alias("component"),
         )
 
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Normalize to DIRECTED (least, greatest) pairs once: after this, a
+    # node's smaller neighbors are exactly its doc_a-side partners, so the
+    # closed-neighborhood min never needs the symmetrized (2×-row,
+    # distinct'd) edge set the old shape built. Checkpointed because three
+    # legs reference it (a-side nodes, the min agg, the contraction) and
+    # the caller's pair DAG may be an expensive shuffle.
+    norm = pairs.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    ).localCheckpoint(eager=True)
+    edges = norm.filter(F.col("doc_a") != F.col("doc_b"))
+    _mark("edges_checkpoint")
 
     # ---- phase 1: collapse cliques, contract to the residual graph
+    # base(x) = min(x, min neighbors(x)) = min(x, min SMALLER neighbors)
+    # after normalization (any larger neighbor loses to x itself) — ONE
+    # map-combined hash aggregation: each doc_b row contributes its
+    # smaller partner as a candidate, each doc_a-side (and self-loop)
+    # node contributes itself, min(cand) per node is the closed-
+    # neighborhood min. No symmetrized+distinct'd edge set, no pointer
+    # jumps: the old shape's two shuffle jumps only shrank a residual the
+    # driver union-find below absorbs anyway (decade corpus: 14 rows with
+    # jumps vs a few hundred without — both driver-solved), and each
+    # jump cost two more full-label shuffles.
     base = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("__mn"))
-        .select(
-            F.col("src").alias("doc_id"),
-            F.least(F.col("src"), F.col("__mn")).alias("component"),
+        edges.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("cand"))
+        .unionByName(
+            edges.select(
+                F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cand")
+            )
         )
+        .unionByName(
+            norm.filter(F.col("doc_a") == F.col("doc_b")).select(
+                F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("cand")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cand").alias("component"))
+        .localCheckpoint(eager=True)
     )
-    base = _jump(_jump(base)).localCheckpoint(eager=True)
-    la = base.select(F.col("doc_id").alias("src"), F.col("component").alias("__ls"))
-    lb = base.select(F.col("doc_id").alias("dst"), F.col("component").alias("__ld"))
+    _mark("base_labels")
+    la = base.select(F.col("doc_id").alias("__ja"), F.col("component").alias("__ls"))
+    lb = base.select(F.col("doc_id").alias("__jb"), F.col("component").alias("__ld"))
     residual = (
-        edges.join(la, "src")
-        .join(lb, "dst")
+        edges.join(la, edges["doc_a"] == la["__ja"])
+        .join(lb, edges["doc_b"] == lb["__jb"])
         .filter(F.col("__ls") != F.col("__ld"))
         .select(F.col("__ls").alias("src"), F.col("__ld").alias("dst"))
         .distinct()
@@ -650,8 +709,53 @@ def connected_components(
         residual.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
     n_res = residual.count()
+    _mark("residual_contract")
+    if _walls is not None:
+        _walls["residual_rows"] = n_res
     if n_res == 0:
         return base
+    if n_res <= _DRIVER_RESIDUAL_MAX:
+        # Solve the residual exactly with a driver-side union-find: the
+        # collect is bounded by the same budget a broadcast join spends
+        # (≤ _DRIVER_RESIDUAL_MAX 2-long rows), and it replaces a
+        # distributed loop whose per-round job floor (isolated session,
+        # parquet round-trips, ~6 small jobs/round) measured ~2 s/round
+        # to propagate labels over a 14-row decade-corpus residual.
+        parent: dict = {}
+
+        def _find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in residual.collect():
+            ra, rb = _find(r["src"]), _find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        sol = [(n, _find(n)) for n in list(parent)]
+        sol = [(n, c) for n, c in sol if n != c]
+        id_t = dict(norm.dtypes)["doc_a"]
+        labels = pairs.sparkSession.createDataFrame(
+            sol, f"doc_id {id_t}, component {id_t}"
+        )
+        _mark("residual_loop")
+        if _walls is not None:
+            _walls["residual_mode"] = "driver_union_find"
+        s = labels.select(
+            F.col("doc_id").alias("__sk"), F.col("component").alias("__sv")
+        )
+        return base.join(
+            F.broadcast(s), base["component"] == s["__sk"], "left"
+        ).select(
+            "doc_id",
+            F.coalesce("__sv", F.col("component")).alias("component"),
+        )
+    if _walls is not None:
+        _walls["residual_mode"] = "distributed_loop"
 
     # ---- phase 2: iterate to fixpoint on the residual
     # The residual is orders of magnitude smaller than the input, but the
@@ -722,6 +826,8 @@ def connected_components(
             labels = new_labels
             if on_round is not None:
                 on_round(changed)
+            if _walls is not None:
+                _walls["loop_rounds"] = rnd + 1
             if changed == 0:
                 converged = True
                 break
@@ -735,6 +841,7 @@ def connected_components(
             )
     finally:
         cleanup()
+    _mark("residual_loop")
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
@@ -1031,13 +1138,20 @@ def scored_star_edges(
             .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        # broadcast explicitly: `ids` is O(new pairs) = O(batch) rows, but
-        # its size ESTIMATE derives from the joined batch pipeline and is
-        # wildly wrong — without the hint Catalyst plans a sort-merge semi
-        # that SHUFFLES the whole shingle store (measured 50 s of the 102 s
-        # refresh at the decade corpus vs a 3.5 s scan floor,
-        # BENCH_EDGE_REFRESH_DECOMP.json)
-        needed = needed.join(F.broadcast(ids), "doc_id", "leftsemi")
+        # NO broadcast hint here (round-12, ADVICE r11): the only caller
+        # of this reuse branch is refresh_verified_star_edges' DISPLACED-
+        # bucket path, whose `misses` are ALL candidate edges of the
+        # displaced buckets — one low-id batch doc landing in a large
+        # clique bucket makes `ids` approximate that bucket's full
+        # membership, and a forced driver-collected broadcast of millions
+        # of rows risks a driver OOM. Un-hinted the semi degrades to a
+        # shuffle, which is the correct failure mode on that path. The
+        # batch-bounded refresh main path hints its own semi-join inline
+        # (refresh_verified_star_edges), where O(batch) is a contract.
+        # distinct(): `shingles` here is index_store ∪ batch shingles, so
+        # a re-ingested doc's rows appear TWICE and would double both its
+        # size and its intersections in verified_jaccard.
+        needed = needed.join(ids, "doc_id", "leftsemi").distinct()
     scored = verified_jaccard(needed, pairs)
     out = (
         misses.join(scored, ["doc_a", "doc_b"], "left")
@@ -1165,6 +1279,7 @@ def refresh_verified_star_edges(
     band_size: int | None = None,
     batch_shingles: DataFrame | None = None,
     _stages: dict | None = None,
+    _parts: dict | None = None,
 ) -> DataFrame:
     """Daily refresh of the verified edge state: the batch pays its own
     shingle + signature compute; every persisted edge row carries forward
@@ -1403,21 +1518,38 @@ def refresh_verified_star_edges(
             .distinct()
         )
         # broadcast: O(batch)-bounded endpoints; un-hinted, the store semi
-        # planned as a full 679 M-row sort-merge shuffle (see the same
-        # hint in scored_star_edges' reuse branch). persist:
-        # verified_jaccard references this frame THREE times (doc_a side,
-        # doc_b side, per-doc sizes) and each un-persisted reference
-        # re-scans the full shingle store — at the decade corpus that is
-        # 3 × 4.5 s of scan for an O(batch)-row (~8 MB) frame. The cached
-        # footprint is bounded by the batch's own shingles plus its
-        # hubs', released with the session (same precedent as the
-        # posting-list persists in char_ngram_jaccard).
-        needed = all_sh.join(F.broadcast(ids), "doc_id", "leftsemi").persist()
+        # planned as a full 679 M-row sort-merge shuffle. distinct()
+        # (round-12, ADVICE r11): all_sh = index store ∪ batch shingles,
+        # so a re-ingested batch doc that is the HUB of a bucket gaining
+        # a new member has its shingle rows duplicated — doubling both
+        # its size and its intersections in verified_jaccard and
+        # inflating the new pair's score (2i/(2sa+sb-2i) vs i/(sa+sb-i)).
+        # Shingles are set-semantic per word_shingles, so distinct on the
+        # O(batch)-row restricted frame restores exact full-recompute
+        # equivalence (test_refresh_scores_reingested_hub_with_new_member).
+        # persist: verified_jaccard references this frame THREE times
+        # (doc_a side, doc_b side, per-doc sizes) and each un-persisted
+        # reference re-scans the full shingle store — at the decade
+        # corpus that is 3 × 4.5 s of scan for an O(batch)-row (~8 MB)
+        # frame. Released below once the verified scores are pinned.
+        needed = (
+            all_sh.join(F.broadcast(ids), "doc_id", "leftsemi")
+            .distinct()
+            .persist()
+        )
         scored = verified_jaccard(needed, pairs)
         new_scored = (
             new_edges.join(scored, ["doc_a", "doc_b"], "left")
             .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
+            # EAGER pin of the O(batch) verified scores: the function is
+            # already eager-at-call (see nm above), and truncating here
+            # lets `needed` unpersist at the function boundary instead of
+            # leaking one cached frame per refresh call into the session
+            # (round-11 verdict item 3) — and the final state write no
+            # longer re-runs the store scan + verification join.
+            .localCheckpoint(eager=True)
         )
+        needed.unpersist()
     # displaced buckets (non-monotone ingest only): full old-style
     # recompute over their membership, reuse side bucket-filtered. The
     # branch is decided HERE (displaced derives from the checkpointed
@@ -1428,7 +1560,8 @@ def refresh_verified_star_edges(
     # which would otherwise scan per execution just to produce 0 rows.
     cols = ["band", "band_sig", "doc_a", "doc_b", "jaccard"]
     d_stages: dict | None = {} if _stages is not None else None
-    if displaced.limit(1).count() == 0:
+    displaced_empty = displaced.limit(1).count() == 0
+    if displaced_empty:
         recomputed_d = index_edges.select(*cols).limit(0)
     else:
         members_d = (
@@ -1461,6 +1594,17 @@ def refresh_verified_star_edges(
             verified=scored,
             carried=carried,
         )
+    if _parts is not None:
+        # Base+delta write support (round 12, VERDICT item 4): when no
+        # bucket hub was displaced, `carried` ≡ index_edges verbatim, so
+        # the refreshed state is EXACTLY index_edges ∪ new_scored and a
+        # state writer may persist the O(batch) `new_scored` delta instead
+        # of rewriting the O(state) snapshot. `displaced_empty` is decided
+        # from the same probe that skips the displaced sub-DAG (already
+        # paid), so exposing it costs nothing. Non-monotone batches
+        # (displaced non-empty) must fall back to the full rewrite.
+        _parts["displaced_empty"] = bool(displaced_empty)
+        _parts["new_scored"] = new_scored.select(*cols)
     return carried.unionByName(new_scored.select(*cols)).unionByName(
         recomputed_d.select(*cols)
     )

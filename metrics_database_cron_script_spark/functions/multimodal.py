@@ -1292,6 +1292,7 @@ def refresh_phash_star_edges(
     index_hashes: DataFrame,
     index_edges: DataFrame,
     batch_hashes: DataFrame,
+    _parts: dict | None = None,
 ) -> DataFrame:
     """Daily refresh of the image edge state, O(batch) — the image twin
     of dedup.refresh_verified_star_edges (round-11 carry-forward shape):
@@ -1416,7 +1417,8 @@ def refresh_phash_star_edges(
     # production contract, where skipping the sub-DAG drops its plan
     # weight and its per-execution index/store scans
     cols = ["chunk_id", "chunk", "doc_a", "doc_b", "hamming"]
-    if displaced.limit(1).count() == 0:
+    displaced_empty = displaced.limit(1).count() == 0
+    if displaced_empty:
         recomputed_d = index_edges.select(*cols).limit(0)
     else:
         members_d = (
@@ -1435,6 +1437,14 @@ def refresh_phash_star_edges(
     carried = index_edges.select(*cols).join(
         bd, ["chunk_id", "chunk"], "left_anti"
     )
+    if _parts is not None:
+        # Base+delta write support (round 12, VERDICT item 4) — the text
+        # twin's contract verbatim: with no displaced bucket, carried ≡
+        # index_edges, so the refreshed state is EXACTLY index_edges ∪
+        # new_scored and the writer may append the O(batch) delta instead
+        # of rewriting the O(state) snapshot.
+        _parts["displaced_empty"] = bool(displaced_empty)
+        _parts["new_scored"] = new_scored.select(*cols)
     return carried.unionByName(new_scored.select(*cols)).unionByName(
         recomputed_d.select(*cols)
     )

@@ -728,10 +728,14 @@ def c_tpch_q21_shape(spark, sf_dir):
     # lineitem is scanned, semi-joined and shuffled TWICE (measured plan,
     # plans/r11/c_tpch_q21_shape_before.txt ops (1)-(17)). Filtering the
     # shared input up front makes both branches' subtrees byte-identical.
-    # Semantics: null join keys never survive the oracle's equi-joins, and
-    # a null l_shipdate row can neither win a MAX nor satisfy the
-    # NOT-EXISTS shipdate comparison (NULL predicate → not TRUE), so the
-    # filter drops only rows no branch could count.
+    # Semantics: null join keys never survive the oracle's equi-joins, so
+    # the key filters are always safe. The l_shipdate filter is semantics-
+    # preserving ONLY because the fixture data is null-free (TPC-H NOT
+    # NULL columns): under nullable data a NULL-shipdate l1 row makes the
+    # NOT-EXISTS comparison vacuously true (it CAN be counted), and a
+    # peer supplier whose lines all have NULL shipdates still satisfies
+    # EXISTS — so on nullable inputs this filter would have to be revisited
+    # to match oracle NULL semantics. (ADVICE r11, low.)
     li = key_fan_out(
         load_table(spark, sf_dir, "lineitem")
         .join(o, F.col("l_orderkey") == o["o_orderkey"], "left_semi")

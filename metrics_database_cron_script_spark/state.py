@@ -244,6 +244,39 @@ def idempotent_append(
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def staged_append(df: DataFrame, path: str) -> int:
+    """Stage-audit-publish append WITHOUT the key anti-join — for callers
+    whose batch is, by construction, exactly the missing rows (round 12:
+    the dedup edge refreshes, whose crash-replay suppression dedupes at
+    full (bucket, member) granularity that idempotent_append's
+    single-column key cannot express — a replayed batch arrives here as
+    an EMPTY frame, never as duplicate rows). Same protocol guarantees as
+    idempotent_append: the batch is written once to a sibling stage dir
+    with its row count riding as an observe metric, a zero-row batch
+    publishes NOTHING (the stage is dropped — no empty part-file
+    accumulation on replays), and the staged files are renamed in, so a
+    reader never sees a half-written file. Returns the appended count."""
+    spark = df.sparkSession
+    parent, base = os.path.split(path.rstrip("/"))
+    parent = parent or "."
+    if os.path.isdir(parent):
+        for n in os.listdir(parent):
+            if n.startswith(f"{base}.stage-"):
+                shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+    obs = Observation()
+    staged = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    stage = f"{path}.stage-{uuid.uuid4().hex[:8]}"
+    try:
+        with _keep_observed_metrics(spark):
+            staged.write.mode("overwrite").parquet(stage)
+            n = int(obs.get["n"])
+        if n:
+            _publish_parquet_files(stage, path)
+        return n
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def snapshot_overwrite(
     new: DataFrame, path: str, key: str, order_cols: list[str]
 ) -> None:

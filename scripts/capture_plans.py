@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline queries into plans/r11/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/.
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
-Writes plans/r11/<query>_<suffix>.txt for each query (default: the bench
-HEADLINE list). Plan capture is timing-insensitive; safe under load.
-"""
+Writes plans/<round>/<query>_<suffix>.txt for each query (default: the
+bench HEADLINE list); the round dir defaults to r11 and is overridden with
+SPARK_GRAFT_PLANS_DIR=r12. Plan capture is timing-insensitive; safe under
+load."""
 
 from __future__ import annotations
 
@@ -26,7 +27,9 @@ def main() -> None:
     spark = get_spark("capture-plans")
     sf_dir = bench_dir(src_dir)
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

@@ -131,10 +131,14 @@ def test_hot_hub_star_collapses_without_residual_rounds(spark):
 def test_nonconvergence_raises_at_cap_not_partial_labels(spark):
     """A capped run on a graph whose residual needs more rounds must RAISE
     (partial labels would silently keep duplicate representatives in a
-    dedup pipeline). 100k-long path, max_iterations=1."""
+    dedup pipeline). 400k-long path, max_iterations=1 — sized so the
+    contracted residual exceeds the driver union-find budget
+    (_DRIVER_RESIDUAL_MAX): a smaller residual would be solved exactly on
+    the driver instead of iterating, so only a genuinely DISTRIBUTED
+    residual exercises this guard (round-12 phase-1 reshape)."""
     from metrics_database_cron_script_spark.functions.dedup import (
         connected_components,
     )
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_path_edges(spark, 100_000), max_iterations=1)
+        connected_components(_path_edges(spark, 400_000), max_iterations=1)

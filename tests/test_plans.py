@@ -135,14 +135,16 @@ def test_tpch_q1_single_agg_exchange(spark):
 
 def test_tpch_q21_decorrelation_shuffle_budget(spark):
     """The Q21 window rewrite must keep the shuffle budget: ≤3 hash
-    exchanges (per-supp agg, window repartition, final count) and exactly
-    two lineitem scans — the correlated original would add fact-sized
-    self-join probes."""
+    exchanges (per-supp agg, window repartition, final count) and a SINGLE
+    lineitem scan — the window branch and the join-back branch share one
+    exchange (ReusedExchange), so the fact is read and shuffled once; the
+    correlated original would add fact-sized self-join probes."""
     from metrics_database_cron_script_spark.plans import QUERIES
 
     plan = _plan(QUERIES["c_tpch_q21_shape"](spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") <= 3, plan
-    assert plan.count("lineitem.parquet") == 2, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "ReusedExchange" in plan, plan
     assert "BroadcastHashJoin" in plan
 
 

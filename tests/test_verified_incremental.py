@@ -127,6 +127,65 @@ def test_refresh_tolerates_reingested_batch_docs(spark, docs):
     assert set(got) == base
 
 
+def test_refresh_scores_reingested_hub_with_new_member(spark):
+    """ADVICE r11 (medium): a mixed batch containing BOTH a re-ingested
+    bucket hub and a genuinely new member of the same bucket. The new
+    (hub, member) pair is verified against all_sh = store ∪ batch
+    shingles, where the re-ingested hub's shingle rows appear TWICE —
+    without the distinct() on the endpoint-restricted slice the hub's
+    size and the intersection both double and the pair's Jaccard
+    inflates to 2i/(2sa+sb-2i) instead of i/(sa+sb-i). Pins exact
+    edge-state equality with the full rebuild for this mixed case."""
+    words = [f"tok{i}" for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    other = " ".join(f"zzz{i}" for i in range(60))
+    docs_all = spark.createDataFrame(
+        [(1, base), (50, other), (100, near)], ["doc_id", "text"]
+    )
+    corpus = docs_all.filter(F.col("doc_id") < 100)
+    # doc 1 is the hub of every bucket it shares with doc 100 (1 < 100)
+    # and is RE-INGESTED alongside the genuinely new member 100
+    batch = docs_all.filter(F.col("doc_id").isin(1, 100))
+    bands, store, edges = D.verified_star_state(corpus)
+    refreshed = D.refresh_verified_star_edges(bands, store, edges, batch)
+    _b, _s, full_edges = D.verified_star_state(docs_all)
+
+    def rows(df):
+        return {
+            (r["band"], r["band_sig"], r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in df.collect()
+        }
+
+    got = rows(refreshed)
+    assert any(r[2] == 1 and r[3] == 100 for r in got), (
+        "fixture regression: docs 1 and 100 no longer share a bucket"
+    )
+    assert got == rows(full_edges)
+
+
+def test_refresh_releases_store_slice_cache(spark, docs):
+    """Round-11 verdict item 3 (persist leak): the endpoint-restricted
+    store slice (`needed`) is persisted inside the refresh for the
+    verification join's three references, and must be UNPERSISTED at the
+    function boundary — repeated daily refreshes in one session must not
+    accumulate O(batch) cached frames. The only cached frames surviving
+    the call are its three eager localCheckpoint leaves (nm, new_edges,
+    new_scored), which are referenced by the returned plan and released
+    with it."""
+    corpus = docs.filter(F.pmod("doc_id", F.lit(7)) != 0)
+    batch = docs.filter(F.pmod("doc_id", F.lit(7)) == 0)
+    bands, store, edges = D.verified_star_state(corpus)
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    refreshed = D.refresh_verified_star_edges(bands, store, edges, batch)
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 3, (
+        f"refresh leaked cached frames: {after - before} new cached RDDs "
+        "(expected only the 3 localCheckpoint leaves of the returned plan)"
+    )
+    refreshed.count()
+
+
 @pytest.mark.parametrize(
     "split_col",
     [
@@ -209,6 +268,45 @@ def test_portable_refresh_rejects_prehashed_batch_shingles(spark, docs):
         D.refresh_verified_star_edges(
             bands, store, edges, batch, batch_shingles=hashed_batch_sh
         )
+
+
+def test_refresh_delta_parts_reconstruct_snapshot(spark, docs):
+    """Round-12 base+delta state (VERDICT item 4): on a monotone batch the
+    refresh exposes `_parts` with displaced_empty=True and an O(batch)
+    `new_scored` delta such that old edges ∪ delta EXACTLY equals the full
+    refreshed snapshot (the writer may then append the delta instead of
+    rewriting O(state) rows). A hub-displacing batch must say
+    displaced_empty=False — the writer falls back to the full rewrite."""
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    corpus = docs.filter(F.col("doc_id") <= n_max * 0.9)
+    batch = docs.filter(F.col("doc_id") > n_max * 0.9)
+    bands, store, edges = D.verified_star_state(corpus)
+    parts: dict = {}
+    refreshed = D.refresh_verified_star_edges(
+        bands, store, edges, batch, _parts=parts
+    )
+    assert parts["displaced_empty"] is True
+
+    def rows(df):
+        return {
+            (r["band"], r["band_sig"], r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in df.collect()
+        }
+
+    view = edges.unionByName(parts["new_scored"])
+    assert rows(view) == rows(refreshed)
+    delta_rows = parts["new_scored"].count()
+    assert 0 < delta_rows < edges.count()
+
+    # interleaved (hub-displacing) split → the delta contract refuses
+    corpus_i = docs.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    batch_i = docs.filter(F.pmod("doc_id", F.lit(10)) == 0)
+    bands_i, store_i, edges_i = D.verified_star_state(corpus_i)
+    parts_i: dict = {}
+    D.refresh_verified_star_edges(
+        bands_i, store_i, edges_i, batch_i, _parts=parts_i
+    )
+    assert parts_i["displaced_empty"] is False
 
 
 def test_crash_replay_with_stale_postings_is_noop(spark, docs):
