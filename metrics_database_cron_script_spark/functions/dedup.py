@@ -1537,6 +1537,13 @@ def refresh_verified_star_edges(
             .distinct()
             .persist()
         )
+        # NO eager cache-fill before the verification plan (measured,
+        # round 12): verified_jaccard's three references are independent
+        # leaf stages of one job and do race the unfilled cache, but the
+        # racing scans share page-cache IO on the store bytes — a serial
+        # fill count measured WORSE cold (70.1 s vs 57.9 s refresh call,
+        # clean canaries both runs), because it strips the IO/compute
+        # overlap without saving bytes.
         scored = verified_jaccard(needed, pairs)
         new_scored = (
             new_edges.join(scored, ["doc_a", "doc_b"], "left")
